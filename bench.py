@@ -1,0 +1,77 @@
+"""Benchmark runner (driver contract): times the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Results are forced through the noop datasource sink so timing covers the
+full distributed plan without driver-side collection overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "scan_parquet",
+    "filter_pred",
+    "agg_groupby",
+    "agg_distinct",
+    "join_broadcast",
+    "join_shuffle",
+    "join_multiway",
+    "join_asof",
+    "win_rank_topk",
+    "win_running",
+    "limit_topk",
+    # LLM-pipeline headliners (present from round 1 onward if registered)
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_topk",
+    "text_stats",
+]
+
+RUNS = 3
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    from metadata_extractors_api_spark import QUERIES
+    from metadata_extractors_api_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="mdx-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    results: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+        time_query(fn, spark, sf_dir)  # warm-up (JIT, file listing, broadcast)
+        samples = [time_query(fn, spark, sf_dir) for _ in range(RUNS)]
+        results[name] = round(statistics.median(samples), 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

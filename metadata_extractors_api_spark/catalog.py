@@ -1,0 +1,53 @@
+"""Table catalog over the driver's parquet fixtures (TESTDATA.md).
+
+One parquet per table per scale dir. Reads are plain
+``spark.read.parquet`` so Catalyst gets predicate pushdown + column
+pruning for free; at cluster scale these would be partitioned/bucketed
+tables behind the same names.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables small enough to broadcast at any realistic scale.
+BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    rejects by default: read it as raw nanos (legacy conf, runtime-
+    settable) and floor-convert to a microsecond TimestampType -- the
+    same truncation DuckDB applies when it hands ns values to µs
+    consumers, so oracle comparisons stay exact at µs granularity.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views (for engine.sql())."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
