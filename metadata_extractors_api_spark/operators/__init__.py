@@ -1,3 +1,7 @@
 """Operator modules. Importing this package populates the query registry."""
 
+from metadata_extractors_api_spark.operators import llm  # noqa: F401
 from metadata_extractors_api_spark.operators import relational  # noqa: F401
+from metadata_extractors_api_spark.operators import udf  # noqa: F401
+from metadata_extractors_api_spark import functions  # noqa: F401
+from metadata_extractors_api_spark import streaming  # noqa: F401

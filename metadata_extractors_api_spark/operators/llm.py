@@ -1,0 +1,681 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.B.11 + BASELINE.json north
+star): deduplication, similarity search, text analysis, multimodal
+plumbing over the documents/embeddings tables.
+
+Scale design notes:
+- Exact dedup is a hash-groupBy (one shuffle on the digest).
+- MinHash/SimHash near-dup avoid the O(n^2) pair space entirely: LSH
+  banding turns candidate generation into an equi-join on (band, hash),
+  which Spark executes as an ordinary shuffle join -- the only pairs ever
+  materialized are same-bucket candidates.
+- Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+  variant (sim_ann_lsh) is the scale path (query only probes its bucket).
+- All dot products run in *scaled int64* (x*y*1e12 rounded): float32
+  inputs widen to double exactly, each product is one deterministic IEEE
+  op, and integer sums are order-independent -- so Spark's parallel
+  aggregation matches the DuckDB oracle bit-for-bit with no float-order
+  hazard.
+- Everything JVM-side except the multimodal decode stub (mapInPandas by
+  design: that is where a real image/audio decoder would run).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+SCALE = 1e12
+P31 = 2147483647  # Mersenne prime 2^31-1 for minhash permutations
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+
+# Deterministic permutation coefficients (odd a, arbitrary b), derived
+# from Knuth's multiplicative constant so every run/engine agrees.
+PERM_A = [((j * 2654435761) % P31) | 1 for j in range(1, N_PERM + 1)]
+PERM_B = [(j * 40503 * 65537 + 17) % P31 for j in range(1, N_PERM + 1)]
+
+
+def dot_scaled(a: Column, b: Column) -> Column:
+    """Order-independent exact dot product: sum of int64(round(x*y*1e12))."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(SCALE), 0).cast(
+            "bigint"
+        ),
+    )
+    return F.aggregate(prods, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def cosine_from_scaled(dot: Column, na: Column, nb: Column) -> Column:
+    """cosine = (dot/S) / (sqrt(na/S)*sqrt(nb/S)), rounded to 6 dp."""
+    return F.round(
+        (dot / F.lit(SCALE))
+        / (F.sqrt(na / F.lit(SCALE)) * F.sqrt(nb / F.lit(SCALE))),
+        6,
+    )
+
+
+def tokens_col(text: str = "text") -> Column:
+    return F.split(F.col(text), " ")
+
+
+def token_hash32(tok: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex digits of md5 (identical in
+    Spark and any SQL oracle, unlike engine-native hash functions)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+# The DuckDB-side rendering of the same scaled-int dot product.
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform({a}, (x,i) -> "
+        f"CAST(round(x * {b}[i] * 1e12, 0) AS BIGINT))) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest (origin: re-ingested files). One
+    shuffle on the 256-bit hash; at 100 TB the digest (not the document)
+    is the shuffle key, so skew is impossible by construction."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles_col(n: int = 3) -> Column:
+    """Word n-gram shingles as strings (whole doc if shorter than n)."""
+    toks = tokens_col()
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id -> 64 minhash values m0..m63 over distinct word 3-shingles.
+
+    Each permutation j is min((a_j*h+b_j) mod P) over the doc's shingle
+    hashes; one explode + one groupBy(doc_id) -- the shuffle carries only
+    (doc_id, h32) pairs, never documents."""
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    ).select("doc_id", token_hash32(F.col("shingle")).alias("h"))
+    mins = [
+        F.min((F.lit(PERM_A[j]) * F.col("h") + F.lit(PERM_B[j])) % F.lit(P31)).alias(
+            f"m{j}"
+        )
+        for j in range(N_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+@register("dedup_minhash")
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: shingle -> 64-perm signature ->
+    16 bands x 4 rows -> candidate pairs via equi-join on (band, hash) ->
+    exact Jaccard verification on shingle sets. Rows-only: the banding
+    join is relational, but the end-to-end pipeline is not one SQL
+    statement. Candidate generation is O(colliding pairs), not O(n^2)."""
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("bh"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(bands).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shset = d.select("doc_id", F.array_distinct(shingles_col()).alias("sh"))
+    jac = (
+        cand.join(shset.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
+        .join(shset.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.5)
+
+
+@register("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 63-bit signature (sum of +/-1 per bit over token
+    hashes), candidate pairs from 4 x 16-bit chunk equality (pigeonhole:
+    any pair within Hamming distance 3 shares a chunk), verified with
+    bit_count(XOR) <= 3. Same LSH-join shape as minhash: no O(n^2)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col()).alias("tok")).select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(63)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = agg.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(63)],
+            F.lit(0),
+        ).cast("bigint").alias("simhash"),
+    )
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            )
+            for c in range(4)
+        ]
+    )
+    bk = sim.select("doc_id", "simhash", F.explode(chunks).alias("cc")).select(
+        "doc_id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
+    )
+    a, b = bk.alias("a"), bk.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk
+                  FROM documents WHERE doc_id < 100),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(tk[i:i+2], ' '))) AS shingle_list
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(shingle_list) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.025
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (the verification primitive under
+    minhash, exposed standalone and sql-checked): inverted-index join on
+    shingles -> |intersection| counts -> Jaccard from set sizes. The
+    shingle equi-join is the scalable form (no cross join); at 100 TB
+    you'd add the minhash banding in front to cap the candidate space."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ex = d.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"})
+    jac = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j_raw"),
+        )
+        .filter(F.col("j_raw") >= 0.025)
+        .select("doc_a", "doc_b", F.round("j_raw", 6).alias("jaccard"))
+    )
+    return jac
+
+
+@register(
+    "dedup_embedding",
+    oracle=f"""
+    WITH e AS (SELECT * FROM embeddings WHERE vec_id < 200),
+    n AS (SELECT vec_id, {_sql_dot('embedding', 'embedding')} AS nn, embedding FROM e),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(({_sql_dot('a.embedding', 'b.embedding')} / 1e12)
+                   / (sqrt(a.nn / 1e12) * sqrt(b.nn / 1e12)), 6) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.35
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute force over a bounded slice;
+    sql-checked). The unbounded-scale variant is sim_ann_lsh's bucketed
+    search. Exact scaled-int dot products -> no float-order hazard."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    n = e.select(
+        "vec_id", "embedding", dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        cosine_from_scaled(
+            dot_scaled(F.col("a.embedding"), F.col("b.embedding")),
+            F.col("a.nn"),
+            F.col("b.nn"),
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= 0.35)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe, {_sql_dot('embedding', 'embedding')} AS qn
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(({_sql_dot('embedding', 'qe')} / 1e12)
+                 / (sqrt({_sql_dot('embedding', 'embedding')} / 1e12) * sqrt(qn / 1e12)),
+                 6) AS score
+    FROM embeddings, q
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a query vector (vec_id=0): the
+    ANN correctness baseline. Broadcast the query, one pass over the
+    vectors, TakeOrderedAndProject for the top-k -- embarrassingly
+    parallel at any scale."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("qn"),
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        cosine_from_scaled(
+            dot_scaled(F.col("embedding"), F.col("qe")),
+            dot_scaled(F.col("embedding"), F.col("embedding")),
+            F.col("qn"),
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+# Deterministic pseudo-random hyperplanes for sign-LSH (no RNG: derived
+# arithmetically so every engine and run agrees).
+N_PLANES = 8
+DIM = 64
+PLANES = [
+    [(((j * DIM + d) * 2654435761) % 4294967296) / 2147483648.0 - 1.0 for d in range(DIM)]
+    for j in range(N_PLANES)
+]
+
+
+@register("sim_ann_lsh")
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: random-hyperplane (sign) LSH. Each vector gets an
+    8-bit bucket from the signs of 8 fixed hyperplane projections; the
+    query probes only its own bucket, then exact cosine ranks within it.
+    At scale: bucketing is one narrow map, the probe is a partition-
+    pruned scan of ~n/256 vectors instead of n. Rows-only (approximate
+    by construction)."""
+    e = load(spark, sf_dir, "embeddings")
+
+    def bucket_expr() -> Column:
+        bits = []
+        for j in range(N_PLANES):
+            plane = F.array(*[F.lit(v) for v in PLANES[j]])
+            proj = dot_scaled(F.col("embedding"), plane)
+            bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        return sum(bits, F.lit(0)).cast("int")
+
+    bucketed = e.select("vec_id", "label", "embedding", bucket_expr().alias("bucket"))
+    q = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("qn"),
+    )
+    probed = bucketed.join(
+        F.broadcast(q), F.col("bucket") == F.col("qbucket")
+    ).select(
+        "vec_id",
+        "label",
+        cosine_from_scaled(
+            dot_scaled(F.col("embedding"), F.col("qe")),
+            dot_scaled(F.col("embedding"), F.col("embedding")),
+            F.col("qn"),
+        ).alias("score"),
+    )
+    return probed.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle="""
+    WITH tok AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+    SELECT token, COUNT(*) AS cnt
+    FROM tok
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top-20 (origin: text analysis extension).
+    Classic explode+count; partial aggregation makes the shuffle carry
+    (token, partial_count), not token instances."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+STOPWORDS = {
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "los", "una", "por", "con"],
+    "fr": ["le", "et", "les", "des", "une"],
+    "zh": ["de_zh", "shi", "bu", "le_zh", "zai"],
+}
+LANG_ORDER = ["de", "en", "es", "fr", "zh"]
+
+
+def _stop_count(lang: str) -> Column:
+    stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens_col(), lambda t: F.array_contains(stop, t)))
+
+
+def _sql_stop_count(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(str_split(text, ' '), t -> list_contains([{lst}], t)))"
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+             {", ".join(f"CAST({_sql_stop_count(lg)} AS INT) AS s_{lg}" for lg in LANG_ORDER)}
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS pred_lang
+    FROM scores
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic family): per-lang
+    stopword hit counts, argmax with a fixed priority order. Pure column
+    expressions -> codegen'd, no UDF."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        *[_stop_count(lg).cast("int").alias(f"s_{lg}") for lg in LANG_ORDER],
+    )
+    pred = (
+        F.when(
+            (F.col("s_de") >= F.col("s_en"))
+            & (F.col("s_de") >= F.col("s_es"))
+            & (F.col("s_de") >= F.col("s_fr"))
+            & (F.col("s_de") >= F.col("s_zh")),
+            "de",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_zh")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") >= F.col("s_zh")), "es")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return scored.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(str_split(text, ' '),
+                  t -> list_contains(['the','and','of','to','a'], t))) AS INT) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           round(n_alpha * 1.0 / n_tokens, 6) AS avg_token_len,
+           round(n_stop * 1.0 / n_tokens, 6) AS stop_ratio,
+           round(0.5 * least(n_tokens / 100.0, 1.0)
+                 + 0.5 * (n_stop * 1.0 / n_tokens), 6) AS quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length + stopword-density signals),
+    the pre-training-filter shape: every signal a column expression."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens_col()).cast("int")
+    n_alpha = F.length(F.regexp_replace("text", " ", "")).cast("bigint")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(tokens_col(), lambda t: F.array_contains(stop, t))).cast(
+        "int"
+    )
+    t = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+    )
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_alpha") / F.col("n_tokens"), 6).alias("avg_token_len"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias("stop_ratio"),
+        F.round(
+            0.5 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+            + 0.5 * (F.col("n_stop") / F.col("n_tokens")),
+            6,
+        ).alias("quality"),
+    )
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS INT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_re,
+           round(length(text) * 1.0 / nullif(len(regexp_extract_all(text, '[a-z]+|[0-9]+')), 0), 6)
+               AS chars_per_token
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split vs BPE-ish regex ([a-z]+|[0-9]+
+    runs) -- the cost-estimation primitive for training pipelines."""
+    d = load(spark, sf_dir, "documents")
+    n_re = F.regexp_count("text", F.lit("[a-z]+|[0-9]+")).cast("int")
+    return d.select(
+        "doc_id",
+        F.size(tokens_col()).cast("int").alias("n_ws"),
+        n_re.alias("n_re"),
+        F.round(F.length("text") / F.nullif(n_re, F.lit(0)), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             generate_subscripts(str_split(text, ''), 1) AS i,
+             unnest(str_split(text, '')) AS c
+      FROM documents)
+    SELECT doc_id,
+           CAST(SUM(ascii(c) * ((i * 31) % 997)) AS BIGINT) AS fingerprint
+    FROM ch
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted character fingerprint (rolling-hash family,
+    order-sensitive but commutatively summable: weight depends on the
+    position, the sum is exact int64 in any order)."""
+    d = load(spark, sf_dir, "documents")
+    # substring with a dynamic position needs expr(): build the exact
+    # same polynomial the oracle computes.
+    fp = F.expr(
+        "aggregate(transform(sequence(1, length(text)), "
+        "i -> cast(ascii(substring(text, i, 1)) * ((i * 31) % 997) as bigint)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real image decode is out of scope for this container (no
+    image/audio libraries baked in): STUB. The Spark-side plumbing
+    (binary column, Arrow batches, typed metadata output) is real."""
+    raise NotImplementedError(
+        "image/audio decoding libraries are not available in this environment; "
+        "plug a real decoder in here (payload -> width/height/codec)"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
+    """Deterministic stand-in for decode_image: derives fake dimensions
+    from the payload size so results are checkable end to end."""
+    n = len(payload)
+    return n, 64 + n % 1024, 64 + (7 * n) % 1024, "raw"
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 1024 AS INT) AS width,
+           CAST(64 + (7 * octet_length(encode(text))) % 1024 AS INT) AS height,
+           'raw' AS codec
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: opaque binary payloads + typed
+    metadata extracted by a mapInPandas decode stage (the slot where a
+    real image/audio decoder runs; see decode_image). The fake decode is
+    deterministic so the whole path -- binary encode, Arrow transfer,
+    per-batch Python, typed schema out -- is sql-checkable."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_fake_decode(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                meta, columns=["n_bytes", "width", "height", "codec"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(
+        decode_batches, "doc_id long, n_bytes long, width int, height int, codec string"
+    )

@@ -1,0 +1,172 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.B.10): the faithful port of
+the reference's extractor-execution model onto Spark's Python-worker
+architecture.
+
+The reference runs extractors as subprocesses with results pickled
+through shared memory (A15, __init__.py:348-368) or CLI pipes (A13,
+:296-306). Spark's equivalent is exactly this worker model done right:
+Arrow-batched pandas UDFs (vectorized, streaming, no 1 GiB cap) and
+mapInPandas + subprocess for CLI extractors -- per PARTITION, not per
+file, so process-spawn overhead amortizes across thousands of rows.
+"""
+
+from __future__ import annotations
+
+import subprocess
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.functions.callparse import dequote
+from metadata_extractors_api_spark.registry import register
+
+
+@register(
+    "udf_scalar",
+    oracle="""
+    WITH q AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 3 = 0 THEN '''' || p_name || ''''
+                  WHEN p_partkey % 3 = 1 THEN '''' || p_name
+                  ELSE p_name || '''' END AS quoted
+      FROM part)
+    SELECT p_partkey, quoted,
+           CASE WHEN quoted LIKE '''%' OR quoted LIKE '%'''
+                THEN trim(regexp_replace(regexp_replace(quoted, '^''', ''), '''$', ''))
+                ELSE trim(quoted) END AS dequoted
+    FROM q
+    """,
+)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar UDF running the reference's asymmetric
+    dequote rule (A10, __init__.py:319-327) over a column of
+    deliberately mis-quoted strings."""
+
+    @pandas_udf("string")
+    def dequote_udf(s: pd.Series) -> pd.Series:
+        return s.map(dequote)
+
+    p = load(spark, sf_dir, "part")
+    quoted = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.lit("'"), "p_name", F.lit("'")))
+        .when(F.col("p_partkey") % 3 == 1, F.concat(F.lit("'"), F.col("p_name")))
+        .otherwise(F.concat(F.col("p_name"), F.lit("'")))
+    )
+    return p.select(
+        "p_partkey",
+        quoted.alias("quoted"),
+        dequote_udf(quoted).alias("dequoted"),
+    )
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT event_id,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_samp(value) OVER (PARTITION BY event_type), 4) AS znorm
+    FROM events
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group pandas transform (applyInPandas): normalize the value
+    channel within each event_type -- the port of per-file extraction
+    post-processing (A15). Each group becomes one Arrow batch in the
+    Python worker; the 4-dp round absorbs summation-association noise
+    between numpy and the oracle."""
+
+    def znorm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame({"event_id": pdf["event_id"], "znorm": z.round(4)})
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(znorm, "event_id long, znorm double")
+
+
+@register(
+    "udaf_pandas",
+    oracle="""
+    SELECT p_brand,
+           round(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
+                 / SUM(CAST(l_quantity AS BIGINT)), 6) AS weighted_price
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: quantity-weighted mean price per
+    brand. Sums run in exact int64 cents (order-independent, so the
+    shuffle's arrival order can't perturb the result); one IEEE division
+    at the end matches the oracle bit-for-bit."""
+
+    @pandas_udf("double")
+    def weighted_price(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round().astype("int64").sum()
+        q = qty.astype("int64").sum()
+        return round(cents / 100.0 / q, 6)
+
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(weighted_price("l_extendedprice", "l_quantity").alias("weighted_price"))
+    )
+
+
+@register(
+    "udtf_explode_extract",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tokens
+                  FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           CAST(generate_subscripts(tokens, 1) AS INT) AS pos,
+           unnest(tokens) AS token
+    FROM toks
+    """,
+)
+def udtf_explode_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row in -> N typed rows out (origin: an extractor emitting a
+    table per file, A15). Expressed with posexplode so the expansion
+    stays JVM-side and codegen'd; the UDF-backed variants live in
+    udf_grouped_map/pipe_cli."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "token")
+
+
+@register(
+    "pipe_cli",
+    oracle="SELECT doc_id, replace(text, ' ', '_') AS piped FROM documents",
+)
+def pipe_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLI extractor port (A13, __init__.py:296-306): pipe rows through
+    an external subprocess. One subprocess per Arrow batch (not per row,
+    not per file): at cluster scale each task pays a single process
+    spawn for tens of thousands of rows. Uses ``sed`` as the
+    deterministic stand-in extractor binary."""
+
+    def run_pipe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf["text"].tolist()
+            out = subprocess.run(
+                ["sed", "s/ /_/g"],
+                input="\n".join(texts),
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            lines = out.stdout.split("\n")
+            if lines and lines[-1] == "" and len(lines) == len(texts) + 1:
+                lines = lines[:-1]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "piped": lines})
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(run_pipe, "doc_id long, piped string")

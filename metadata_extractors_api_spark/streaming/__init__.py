@@ -1,0 +1,3 @@
+"""Structured Streaming surface (SURVEY.md §2.B.9)."""
+
+from metadata_extractors_api_spark.streaming import windows  # noqa: F401

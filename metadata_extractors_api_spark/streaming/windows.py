@@ -1,0 +1,130 @@
+"""Streaming window operators (SURVEY.md §2.B.9).
+
+Origin: the reference's unimplemented plan item "parallel/continuous
+processing of many files" (README.md:95-96) -- the natural Spark form is
+a file-source stream with event-time windows and watermarks.
+
+Each query replays the events fixture through a real file-source stream
+(trigger=availableNow) into an in-memory sink and returns the final
+batch DataFrame, so the driver can collect rows from a genuinely
+streaming execution. Rows-only checks: incremental state semantics are
+not ANSI-SQL-expressible (the batch twin win_time_tumbling_batch is the
+sql-checked equivalent of the tumbling agg).
+
+Scale note: state stores partition by group key; watermarks bound state
+size (late data beyond the delay is dropped), so the same topology runs
+continuously on a cluster with bounded memory.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_extractors_api_spark.registry import register
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ns ts -> µs timestamp,
+    same conversion as catalog.load)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Drain the stream into a memory sink and return the result table."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mdx_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register("stream_tumbling")
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window count+sum per event_type with a 1-hour
+    watermark (batch twin: win_time_tumbling_batch, sql-checked)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+    out = agg.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+    return _run_to_table(out, spark, "complete")
+
+
+@register("stream_sliding")
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min length, 5 min slide): each event lands in
+    two windows."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w")).agg(
+        F.count("*").alias("n")
+    )
+    out = agg.select(F.col("w.start").alias("window_start"), "n")
+    return _run_to_table(out, spark, "complete")
+
+
+@register("stream_session")
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (30-minute gap): dynamic, data-driven
+    window extents -- the 'lab session' grouping of instrument events."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = agg.select(
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "user_id",
+        "n_events",
+    )
+    return _run_to_table(out, spark, "complete")
+
+
+@register("stream_late")
+def stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append mode: only windows the watermark has passed are
+    emitted, so late rows beyond 30 minutes are dropped from results --
+    the out-of-order-instrument-upload policy."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    agg = ev.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+        F.count("*").alias("n")
+    )
+    out = agg.select(F.col("w.start").alias("window_start"), "n")
+    return _run_to_table(out, spark, "append")
+
+
+@register("stream_dedup")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup keyed on (user_id, event_type) within the
+    watermark -- the 're-uploaded file' guard. State expires with the
+    watermark, so memory stays bounded on an infinite stream."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    out = deduped.select("event_id", "user_id", "event_type")
+    return _run_to_table(out, spark, "append")

@@ -1,0 +1,80 @@
+"""LLM-operator behavior tests: the fixture corpus contains no real
+near-duplicates (max 3-gram Jaccard ~0.03), so these tests inject
+synthetic dups to prove the detectors detect."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+import metadata_extractors_api_spark as mdx
+from metadata_extractors_api_spark.operators.llm import (
+    dot_scaled,
+    minhash_signatures,
+)
+
+
+def _dup_corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest to hide from the loud hunting party"
+    )
+    near = base.replace("green", "dark").replace("loud", "quiet")
+    other = (
+        "completely different text about spark query engines and shuffle "
+        "partitioning strategies for large scale distributed aggregation"
+    )
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
+    )
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    docs = _dup_corpus(spark)
+    sig = minhash_signatures(docs)
+    assert sig.count() == 3
+    rows = {r["doc_id"]: [r[f"m{j}"] for j in range(64)] for r in sig.collect()}
+    agree_near = sum(a == b for a, b in zip(rows[1], rows[2]))
+    agree_far = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert agree_near > 32, f"near-dup signatures should mostly agree ({agree_near})"
+    assert agree_far < 8, f"unrelated docs should rarely agree ({agree_far})"
+
+
+def test_dot_scaled_matches_numpy(spark):
+    import numpy as np
+
+    a = [0.5, -1.25, 2.0, 0.125]
+    b = [1.0, 0.5, -0.25, 4.0]
+    df = spark.createDataFrame(
+        [(a, b)], "a array<float>, b array<float>"
+    ).select(dot_scaled(F.col("a"), F.col("b")).alias("d"))
+    got = df.collect()[0]["d"] / 1e12
+    want = float(np.dot(np.array(a, dtype="float32"), np.array(b, dtype="float32")))
+    assert abs(got - want) < 1e-9
+
+
+def test_sim_topk_self_is_best(spark, sf_dir):
+    rows = mdx.QUERIES["sim_topk"](spark, sf_dir).collect()
+    assert rows[0]["vec_id"] == 0 and abs(rows[0]["score"] - 1.0) < 1e-6
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dedup_exact_all_unique_corpus(spark, sf_dir):
+    df = mdx.QUERIES["dedup_exact"](spark, sf_dir)
+    assert df.filter(F.col("n_copies") > 1).count() == 0
+
+
+def test_langid_deterministic(spark, sf_dir):
+    a = mdx.QUERIES["text_langid"](spark, sf_dir).toPandas().sort_values("doc_id")
+    b = mdx.QUERIES["text_langid"](spark, sf_dir).toPandas().sort_values("doc_id")
+    assert a["pred_lang"].tolist() == b["pred_lang"].tolist()
+
+
+def test_multimodal_decode_stub_raises():
+    import pytest
+
+    from metadata_extractors_api_spark.operators.llm import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

@@ -1,0 +1,40 @@
+"""Streaming checks (SURVEY.md §5.2 item 4): rows-only plus batch-twin
+cross-validation where an equivalent batch plan exists."""
+
+from __future__ import annotations
+
+import metadata_extractors_api_spark as mdx
+
+
+def test_stream_tumbling_matches_batch_twin(spark, sf_dir):
+    stream = mdx.QUERIES["stream_tumbling"](spark, sf_dir).toPandas()
+    batch = mdx.QUERIES["win_time_tumbling_batch"](spark, sf_dir).toPandas()
+    key = ["window_start", "event_type"]
+    s = stream.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert s[["n", "sum_value"]].equals(b[["n", "sum_value"]])
+    assert len(s) == len(b)
+
+
+def test_stream_sliding_double_counts(spark, sf_dir):
+    df = mdx.QUERIES["stream_sliding"](spark, sf_dir).toPandas()
+    ev = mdx.QUERIES["scan_json_props"](spark, sf_dir)
+    assert df["n"].sum() == 2 * ev.count()
+
+
+def test_stream_session_bounds(spark, sf_dir):
+    df = mdx.QUERIES["stream_session"](spark, sf_dir).toPandas()
+    assert (df["session_end"] > df["session_start"]).all()
+    assert df["n_events"].sum() > 0
+
+
+def test_stream_late_emits_closed_windows_only(spark, sf_dir):
+    late = mdx.QUERIES["stream_late"](spark, sf_dir).toPandas()
+    batch = mdx.QUERIES["win_time_tumbling_batch"](spark, sf_dir).toPandas()
+    n_batch_windows = batch["window_start"].nunique()
+    assert 0 < len(late) <= n_batch_windows
+
+
+def test_stream_dedup_keeps_first_per_key(spark, sf_dir):
+    df = mdx.QUERIES["stream_dedup"](spark, sf_dir).toPandas()
+    assert df.groupby(["user_id", "event_type"]).size().max() == 1
