@@ -5,3 +5,4 @@ from metadata_extractors_api_spark.operators import relational  # noqa: F401
 from metadata_extractors_api_spark.operators import udf  # noqa: F401
 from metadata_extractors_api_spark import functions  # noqa: F401
 from metadata_extractors_api_spark import streaming  # noqa: F401
+from metadata_extractors_api_spark.plans import extract_batch  # noqa: F401

@@ -1,0 +1,283 @@
+"""The capability centerpiece (SURVEY.md Phase 4): the reference's
+one-file-at-a-time extract() orchestration (A3-A9, __init__.py:45-148)
+recomposed as ONE set-oriented DataFrame program:
+
+    files ->(broadcast join)-> filetypes          [A3 registry lookup]
+          -> first-extractor-wins + warn count    [A4 limit-1 selection]
+          ->(broadcast join)-> extractors         [A5 registry lookup]
+          -> supported-filetype match + template  [A6 semi-join filter]
+          -> usage preference w/ last-row fallback[A7 parse_usage]
+          -> default .json output path            [A9 with_suffix]
+          -> command templating                   [A8 apply_template_args]
+          -> dispatch to executor                 [A13/A15 -> UDF stage]
+
+Registry tables are dimension-sized at any real scale -> both joins
+broadcast; the only data-sized object in the plan is the files table.
+Everything up to dispatch is pure column expressions (codegen'd,
+zero Python), which is why the same pipeline holds at 100 TB of files.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_extractors_api_spark.registry import register
+from metadata_extractors_api_spark.sources import registry as reg
+
+
+def first_extractor(registered: Column) -> Column:
+    """A4: first registered extractor wins; NULL when none registered
+    (the reference raises -- the set-oriented form surfaces it as a NULL
+    for the caller to filter/report)."""
+    return F.try_element_at(registered, F.lit(1))
+
+
+def pick_usage(usage: Column, preferred_mode: str) -> Column:
+    """A7 parse_usage: first usage row matching the preferred mode, else
+    the LAST row (the reference's loop-fallthrough fallback)."""
+    match = F.try_element_at(F.filter(usage, lambda u: u.method == preferred_mode), F.lit(1))
+    return F.coalesce(match, F.try_element_at(usage, F.lit(-1)))
+
+
+def default_output_path(path: Column) -> Column:
+    """A9: input path with its final extension replaced by .json."""
+    return F.concat(F.regexp_replace(path, r"\.[^.]+$", ""), F.lit(".json"))
+
+
+def render_command(command: Column, method: Column, values: dict[str, Column]) -> Column:
+    """A8 command templating, python-mode repr quoting, NULL-skip."""
+    from metadata_extractors_api_spark.functions.template import template_expr
+
+    return template_expr(command, method, values)
+
+
+def resolve(spark: SparkSession, files: DataFrame, filetypes: DataFrame,
+            extractors: DataFrame, preferred_mode: str = "python") -> DataFrame:
+    """Compose A3-A9 into the dispatch-ready DataFrame (no execution)."""
+    ft = filetypes.select(
+        F.col("id").alias("filetype_id"),
+        "registered_extractors",
+    )
+    step1 = files.join(F.broadcast(ft), "filetype_id", "left")
+    step2 = step1.select(
+        "file_id",
+        "path",
+        "filetype_id",
+        first_extractor(F.col("registered_extractors")).alias("extractor_id"),
+        F.size("registered_extractors").alias("n_candidates"),
+    )
+    ex = extractors.select(
+        F.col("id").alias("extractor_id"),
+        "supported_filetypes",
+        "usage",
+    )
+    step3 = step2.join(F.broadcast(ex), "extractor_id", "left")
+    support = F.try_element_at(
+        F.filter(
+            "supported_filetypes", lambda s: s.id == F.col("filetype_id")
+        ),
+        F.lit(1),
+    )
+    usage = pick_usage(F.col("usage"), preferred_mode)
+    step4 = step3.select(
+        "file_id",
+        "path",
+        "filetype_id",
+        "extractor_id",
+        "n_candidates",
+        support.getField("template").alias("template"),
+        usage.getField("method").alias("method"),
+        usage.getField("setup").alias("setup"),
+        usage.getField("command").alias("command"),
+    )
+    out_path = default_output_path(F.col("path"))
+    eff_input_type = F.coalesce(
+        F.nullif(F.try_element_at(F.col("template"), F.lit("input_type")), F.lit("")),
+        F.col("filetype_id"),
+    )
+    rendered = render_command(
+        F.col("command"),
+        F.col("method"),
+        {
+            "input_type": eff_input_type,
+            "input_path": F.col("path"),
+            "output_path": out_path,
+        },
+    )
+    return step4.select(
+        "file_id",
+        "path",
+        "filetype_id",
+        "extractor_id",
+        "n_candidates",
+        "method",
+        "setup",
+        out_path.alias("output_path"),
+        rendered.alias("rendered"),
+    )
+
+
+def extract_batch(
+    spark: SparkSession,
+    files: DataFrame,
+    registry: tuple[DataFrame, DataFrame] | None = None,
+    preferred_mode: str = "python",
+) -> DataFrame:
+    """Public engine API: resolve + dispatch. ``registry`` is
+    (filetypes_df, extractors_df); defaults to the local fixtures."""
+    if registry is None:
+        registry = (reg.filetypes_df(spark), reg.extractors_df(spark))
+    return resolve(spark, files, registry[0], registry[1], preferred_mode)
+
+
+# --------------------------------------------------------------------------
+# registered queries (sql-checked against the same fixture literals)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "extract_select_first",
+    oracle=f"""
+    WITH files AS (SELECT * FROM {reg.files_values_sql()}),
+         filetypes AS (SELECT * FROM {reg.filetypes_values_sql()})
+    SELECT f.file_id,
+           f.filetype_id,
+           ft.registered_extractors[1] AS extractor_id,
+           CAST(len(ft.registered_extractors) AS INT) AS n_candidates
+    FROM files f LEFT JOIN filetypes ft ON f.filetype_id = ft.id
+    """,
+)
+def extract_select_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A4: registry lookup join + first-extractor-wins. The orphan
+    filetype surfaces as NULL extractor_id (the reference's error path);
+    n_candidates > 1 is the reference's warning condition."""
+    f = reg.files_df(spark)
+    ft = reg.filetypes_df(spark).select(
+        F.col("id").alias("filetype_id"), "registered_extractors"
+    )
+    return f.join(F.broadcast(ft), "filetype_id", "left").select(
+        "file_id",
+        "filetype_id",
+        first_extractor(F.col("registered_extractors")).alias("extractor_id"),
+        F.size("registered_extractors").cast("int").alias("n_candidates"),
+    )
+
+
+@register(
+    "extract_parse_usage",
+    oracle=f"""
+    WITH extractors AS (SELECT * FROM {reg.extractors_values_sql()}),
+    picked AS (
+      SELECT id AS extractor_id,
+             coalesce(list_filter(usage, u -> u.method = 'python')[1], usage[-1]) AS u
+      FROM extractors)
+    SELECT extractor_id, u.method AS method, u.setup AS setup, u.command AS command
+    FROM picked
+    """,
+)
+def extract_parse_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 parse_usage with preferred_mode='python': csv-extract and
+    alt-extractor have no python usage -> fall back to the LAST usage row
+    (cli), reproducing the reference's loop-fallthrough exactly."""
+    ex = reg.extractors_df(spark)
+    u = pick_usage(F.col("usage"), "python")
+    return ex.select(
+        F.col("id").alias("extractor_id"),
+        u.getField("method").alias("method"),
+        u.getField("setup").alias("setup"),
+        u.getField("command").alias("command"),
+    )
+
+
+_DISPATCH_ORACLE = f"""
+    WITH files AS (SELECT * FROM {reg.files_values_sql()}),
+         filetypes AS (SELECT * FROM {reg.filetypes_values_sql()}),
+         extractors AS (SELECT * FROM {reg.extractors_values_sql()}),
+    s1 AS (
+      SELECT f.file_id, f.path, f.filetype_id,
+             ft.registered_extractors[1] AS extractor_id,
+             CAST(len(ft.registered_extractors) AS INT) AS n_candidates
+      FROM files f JOIN filetypes ft ON f.filetype_id = ft.id),
+    s2 AS (
+      SELECT s1.*, ex.supported_filetypes, ex.usage
+      FROM s1 JOIN extractors ex ON ex.id = s1.extractor_id),
+    s3 AS (
+      SELECT file_id, path, filetype_id, extractor_id, n_candidates,
+             list_filter(supported_filetypes, s -> s.id = filetype_id)[1].template AS template,
+             coalesce(list_filter(usage, u -> u.method = 'python')[1], usage[-1]) AS u
+      FROM s2),
+    s4 AS (
+      SELECT file_id, path, filetype_id, extractor_id, n_candidates,
+             u.method AS method, u.setup AS setup, u.command AS command,
+             regexp_replace(path, '\\.[^.]+$', '') || '.json' AS output_path,
+             coalesce(nullif(template['input_type'][1], ''), filetype_id) AS eff_type
+      FROM s3),
+    s5 AS (
+      SELECT *,
+        replace(replace(replace(command,
+          '{{{{ input_type }}}}',
+          CASE WHEN method = 'python' THEN '''' || eff_type || '''' ELSE eff_type END),
+          '{{{{ input_path }}}}',
+          CASE WHEN method = 'python' THEN '''' || path || '''' ELSE path END),
+          '{{{{ output_path }}}}',
+          CASE WHEN method = 'python' THEN '''' || output_path || '''' ELSE output_path END)
+          AS rendered
+      FROM s4)
+    SELECT file_id, path, filetype_id, extractor_id, n_candidates,
+           method, setup, output_path, rendered
+    FROM s5
+"""
+
+
+@register("extract_dispatch", oracle=_DISPATCH_ORACLE)
+def extract_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end A3-A9 composition on the fixture registry: every file
+    resolved to (extractor, method, setup, rendered command, output
+    path). The orphan file drops out at the extractor join, exactly as
+    the reference raises before execution."""
+    return extract_batch(spark, reg.files_df(spark)).filter(
+        F.col("extractor_id").isNotNull()
+    )
+
+
+@register(
+    "extract_run",
+    oracle=f"""
+    WITH files AS (SELECT * FROM {reg.files_values_sql()}),
+         filetypes AS (SELECT * FROM {reg.filetypes_values_sql()}),
+         resolved AS (
+           SELECT f.file_id
+           FROM files f
+           JOIN filetypes ft ON f.filetype_id = ft.id
+           WHERE ft.registered_extractors[1] IS NOT NULL),
+         channels(channel) AS (VALUES ('Ewe'), ('I'), ('cycle')),
+         points AS (SELECT unnest(range(0, 5)) AS point)
+    SELECT r.file_id, c.channel, CAST(p.point AS INT) AS point,
+           round(r.file_id * 10 + p.point + length(c.channel) * 0.25, 2) AS value
+    FROM resolved r CROSS JOIN channels c CROSS JOIN points p
+    """,
+)
+def extract_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 execution port: each dispatched file's 'extraction' runs in an
+    applyInPandas worker stage (where a real extractor would parse the
+    file) and emits a typed electrochemistry-shaped table
+    (file_id, channel, point, value). The simulated extractor is
+    deterministic so the whole dispatch->execute path is sql-checkable."""
+
+    def run_extractor(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for fid in pdf["file_id"]:
+            for ch in ("Ewe", "I", "cycle"):
+                for pt in range(5):
+                    out.append(
+                        (fid, ch, pt, round(fid * 10 + pt + len(ch) * 0.25, 2))
+                    )
+        return pd.DataFrame(out, columns=["file_id", "channel", "point", "value"])
+
+    dispatched = extract_dispatch(spark, sf_dir).select("file_id")
+    return dispatched.groupBy("file_id").applyInPandas(
+        run_extractor, "file_id long, channel string, point int, value double"
+    )

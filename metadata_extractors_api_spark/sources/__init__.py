@@ -1,0 +1,10 @@
+"""Data sources: registry fixtures (the reference's REST registry as
+local, deterministic DataFrames) per FIXTURES.md §2."""
+
+from metadata_extractors_api_spark.sources.registry import (
+    extractors_df,
+    files_df,
+    filetypes_df,
+)
+
+__all__ = ["extractors_df", "files_df", "filetypes_df"]

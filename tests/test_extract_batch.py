@@ -1,0 +1,64 @@
+"""Extraction-dispatch pipeline tests (SURVEY.md Phase 4): semantics the
+registered queries don't reach -- template override via a non-first
+extractor, preferred-mode switching, and the Engine facade."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from metadata_extractors_api_spark.engine import Engine
+from metadata_extractors_api_spark.plans.extract_batch import extract_batch, resolve
+from metadata_extractors_api_spark.sources import registry as reg
+
+
+def test_dispatch_first_wins_and_orphan_null(spark):
+    out = extract_batch(spark, reg.files_df(spark)).toPandas().set_index("file_id")
+    assert out.loc[1, "extractor_id"] == "yadg"  # first of two registered
+    assert out.loc[1, "n_candidates"] == 2  # reference warns here
+    assert out.loc[5].isna()["extractor_id"]  # orphan -> NULL (ref raises)
+
+
+def test_dispatch_python_mode_quotes(spark):
+    out = extract_batch(spark, reg.files_df(spark)).toPandas().set_index("file_id")
+    assert (
+        out.loc[1, "rendered"]
+        == "yadg.extractors.extract('biologic-mpr', '/data/gcpl.mpr')"
+    )
+    # csv-extract has no python usage -> falls back to cli (A7), raw values
+    assert out.loc[4, "rendered"] == "csvx /data/table.csv /data/table.json"
+
+
+def test_dispatch_cli_mode_preference(spark):
+    out = (
+        extract_batch(spark, reg.files_df(spark), preferred_mode="cli")
+        .toPandas()
+        .set_index("file_id")
+    )
+    assert out.loc[1, "method"] == "cli"
+    assert out.loc[1, "rendered"] == "yadg extract /data/gcpl.mpr -o /data/gcpl.json"
+
+
+def test_template_override_from_supported_filetypes(spark):
+    # Reorder the registry so alt-extractor wins: its supported_filetypes
+    # template {'input_type': 'mpr'} must override the filetype id (A6+A8).
+    ft = reg.filetypes_df(spark).withColumn(
+        "registered_extractors",
+        F.when(
+            F.col("id") == "biologic-mpr",
+            F.array(F.lit("alt-extractor"), F.lit("yadg")),
+        ).otherwise(F.col("registered_extractors")),
+    )
+    out = (
+        resolve(spark, reg.files_df(spark), ft, reg.extractors_df(spark))
+        .filter(F.col("file_id") == 1)
+        .collect()[0]
+    )
+    assert out["extractor_id"] == "alt-extractor"
+    assert out["rendered"] == "altx mpr /data/gcpl.mpr"  # 'mpr', not 'biologic-mpr'
+
+
+def test_engine_facade(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    assert eng.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"] > 0
+    assert eng.query("limit_topk").count() == 10
+    assert eng.extract_batch(reg.files_df(spark)).count() == 6
