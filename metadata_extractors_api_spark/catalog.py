@@ -27,7 +27,9 @@ TABLES = [
 BROADCAST_DIMS = {"region", "nation", "supplier", "part", "customer"}
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
@@ -41,10 +43,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
+        df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if parallelize:
+        df = _ensure_parallel(spark, df)
+    return df
+
+
+def _ensure_parallel(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread a compute-heavy pipeline across all cores when the scan
+    under-parallelizes.
+
+    A parquet row group is Spark's minimum split unit; the driver's
+    fixtures are single-row-group files, so every scan is ONE task no
+    matter how many cores exist. Callers with expensive per-row work
+    opt in to a round-robin repartition -- a narrow, cheap shuffle that
+    restores parallelism. On a real cluster (many files / row groups)
+    the scan is already parallel and this is a no-op, so the same plan
+    serves both environments.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -112,13 +112,22 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles_col(n: int = 3) -> Column:
-    """Word n-gram shingles as strings (whole doc if shorter than n)."""
-    toks = tokens_col()
+def shingles_col(n: int = 3, toks: Column | None = None) -> Column:
+    """Word n-gram shingles as strings (tail/short docs produce shorter
+    shingles, matching the oracle's list-slice semantics).
+
+    Pass a MATERIALIZED tokens column where possible: referencing the
+    split() expression directly makes Catalyst re-evaluate the split for
+    every element of the transform() lambda (no CSE inside higher-order
+    functions) -- that was a ~30x blowup on the shingle pipelines."""
+    if toks is None:
+        toks = tokens_col()
     n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + k) for k in range(n)]
+        ),
     )
 
 
@@ -128,9 +137,17 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     Each permutation j is min((a_j*h+b_j) mod P) over the doc's shingle
     hashes; one explode + one groupBy(doc_id) -- the shuffle carries only
     (doc_id, h32) pairs, never documents."""
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
-    ).select("doc_id", token_hash32(F.col("shingle")).alias("h"))
+    # xxhash64 masked to 31 bits: JVM-native (no md5 string round-trip);
+    # fine here because minhash is rows-only -- no cross-engine oracle to
+    # match, only run-to-run determinism, which xxhash64 guarantees.
+    toked = docs.select("doc_id", tokens_col().alias("_toks"))
+    sh = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(toks=F.col("_toks")))).alias("shingle"),
+    ).select(
+        "doc_id",
+        F.xxhash64("shingle").bitwiseAND(F.lit(0x7FFFFFFF)).alias("h"),
+    )
     mins = [
         F.min((F.lit(PERM_A[j]) * F.col("h") + F.lit(PERM_B[j])) % F.lit(P31)).alias(
             f"m{j}"
@@ -147,7 +164,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard verification on shingle sets. Rows-only: the banding
     join is relational, but the end-to-end pipeline is not one SQL
     statement. Candidate generation is O(colliding pairs), not O(n^2)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", parallelize=True)
     sig = minhash_signatures(d)
     bands = F.array(
         *[
@@ -171,7 +188,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shset = d.select("doc_id", F.array_distinct(shingles_col()).alias("sh"))
+    shset = d.select("doc_id", tokens_col().alias("_toks")).select(
+        "doc_id", F.array_distinct(shingles_col(toks=F.col("_toks"))).alias("sh")
+    )
     jac = (
         cand.join(shset.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
         .join(shset.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
@@ -194,7 +213,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes), candidate pairs from 4 x 16-bit chunk equality (pigeonhole:
     any pair within Hamming distance 3 shares a chunk), verified with
     bit_count(XOR) <= 3. Same LSH-join shape as minhash: no O(n^2)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", parallelize=True)
     toks = d.select("doc_id", F.explode(tokens_col()).alias("tok")).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )
@@ -271,9 +290,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles -> |intersection| counts -> Jaccard from set sizes. The
     shingle equi-join is the scalable form (no cross join); at 100 TB
     you'd add the minhash banding in front to cap the candidate space."""
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    ex = d.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("shingle")
+    d = load(spark, sf_dir, "documents", parallelize=True).filter(F.col("doc_id") < 100)
+    ex = d.select("doc_id", tokens_col().alias("_toks")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(toks=F.col("_toks")))).alias("shingle"),
     )
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -315,7 +335,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (brute force over a bounded slice;
     sql-checked). The unbounded-scale variant is sim_ann_lsh's bucketed
     search. Exact scaled-int dot products -> no float-order hazard."""
-    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    e = load(spark, sf_dir, "embeddings", parallelize=True).filter(F.col("vec_id") < 200)
     n = e.select(
         "vec_id", "embedding", dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn")
     )
@@ -356,7 +376,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN correctness baseline. Broadcast the query, one pass over the
     vectors, TakeOrderedAndProject for the top-k -- embarrassingly
     parallel at any scale."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qe"),
         dot_scaled(F.col("embedding"), F.col("embedding")).alias("qn"),
@@ -391,7 +411,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: bucketing is one narrow map, the probe is a partition-
     pruned scan of ~n/256 vectors instead of n. Rows-only (approximate
     by construction)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
 
     def bucket_expr() -> Column:
         bits = []
@@ -495,7 +515,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID (n-gram heuristic family): per-lang
     stopword hit counts, argmax with a fixed priority order. Pure column
     expressions -> codegen'd, no UDF."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", parallelize=True)
     scored = d.select(
         "doc_id",
         "lang",
@@ -613,7 +633,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-weighted character fingerprint (rolling-hash family,
     order-sensitive but commutatively summable: weight depends on the
     position, the sum is exact int64 in any order)."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", parallelize=True)
     # substring with a dynamic position needs expr(): build the exact
     # same polynomial the oracle computes.
     fp = F.expr(

@@ -189,7 +189,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact x dim broadcast hash join (origin: A5 registry point lookup,
     __init__.py:116-123). part is a dimension -> broadcast() keeps the
     join shuffle-free at any fact-side scale."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallelize=True)
     p = load(spark, sf_dir, "part")
     rev = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
     return (
@@ -241,7 +241,7 @@ def join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-table star join (TPC-H Q5 shape). Dims broadcast; the single
     fact->orders shuffle is the only exchange that grows with data."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", parallelize=True)
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
