@@ -1,0 +1,162 @@
+"""Scale-technique operators: the partitioning/bucketing/salting
+patterns that keep the engine's plans viable at 100 TB, each exposed as
+a runnable query so they are tested, not just described.
+
+- Bucketed co-located join: both sides pre-bucketed on the join key ->
+  SortMergeJoin with ZERO exchange (the bucketing carries the
+  partitioning contract across queries).
+- Salted join: a deliberately skewed key is split into key x salt
+  sub-keys, restoring parallelism; the dim side replicates per salt.
+  (AQE's skew-join split handles moderate skew automatically; salting is
+  the explicit form for pathological keys.)
+- Partitioned sink + partition-pruned scan: writes the fact table
+  partitioned by a low-cardinality column, then reads one partition --
+  the scan must touch only that directory.
+- Multi-format sinks: parquet/json/csv round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.operators.relational import dsum, money
+from metadata_extractors_api_spark.registry import register
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketing: both tables are written
+    bucketed on the join key, so the join runs with no exchange on
+    either side -- at 100 TB this converts the biggest shuffle in the
+    workload into a local merge per bucket. (Bucket metadata lives in
+    the session catalog; tables are created once per warehouse.)"""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # Bucketed tables need the session catalog (bucket spec lives in
+    # table metadata). Clear any stale table AND its leftover warehouse
+    # directory: a fresh session does not know the table but the managed
+    # location can survive from a previous process.
+    tag = "".join(c for c in sf_dir if c.isalnum())[-8:]
+    lt, ot = f"li_b_{tag}", f"o_b_{tag}"
+    for tbl, df, key in ((lt, li, "l_orderkey"), (ot, o, "o_orderkey")):
+        if not spark.catalog.tableExists(tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = os.path.join(wh.removeprefix("file:"), tbl)
+            if os.path.exists(loc):
+                import shutil
+
+                shutil.rmtree(loc, ignore_errors=True)
+            df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
+    lb, ob = spark.table(lt), spark.table(ot)
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum(money("l_quantity"), "sum_qty"))
+    )
+
+
+@register(
+    "join_salted",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS total
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew salting: the fact side's join key is extended with
+    a random-free salt (hash-derived, deterministic), the dim side is
+    replicated once per salt value, and the join runs on (key, salt) --
+    splitting any hot key across SALT partitions. Results are identical
+    to the unsalted join (the oracle runs the plain join)."""
+    SALT = 8
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", "n_name"
+    )
+    salted_fact = o.withColumn(
+        "salt", (F.xxhash64("o_orderkey") % SALT + SALT) % SALT
+    )
+    salted_dim = cn.crossJoin(
+        F.broadcast(
+            spark.range(SALT).select(F.col("id").cast("bigint").alias("salt"))
+        )
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (salted_fact.o_custkey == salted_dim.c_custkey)
+        & (salted_fact.salt == salted_dim.salt),
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"), dsum(money("o_totalprice"), "total")
+    )
+
+
+@register(
+    "sink_partitioned",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write + partition-pruned read: the fact table lands
+    partitioned by l_returnflag; the subsequent scan filters one
+    partition value, so only that directory is listed/read
+    (PartitionFilters in the plan). Partition column values survive the
+    round-trip as directory keys."""
+    out = os.path.join(tempfile.gettempdir(), "mdx_part_sink")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_quantity", "l_returnflag"
+    )
+    li.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register("sink_formats")
+def sink_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format sink/source round-trip (parquet, json, csv with
+    explicit schema on re-read): one summary row per format proving the
+    write->read->count path. Rows-only (sink paths are temp-local)."""
+    src = load(spark, sf_dir, "region")
+    base = tempfile.mkdtemp(prefix="mdx_fmt_")
+    rows = []
+    for fmt in ("parquet", "json", "csv"):
+        path = os.path.join(base, fmt)
+        w = src.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", "true")
+        w.save(path)
+        r = spark.read.format(fmt)
+        if fmt == "csv":
+            r = r.option("header", "true").schema("r_regionkey INT, r_name STRING")
+        elif fmt == "json":
+            r = r.schema("r_regionkey INT, r_name STRING")
+        rows.append((fmt, r.load(path).count()))
+    return spark.createDataFrame(rows, "format STRING, n_rows BIGINT")

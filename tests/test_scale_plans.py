@@ -1,0 +1,59 @@
+"""Physical-plan assertions for the scale-technique operators: these
+check the PLAN SHAPE, not just results -- the property that actually
+transfers to a 1000-executor cluster."""
+
+from __future__ import annotations
+
+import metadata_extractors_api_spark as mdx
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    # At fixture scale Spark rightly broadcasts one side; disable
+    # broadcast to surface the cluster-scale shape: a SortMergeJoin fed
+    # directly by bucketed scans with NO exchange on either join key.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(mdx.QUERIES["join_bucketed"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_partitioned_scan_prunes(spark, sf_dir):
+    df = mdx.QUERIES["sink_partitioned"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    assert "l_returnflag" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_broadcast_join_in_multiway(spark, sf_dir):
+    plan = _plan(mdx.QUERIES["join_multiway"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_limit_topk_uses_heap(spark, sf_dir):
+    plan = _plan(mdx.QUERIES["limit_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scan_parquet_prunes_columns(spark, sf_dir):
+    plan = _plan(mdx.QUERIES["scan_parquet"](spark, sf_dir))
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema  # unprojected col absent
+
+
+def test_filter_pred_pushdown(spark, sf_dir):
+    plan = _plan(mdx.QUERIES["filter_pred"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    # plan toString truncates long filter lists; assert on the prefix
+    assert "IsNotNull(l_discount" in pushed
+    assert "GreaterThanOrEqual(l_quantity" in pushed
