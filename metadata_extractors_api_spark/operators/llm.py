@@ -403,7 +403,43 @@ PLANES = [
 ]
 
 
-@register("sim_ann_lsh")
+def _sql_plane_dot(vec: str, plane: list[float]) -> str:
+    """DuckDB rendering of dot_scaled(vec, <plane literal>)."""
+    lits = "[" + ", ".join(repr(v) for v in plane) + "]"
+    return (
+        f"list_sum(list_transform({vec}, (x,i) -> "
+        f"CAST(round(x * ({lits})[i] * 1e12, 0) AS BIGINT)))"
+    )
+
+
+def _ann_oracle() -> str:
+    """Oracle for sim_ann_lsh, generated from the same PLANES literals
+    the Spark side uses (one source of truth, like the registry
+    fixtures)."""
+    bucket = " + ".join(
+        f"(CASE WHEN {_sql_plane_dot('embedding', PLANES[j])} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             ({bucket}) AS bucket,
+             {_sql_dot('embedding', 'embedding')} AS nn
+      FROM embeddings),
+    q AS (SELECT embedding AS qe, bucket AS qbucket, nn AS qn
+          FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.label,
+           round(({_sql_dot('b.embedding', 'qe')} / 1e12)
+                 / (sqrt(b.nn / 1e12) * sqrt(qn / 1e12)), 6) AS score
+    FROM b, q
+    WHERE b.bucket = q.qbucket
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_ann_lsh", oracle=_ann_oracle())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: random-hyperplane (sign) LSH. Each vector gets an
     8-bit bucket from the signs of 8 fixed hyperplane projections; the
