@@ -29,11 +29,20 @@ HEADLINE = [
     "win_rank_topk",
     "win_running",
     "limit_topk",
-    # LLM-pipeline headliners (present from round 1 onward if registered)
+    "win_range_frame",
+    # UDF-surface headliners (Arrow-batched Python path)
+    "udf_grouped_map",
+    "pipe_cli",
+    # LLM-pipeline headliners
     "dedup_exact",
     "dedup_minhash",
+    "dedup_embedding",
     "sim_topk",
+    "sim_ann_lsh",
     "text_stats",
+    "text_fingerprint",
+    # extraction dispatch (the reference-capability centerpiece)
+    "extract_dispatch",
 ]
 
 RUNS = 3

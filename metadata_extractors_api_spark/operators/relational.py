@@ -644,7 +644,7 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / COUNT(value) OVER w, 6) AS moving_avg
     FROM events
     WINDOW w AS (PARTITION BY user_id
-                 ORDER BY CAST(epoch(ts) AS BIGINT)
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 )
