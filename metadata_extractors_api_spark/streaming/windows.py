@@ -119,6 +119,32 @@ def stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, spark, "append")
 
 
+@register("stream_join")
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases joined to same-user clicks
+    within the preceding 10 minutes, both sides watermarked so the join
+    state is bounded (clicks older than watermark+interval are evicted).
+    The streaming twin of join_range_interval's batch plan."""
+    ev1 = _events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    ev2 = _events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
+    purchases = ev1.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev2.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts >= p_ts - INTERVAL 10 MINUTES "
+            "AND c_ts <= p_ts"
+        ),
+    ).select("p_id", "c_id", "p_user")
+    return _run_to_table(joined, spark, "append")
+
+
 @register("stream_stateful")
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: a per-user

@@ -35,6 +35,12 @@ def test_stream_late_emits_closed_windows_only(spark, sf_dir):
     assert 0 < len(late) <= n_batch_windows
 
 
+def test_stream_join_matches_batch_twin(spark, sf_dir):
+    pairs = mdx.QUERIES["stream_join"](spark, sf_dir).count()
+    batch = mdx.QUERIES["join_range_interval"](spark, sf_dir).toPandas()
+    assert pairs == batch["n_recent_clicks"].sum()
+
+
 def test_stream_stateful_counts_everything(spark, sf_dir):
     df = mdx.QUERIES["stream_stateful"](spark, sf_dir).toPandas()
     ev = mdx.QUERIES["scan_json_props"](spark, sf_dir)
