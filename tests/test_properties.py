@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for the reference-fidelity string
+logic -- the pure-Python kernels under fn_template / udf_scalar /
+udtf_parse_call."""
+
+from __future__ import annotations
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from metadata_extractors_api_spark.functions.callparse import (
+    dequote,
+    prepare_python_call,
+)
+from metadata_extractors_api_spark.functions.template import apply_template_args
+
+token = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_-./",
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(token)
+def test_dequote_roundtrips_clean_tokens(t):
+    assert dequote(f"'{t}'") == t
+    assert dequote(f'"{t}"') == t
+    assert dequote(t) == t
+
+
+@given(token)
+def test_dequote_asymmetric_single_side(t):
+    assert dequote(f"'{t}") == t
+    assert dequote(f"{t}'") == t
+
+
+@given(token, token)
+def test_template_cli_substitutes_raw(input_type, input_path):
+    out = apply_template_args(
+        "run {{ input_type }} {{ input_path }}",
+        method="cli",
+        input_type=input_type,
+        input_path=input_path,
+    )
+    assert out == f"run {input_type} {input_path}"
+
+
+@given(token, token)
+def test_template_python_repr_quotes(input_type, input_path):
+    out = apply_template_args(
+        "f({{ input_type }}, {{ input_path }})",
+        method="python",
+        input_type=input_type,
+        input_path=input_path,
+    )
+    assert out == f"f({input_type!r}, {input_path!r})"
+
+
+@given(token)
+def test_template_none_preserves_slot(v):
+    out = apply_template_args(
+        "x {{ output_type }} y", method="cli", input_type=v, input_path=v
+    )
+    assert "{{ output_type }}" in out
+
+
+@given(token, token)
+def test_template_override_beats_local_unless_falsy(a, b):
+    out = apply_template_args(
+        "{{ input_path }}",
+        method="cli",
+        input_type="t",
+        input_path=a,
+        additional_template={"input_path": b},
+    )
+    assert out == b
+    out = apply_template_args(
+        "{{ input_path }}",
+        method="cli",
+        input_type="t",
+        input_path=a,
+        additional_template={"input_path": ""},
+    )
+    assert out == a
+
+
+ident = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=10
+)  # dot-free: a '.' inside a tree element is indistinguishable from a
+#    path separator (same in the reference's split('.'))
+
+
+@given(
+    st.lists(ident, min_size=1, max_size=3),
+    st.lists(token, min_size=0, max_size=3),
+    st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=5),
+        token,
+        max_size=3,
+    ),
+)
+def test_parser_roundtrips_generated_calls(tree, args, kwargs):
+    parts = [f"'{a}'" for a in args] + [f"{k}='{v}'" for k, v in kwargs.items()]
+    command = ".".join(tree) + "(" + ", ".join(parts) + ")"
+    ptree, pargs, pkwargs = prepare_python_call(command)
+    assert ptree == tree
+    assert pargs == args
+    assert pkwargs == kwargs
