@@ -92,3 +92,43 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(F.col("l_linenumber"), 4).cast("bigint").alias("ln_shl"),
         F.shiftright(F.col("l_orderkey"), 3).cast("bigint").alias("k_shr"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a bucketized groupBy (the profiling
+    primitive; one shuffle on the bucket id)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    )
+
+
+@register("agg_approx_percentile")
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (single-pass, fixed memory): the 100 TB
+    form of agg_percentile. Sketch internals are engine-specific ->
+    rows-only check; agg_percentile is the exact cross-checked twin."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "p50_approx"
+        ),
+        F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias(
+            "p90_approx"
+        ),
+    )

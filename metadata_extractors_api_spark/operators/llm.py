@@ -735,3 +735,90 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         decode_batches, "doc_id long, n_bytes long, width int, height int, codec string"
     )
+
+
+# IVF-style ANN: 8 deterministic "centroids" (no trained k-means -- the
+# assignment/probe TOPOLOGY is what matters for the scale path; plug real
+# centroids in the same slots). Same one-source-of-truth oracle scheme as
+# sim_ann_lsh.
+N_CENTROIDS = 8
+CENTROIDS = [
+    [(((k * DIM + d) * 40503 + 7) % 4294967296) / 2147483648.0 - 1.0 for d in range(DIM)]
+    for k in range(N_CENTROIDS)
+]
+
+
+def _centroid_dots_sql(vec: str) -> list[str]:
+    return [_sql_plane_dot(vec, CENTROIDS[k]) for k in range(N_CENTROIDS)]
+
+
+def _ivf_assign_sql(vec: str) -> str:
+    """First centroid achieving the max scaled-int dot (exact BIGINT
+    comparisons -> no float-tie hazard)."""
+    dots = _centroid_dots_sql(vec)
+    m = "greatest(" + ", ".join(dots) + ")"
+    cases = " ".join(
+        f"WHEN {dots[k]} = {m} THEN {k}" for k in range(N_CENTROIDS)
+    )
+    return f"(CASE {cases} END)"
+
+
+def _ivf_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {_ivf_assign_sql('embedding')} AS cluster,
+             {_sql_dot('embedding', 'embedding')} AS nn
+      FROM embeddings),
+    q AS (SELECT embedding AS qe, cluster AS qcluster, nn AS qn
+          FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.label,
+           round(({_sql_dot('b.embedding', 'qe')} / 1e12)
+                 / (sqrt(b.nn / 1e12) * sqrt(qn / 1e12)), 6) AS score
+    FROM b, q
+    WHERE b.cluster = q.qcluster
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_ann_ivf", oracle=_ivf_oracle())
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN: vectors are assigned to their nearest
+    of 8 fixed centroids (inverted-file partitioning); the query probes
+    only its own cluster, exact cosine ranks within it. At scale the
+    cluster id becomes the table's partition key, so a probe is a
+    partition-pruned scan; multi-probe = OR over the nearest few
+    centroids. Complements sim_ann_lsh (data-independent hashing) with
+    the data-partitioned family."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+
+    def centroid_dot(k: int) -> Column:
+        cen = F.array(*[F.lit(v) for v in CENTROIDS[k]])
+        return dot_scaled(F.col("embedding"), cen)
+
+    dots = [centroid_dot(k) for k in range(N_CENTROIDS)]
+    m = F.greatest(*dots)
+    assign = F.when(dots[0] == m, 0)
+    for k in range(1, N_CENTROIDS):
+        assign = assign.when(dots[k] == m, k)
+    assigned = e.select(
+        "vec_id", "label", "embedding",
+        assign.alias("cluster"),
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
+    )
+    q = assigned.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        F.col("cluster").alias("qcluster"),
+        F.col("nn").alias("qn"),
+    )
+    probed = assigned.join(
+        F.broadcast(q), F.col("cluster") == F.col("qcluster")
+    ).select(
+        "vec_id",
+        "label",
+        cosine_from_scaled(
+            dot_scaled(F.col("embedding"), F.col("qe")), F.col("nn"), F.col("qn")
+        ).alias("score"),
+    )
+    return probed.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
