@@ -69,16 +69,31 @@ EXTRACTORS_SCHEMA = (
 FILES_SCHEMA = "file_id BIGINT, path STRING, filetype_id STRING, size_bytes BIGINT"
 
 
+# Per-session memo: createDataFrame pays a driver-side Py->JVM
+# conversion every call; the fixtures are immutable, so one DataFrame
+# per (session, table) suffices.
+_DF_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def _memo(spark: SparkSession, name: str, rows, schema: str) -> DataFrame:
+    key = (id(spark), name)
+    df = _DF_MEMO.get(key)
+    if df is None:
+        df = spark.createDataFrame(rows, schema)
+        _DF_MEMO[key] = df
+    return df
+
+
 def filetypes_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(FILETYPES, FILETYPES_SCHEMA)
+    return _memo(spark, "filetypes", FILETYPES, FILETYPES_SCHEMA)
 
 
 def extractors_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(EXTRACTORS, EXTRACTORS_SCHEMA)
+    return _memo(spark, "extractors", EXTRACTORS, EXTRACTORS_SCHEMA)
 
 
 def files_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(FILES, FILES_SCHEMA)
+    return _memo(spark, "files", FILES, FILES_SCHEMA)
 
 
 # --- DuckDB renderings of the same fixtures ---------------------------------
