@@ -188,8 +188,22 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shset = d.select("doc_id", tokens_col().alias("_toks")).select(
-        "doc_id", F.array_distinct(shingles_col(toks=F.col("_toks"))).alias("sh")
+    # Exact-verify ONLY the candidates: semi-join the corpus down to
+    # candidate doc ids BEFORE computing shingle sets (at 100 TB you
+    # cannot re-shingle the whole corpus to verify a few thousand
+    # pairs). cand is cached: it feeds both the id list and the pairs.
+    cand = cand.cache()
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shset = (
+        d.join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("doc_id", tokens_col().alias("_toks"))
+        .select(
+            "doc_id", F.array_distinct(shingles_col(toks=F.col("_toks"))).alias("sh")
+        )
     )
     jac = (
         cand.join(shset.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
