@@ -132,3 +132,119 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_approx"
         ),
     )
+
+
+@register(
+    "win_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): mark session starts with
+    lag() gap detection, number them with a running sum, aggregate per
+    session -- the batch twin of stream_session's session_window, and
+    the canonical two-window + one-shuffle pattern at any scale."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(run).cast("bigint").alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events")
+    )
+
+
+@register(
+    "set_upsert",
+    oracle="""
+    WITH snap_a AS (
+      SELECT o_orderkey, o_totalprice, 'a' AS src FROM orders
+      WHERE o_orderkey % 3 != 0),
+    snap_b AS (
+      SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 'b' AS src
+      FROM orders WHERE o_orderkey % 2 = 0),
+    unioned AS (SELECT * FROM snap_a UNION ALL SELECT * FROM snap_b),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                   ORDER BY src DESC) AS rn
+      FROM unioned)
+    SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, src
+    FROM ranked WHERE rn = 1
+    """,
+)
+def set_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot upsert (merge): newer snapshot rows win per key, older
+    rows survive where unmatched -- union + row_number, one shuffle on
+    the key. The table-format-free form of MERGE INTO; at scale the
+    shuffle key is the primary key, so skew equals key-duplication
+    (bounded at 2 here)."""
+    o = load(spark, sf_dir, "orders")
+    snap_a = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", F.lit("a").alias("src")
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        # +1000.0 is one exact-deterministic IEEE add (a *1.1 with
+        # round() diverges between engines on half-cent boundaries)
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit("b").alias("src"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("src"))
+    return (
+        snap_a.unionByName(snap_b)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", F.col("o_totalprice").cast("double"), "src")
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS qty_std,
+           round(var_samp(l_quantity), 6) AS qty_var,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance):
+    single-pass co-moment accumulation; 6-dp rounds absorb association-
+    order noise between the engines' parallel vs sequential updates."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_std"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_cov"
+        ),
+    )
