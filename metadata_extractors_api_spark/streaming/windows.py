@@ -119,6 +119,50 @@ def stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, spark, "append")
 
 
+@register(
+    "stream_foreach_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands as parquet through
+    arbitrary batch-writer logic (the escape hatch for sinks Structured
+    Streaming lacks natively -- upserts, multi-table fanout, JDBC).
+    Exactly-once comes from idempotent per-batch-id paths + the
+    checkpoint; here each batch writes parquet partitioned by batch id,
+    then the result is read back and aggregated."""
+    import os
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="mdx_foreach_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # idempotent: re-delivery of a batch overwrites the same path
+        batch_df.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
+
+    ev = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    q = (
+        ev.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="mdx_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(os.path.join(out, "b*"))
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 @register("stream_join")
 def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases joined to same-user clicks
