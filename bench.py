@@ -43,6 +43,10 @@ HEADLINE = [
     "text_fingerprint",
     # extraction dispatch (the reference-capability centerpiece)
     "extract_dispatch",
+    # composite workload
+    "tpch_q3_shipping",
+    "tpch_q10_returns",
+    "text_bigrams",
 ]
 
 RUNS = 3

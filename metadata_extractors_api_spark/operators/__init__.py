@@ -7,6 +7,7 @@ from metadata_extractors_api_spark.operators import relational  # noqa: F401
 from metadata_extractors_api_spark.operators import scale  # noqa: F401
 from metadata_extractors_api_spark.operators import udf  # noqa: F401
 from metadata_extractors_api_spark.operators import udtf_ops  # noqa: F401
+from metadata_extractors_api_spark.operators import workload  # noqa: F401
 from metadata_extractors_api_spark import functions  # noqa: F401
 from metadata_extractors_api_spark import streaming  # noqa: F401
 from metadata_extractors_api_spark.plans import extract_batch  # noqa: F401

@@ -1,0 +1,189 @@
+"""Composite workload queries: TPC-H-style multi-operator plans
+(adapted to the fixture schema) and corpus-level text statistics.
+These exercise operator COMPOSITION -- the plans a real user runs --
+on top of the per-operator coverage elsewhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.operators.relational import money, rate
+from metadata_extractors_api_spark.registry import register
+
+
+@register(
+    "tpch_q3_shipping",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,2)))), 2) AS DOUBLE)
+               AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority, adapted to fixture columns):
+    3-way join, pushed date filters on both fact scans, grouped revenue,
+    global top-10. Dims broadcast; the only growing exchange is the
+    group-by on l_orderkey."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    rev = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q10_returns",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,2)))), 2) AS DOUBLE)
+               AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item revenue per customer): 4-way join
+    with a selective pushed filter on the fact, top-20 customers."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    rev = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_bigrams",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    big AS (
+      SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM toks WHERE len(tk) >= 2),
+    uni AS (
+      SELECT unnest(tk) AS token FROM toks),
+    bc AS (SELECT bigram, COUNT(*) AS cnt FROM big GROUP BY bigram),
+    uc AS (SELECT token, COUNT(*) AS n1 FROM uni GROUP BY token)
+    SELECT bc.bigram, bc.cnt,
+           round(bc.cnt * 1.0 / uc.n1, 6) AS p_next
+    FROM bc JOIN uc ON str_split(bc.bigram, ' ')[1] = uc.token
+    ORDER BY bc.cnt DESC, bc.bigram
+    LIMIT 30
+    """,
+)
+def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics with conditional probability
+    P(w2|w1) = count(w1 w2)/count(w1) -- the n-gram-LM building block.
+    Two aggregations + one join on the leading token; at scale both
+    aggregations shuffle on their n-gram key (no skew: hash keys)."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    toked = d.select(F.split("text", " ").alias("tk")).filter(F.size("tk") >= 2)
+    bigrams = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.try_element_at("tk", i), F.try_element_at("tk", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    unigrams = d.select(F.explode(F.split("text", " ")).alias("token"))
+    bc = bigrams.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    uc = unigrams.groupBy("token").agg(F.count("*").alias("n1"))
+    return (
+        bc.join(uc, F.split(bc.bigram, " ").getItem(0) == uc.token)
+        .select(
+            "bigram",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n1"), 6).alias("p_next"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(30)
+    )
+
+
+@register(
+    "text_quality_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(str_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(list_filter(str_split(text, ' '),
+                  t -> list_contains(['the','and','of','to','a'], t))) AS INT) AS n_stop
+      FROM documents)
+    SELECT doc_id, lang, n_tokens
+    FROM t
+    WHERE n_tokens >= 30
+      AND n_stop * 1.0 / n_tokens >= 0.05
+    """,
+)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training filter: quality signals -> keep
+    decision. At 100 TB this is the pattern that discards most of the
+    corpus before any expensive stage, entirely in codegen'd column
+    expressions."""
+    from metadata_extractors_api_spark.operators.llm import STOPWORDS
+
+    d = load(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.size(tk).cast("int").alias("n_tokens"),
+        F.size(F.filter(tk, lambda x: F.array_contains(stop, x)))
+        .cast("int")
+        .alias("n_stop"),
+    )
+    return t.filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("n_stop") / F.col("n_tokens") >= 0.05)
+    ).select("doc_id", "lang", "n_tokens")
