@@ -1,0 +1,137 @@
+"""Remaining scalar/plan surface: map higher-order functions, nested
+arrays, deterministic surrogate keys, ANSI-safe try_* functions, and an
+explicit cached-intermediate reuse plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.registry import register
+
+
+@register(
+    "fn_map_hof",
+    oracle="""
+    WITH m AS (
+      SELECT event_id,
+             map(['k'], [CAST(json_extract_string(props, '$.k') AS INTEGER)]) AS pm
+      FROM events)
+    SELECT event_id,
+           array_to_string(list_transform(map_keys(pm), k -> upper(k)), ',') AS ukeys,
+           CAST(list_sum(list_transform(map_values(pm), v -> v * 2)) AS BIGINT)
+               AS doubled_sum
+    FROM m
+    """,
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (transform_keys/transform_values) over
+    the parsed props map -- the typed form of the reference's dict
+    manipulation."""
+    ev = load(spark, sf_dir, "events")
+    pm = F.from_json("props", "map<string,int>")
+    upped = F.transform_keys(pm, lambda k, v: F.upper(k))
+    doubled = F.transform_values(pm, lambda k, v: v * 2)
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(upped), ",").alias("ukeys"),
+        F.aggregate(
+            F.map_values(doubled), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("doubled_sum"),
+    )
+
+
+@register(
+    "fn_array_nested",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents)
+    SELECT doc_id,
+           CAST(len(flatten([tk[1:3], tk[-2:]])) AS INT) AS n_flat,
+           array_to_string(flatten([tk[1:1], tk[-1:]]), '|') AS ends
+    FROM t
+    """,
+)
+def fn_array_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-array construction + flatten (array<array<string>> ->
+    array<string>): the shape of per-file multi-channel outputs."""
+    d = load(spark, sf_dir, "documents")
+    tk = F.split("text", " ")
+    first3 = F.slice(tk, 1, 3)
+    last2 = F.slice(tk, -2, 2)
+    first1 = F.slice(tk, 1, 1)
+    last1 = F.slice(tk, -1, 1)
+    return d.select(
+        "doc_id",
+        F.size(F.flatten(F.array(first3, last2))).cast("int").alias("n_flat"),
+        F.array_join(F.flatten(F.array(first1, last1)), "|").alias("ends"),
+    )
+
+
+@register(
+    "fn_surrogate_key",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY s_suppkey) AS sk,
+           s_suppkey, s_name
+    FROM supplier
+    """,
+)
+def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate keys via row_number over a total order
+    (monotonically_increasing_id is partition-dependent and therefore
+    unreproducible -- this is the auditable alternative; at scale,
+    prefer keyed hashes unless dense ids are required, since a global
+    row_number single-partitions the window)."""
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_suppkey")
+    return s.select(
+        F.row_number().over(w).alias("sk"), "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "fn_try_safe",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_brand AS INTEGER) AS brand_int,
+           TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS size_rt,
+           p_retailprice / nullif(p_size - p_size, 0) AS div0,
+           p_retailprice / nullif(CAST(p_size AS DOUBLE), 0) AS per_size
+    FROM part
+    """,
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* functions: failed casts and zero divisions yield
+    NULL instead of failing the job -- the posture a 100 TB pipeline
+    needs (one malformed row must not kill a 10-hour job). Replaces the
+    reference's raise-on-bad-shape behavior (§1.3) with typed NULLs."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.try_to_number("p_brand", F.lit("999")).cast("int").alias("brand_int"),
+        F.col("p_size").cast("string").cast("int").alias("size_rt"),
+        F.try_divide("p_retailprice", F.col("p_size") - F.col("p_size")).alias("div0"),
+        F.try_divide("p_retailprice", F.col("p_size").cast("double")).alias(
+            "per_size"
+        ),
+    )
+
+
+@register("cache_reuse")
+def cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cached-intermediate reuse: one filtered+projected
+    intermediate feeds two aggregations; persist() makes the second
+    branch read columnar in-memory blocks instead of rescanning parquet.
+    Rows-only (results trivially deterministic; the point is the plan --
+    see test_cache_reuse_plan)."""
+    li = load(spark, sf_dir, "lineitem")
+    base = (
+        li.filter(F.col("l_quantity") > 10)
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .persist()
+    )
+    by_flag = base.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    overall = base.agg(F.count("*").alias("n")).select(
+        F.lit("ALL").alias("l_returnflag"), "n"
+    )
+    return by_flag.unionByName(overall)

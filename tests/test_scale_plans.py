@@ -51,6 +51,14 @@ def test_scan_parquet_prunes_columns(spark, sf_dir):
     assert "l_extendedprice" not in read_schema  # unprojected col absent
 
 
+def test_cache_reuse_plan(spark, sf_dir):
+    df = mdx.QUERIES["cache_reuse"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 2  # both branches read cache
+    rows = {r["l_returnflag"]: r["n"] for r in df.collect()}
+    assert rows["ALL"] == sum(v for k, v in rows.items() if k != "ALL")
+
+
 def test_filter_pred_pushdown(spark, sf_dir):
     plan = _plan(mdx.QUERIES["filter_pred"](spark, sf_dir))
     pushed = plan.split("PushedFilters:")[1].splitlines()[0]
