@@ -1,0 +1,135 @@
+"""Robustness / data-management operators: schema evolution across
+parquet generations, permissive ingestion of malformed records, JSON
+round-trips, and portable full-table checksums -- the operational
+surface a long-lived 100 TB lakehouse needs around the query engine.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.registry import register
+
+
+@register("scan_schema_evolution")
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: generation 1 writes (r_regionkey, r_name),
+    generation 2 adds a column; mergeSchema=true reads both with the
+    union schema, old rows NULL-filled -- how a 100 TB table grows
+    columns without rewriting history. Rows-only (temp-path sink)."""
+    base = tempfile.mkdtemp(prefix="mdx_evo_")
+    r = load(spark, sf_dir, "region")
+    r.select("r_regionkey", "r_name").write.mode("overwrite").parquet(
+        os.path.join(base, "gen=1")
+    )
+    r.select(
+        "r_regionkey", "r_name", F.length("r_name").cast("int").alias("name_len")
+    ).write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return merged.groupBy("gen").agg(
+        F.count("*").alias("n"),
+        F.count("name_len").alias("n_with_new_col"),
+    )
+
+
+@register("scan_csv_permissive")
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive CSV ingestion: malformed rows land in _corrupt_record
+    instead of failing the job (the reference raised on any shape
+    mismatch, §1.3; a 100 TB ingest quarantines instead). Returns the
+    good/bad split so the quarantine count is checkable."""
+    d = tempfile.mkdtemp(prefix="mdx_csv_")
+    path = os.path.join(d, "in.csv")
+    with open(path, "w") as f:
+        f.write("id,qty,price\n")
+        f.write("1,10,99.5\n")
+        f.write("2,notanumber,88.0\n")  # malformed qty
+        f.write("3,30,77.25\n")
+        f.write("4,40,oops\n")  # malformed price
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema("id INT, qty INT, price DOUBLE, _corrupt_record STRING")
+        .csv(path)
+    )
+    # Spark requires referencing the corrupt-record column only after
+    # caching (it is filled during parsing, not derivable from a
+    # re-parse of projected columns).
+    df = df.cache()
+    return df.agg(
+        F.count("*").alias("total"),
+        F.count("_corrupt_record").alias("quarantined"),
+    )
+
+
+@register(
+    "fn_json_roundtrip",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(json_extract_string(
+             json_object('key', s_suppkey, 'nation', s_nationkey,
+                         'bal', round(s_acctbal, 2)),
+             '$.nation') AS INT) AS nation_rt,
+           round(CAST(json_extract_string(
+             json_object('key', s_suppkey, 'nation', s_nationkey,
+                         'bal', round(s_acctbal, 2)),
+             '$.bal') AS DOUBLE), 2) AS bal_rt
+    FROM supplier
+    """,
+)
+def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct -> JSON -> extract round-trip (the registry payload cycle
+    in miniature). Compared on re-extracted typed fields, not raw JSON
+    text (engines format JSON differently)."""
+    s = load(spark, sf_dir, "supplier")
+    payload = F.to_json(
+        F.struct(
+            F.col("s_suppkey").alias("key"),
+            F.col("s_nationkey").alias("nation"),
+            F.round("s_acctbal", 2).alias("bal"),
+        )
+    )
+    return s.select(
+        "s_suppkey",
+        F.get_json_object(payload, "$.nation").cast("int").alias("nation_rt"),
+        F.round(F.get_json_object(payload, "$.bal").cast("double"), 2).alias(
+            "bal_rt"
+        ),
+    )
+
+
+@register(
+    "table_checksum",
+    oracle="""
+    SELECT CAST(SUM(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+           ), 1, 8))::BIGINT) AS BIGINT) AS checksum,
+           COUNT(*) AS n_rows
+    FROM orders
+    """,
+)
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable full-table checksum: per-row md5 over a canonical string
+    of key columns, summed as int64 (order-independent, partition-proof,
+    engine-agnostic). The audit primitive for migration/replication at
+    scale -- two engines agreeing on (checksum, n_rows) is a one-row
+    proof of table equality."""
+    o = load(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+    )
+    rowhash = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return o.agg(
+        F.sum(rowhash).cast("bigint").alias("checksum"),
+        F.count("*").alias("n_rows"),
+    )

@@ -1,0 +1,42 @@
+"""Robustness-operator semantics: quarantine counts, schema-evolution
+NULL-fill, checksum sensitivity."""
+
+from __future__ import annotations
+
+import metadata_extractors_api_spark as mdx
+
+
+def test_csv_permissive_quarantines_exactly_the_bad_rows(spark, sf_dir):
+    row = mdx.QUERIES["scan_csv_permissive"](spark, sf_dir).collect()[0]
+    assert row["total"] == 4
+    assert row["quarantined"] == 2  # the two malformed rows, job alive
+
+
+def test_schema_evolution_null_fills_old_generation(spark, sf_dir):
+    rows = {r["gen"]: r for r in mdx.QUERIES["scan_schema_evolution"](spark, sf_dir).collect()}
+    assert rows[1]["n"] == 5 and rows[1]["n_with_new_col"] == 0
+    assert rows[2]["n"] == 5 and rows[2]["n_with_new_col"] == 5
+
+
+def test_checksum_is_stable_and_sensitive(spark, sf_dir):
+    a = mdx.QUERIES["table_checksum"](spark, sf_dir).collect()[0]
+    b = mdx.QUERIES["table_checksum"](spark, sf_dir).collect()[0]
+    assert (a["checksum"], a["n_rows"]) == (b["checksum"], b["n_rows"])
+    # sensitivity: checksum over a mutated table differs
+    from pyspark.sql import functions as F
+
+    from metadata_extractors_api_spark.catalog import load
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 0.01
+    )
+    o.createOrReplaceTempView("orders_mut")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+    )
+    rowhash = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    mut = o.agg(F.sum(rowhash).cast("bigint").alias("checksum")).collect()[0]
+    assert mut["checksum"] != a["checksum"]
