@@ -121,13 +121,22 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CACHE_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
-@register("cache_reuse")
+@register(
+    "cache_reuse",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n FROM lineitem WHERE l_quantity > 10
+    GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL', COUNT(*) FROM lineitem WHERE l_quantity > 10
+    """,
+)
 def cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit cached-intermediate reuse: one filtered+projected
     intermediate feeds two aggregations; persist() makes the second
     branch read columnar in-memory blocks instead of rescanning parquet.
-    Rows-only (results trivially deterministic; the point is the plan --
-    see test_cache_reuse_plan). The persisted intermediate is memoized
+    Oracle: both branches must equal direct aggregates over the source
+    (see also test_cache_reuse_plan for the InMemoryTableScan shape).
+    The persisted intermediate is memoized
     per (session, sf_dir): repeated invocations reuse ONE cached block
     set instead of pinning a new copy each call."""
     key = (id(spark), sf_dir)

@@ -78,10 +78,21 @@ def scan_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_roundtrip")
+@register(
+    "sink_roundtrip",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write parquet -> re-read -> aggregate (origin: A14 output-file sink
-    check, __init__.py:281-286). Rows-only: sink path is temp-local."""
+    check, __init__.py:281-286). Oracle: the round-trip must equal a
+    direct aggregate over the source -- the sink lost/duplicated
+    nothing."""
     out = tempfile.mkdtemp(prefix="mdx_sink_")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_returnflag", "l_quantity"

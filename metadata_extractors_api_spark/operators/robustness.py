@@ -16,12 +16,20 @@ from metadata_extractors_api_spark.catalog import load
 from metadata_extractors_api_spark.registry import register
 
 
-@register("scan_schema_evolution")
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT 1 AS gen, COUNT(*) AS n, 0 AS n_with_new_col FROM region
+    UNION ALL
+    SELECT 2, COUNT(*), COUNT(*) FROM region
+    """,
+)
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution: generation 1 writes (r_regionkey, r_name),
     generation 2 adds a column; mergeSchema=true reads both with the
     union schema, old rows NULL-filled -- how a 100 TB table grows
-    columns without rewriting history. Rows-only (temp-path sink)."""
+    columns without rewriting history. Oracle: per-generation counts
+    with the new column NULL-filled for generation 1."""
     base = tempfile.mkdtemp(prefix="mdx_evo_")
     r = load(spark, sf_dir, "region")
     r.select("r_regionkey", "r_name").write.mode("overwrite").parquet(
@@ -31,13 +39,16 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey", "r_name", F.length("r_name").cast("int").alias("name_len")
     ).write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
     merged = spark.read.option("mergeSchema", "true").parquet(base)
-    return merged.groupBy("gen").agg(
+    return merged.groupBy(F.col("gen").cast("int").alias("gen")).agg(
         F.count("*").alias("n"),
-        F.count("name_len").alias("n_with_new_col"),
+        F.count("name_len").cast("int").alias("n_with_new_col"),
     )
 
 
-@register("scan_csv_permissive")
+@register(
+    "scan_csv_permissive",
+    oracle="SELECT 4 AS total, 2 AS quarantined",
+)
 def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permissive CSV ingestion: malformed rows land in _corrupt_record
     instead of failing the job (the reference raised on any shape
@@ -63,8 +74,8 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-parse of projected columns).
     df = df.cache()
     return df.agg(
-        F.count("*").alias("total"),
-        F.count("_corrupt_record").alias("quarantined"),
+        F.count("*").cast("int").alias("total"),
+        F.count("_corrupt_record").cast("int").alias("quarantined"),
     )
 
 

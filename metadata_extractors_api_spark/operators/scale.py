@@ -139,11 +139,18 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
 
 
-@register("sink_formats")
+@register(
+    "sink_formats",
+    oracle="""
+    SELECT 'parquet' AS format, COUNT(*) AS n_rows FROM region
+    UNION ALL SELECT 'json', COUNT(*) FROM region
+    UNION ALL SELECT 'csv', COUNT(*) FROM region
+    """,
+)
 def sink_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-format sink/source round-trip (parquet, json, csv with
-    explicit schema on re-read): one summary row per format proving the
-    write->read->count path. Rows-only (sink paths are temp-local)."""
+    explicit schema on re-read): one summary row per format; each count
+    must equal the source row count (oracle) -- no format drops rows."""
     src = load(spark, sf_dir, "region")
     base = tempfile.mkdtemp(prefix="mdx_fmt_")
     rows = []
