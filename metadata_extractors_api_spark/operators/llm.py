@@ -45,6 +45,8 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 # from Knuth's multiplicative constant so every run/engine agrees.
 PERM_A = [((j * 2654435761) % P31) | 1 for j in range(1, N_PERM + 1)]
 PERM_B = [(j * 40503 * 65537 + 17) % P31 for j in range(1, N_PERM + 1)]
+BAND_MULT = 1000003
+BAND_MOD = 900000007
 
 
 def dot_scaled(a: Column, b: Column) -> Column:
@@ -137,17 +139,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     Each permutation j is min((a_j*h+b_j) mod P) over the doc's shingle
     hashes; one explode + one groupBy(doc_id) -- the shuffle carries only
     (doc_id, h32) pairs, never documents."""
-    # xxhash64 masked to 31 bits: JVM-native (no md5 string round-trip);
-    # fine here because minhash is rows-only -- no cross-engine oracle to
-    # match, only run-to-run determinism, which xxhash64 guarantees.
+    # portable md5-derived 32-bit shingle hash: identical in any SQL
+    # engine, which is what lets the ENTIRE LSH pipeline be
+    # oracle-checked end to end (md5 costs little here; the shingle
+    # construction dominates).
     toked = docs.select("doc_id", tokens_col().alias("_toks"))
     sh = toked.select(
         "doc_id",
         F.explode(F.array_distinct(shingles_col(toks=F.col("_toks")))).alias("shingle"),
-    ).select(
-        "doc_id",
-        F.xxhash64("shingle").bitwiseAND(F.lit(0x7FFFFFFF)).alias("h"),
-    )
+    ).select("doc_id", token_hash32(F.col("shingle")).alias("h"))
     mins = [
         F.min((F.lit(PERM_A[j]) * F.col("h") + F.lit(PERM_B[j])) % F.lit(P31)).alias(
             f"m{j}"
@@ -157,23 +157,81 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins)
 
 
-@register("dedup_minhash")
+def _minhash_oracle() -> str:
+    """The ENTIRE minhash-LSH pipeline as one DuckDB statement, generated
+    from the same constants the Spark side uses."""
+    mins = ", ".join(
+        f"MIN(({PERM_A[j]} * h + {PERM_B[j]}) % {P31}) AS m{j}" for j in range(N_PERM)
+    )
+
+    def bh(b: int) -> str:
+        acc = f"m{b * ROWS_PER_BAND}"
+        for r in range(1, ROWS_PER_BAND):
+            acc = f"(({acc}) * {BAND_MULT} + m{b * ROWS_PER_BAND + r}) % {BAND_MOD}"
+        return acc
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {bh(b)} AS bh FROM sig" for b in range(N_BANDS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(tk[i:i+2], ' '))) AS shingle_list
+      FROM toks),
+    ex AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(shingle_list)), 1, 8))::BIGINT AS h
+      FROM sh),
+    sig AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+    buckets AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+    exsh AS (SELECT doc_id, unnest(shingle_list) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN exsh x ON x.doc_id = c.doc_a
+      JOIN exsh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+    """
+
+
+@register("dedup_minhash", oracle=_minhash_oracle())
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection: shingle -> 64-perm signature ->
     16 bands x 4 rows -> candidate pairs via equi-join on (band, hash) ->
-    exact Jaccard verification on shingle sets. Rows-only: the banding
-    join is relational, but the end-to-end pipeline is not one SQL
-    statement. Candidate generation is O(colliding pairs), not O(n^2)."""
+    exact Jaccard verification on shingle sets. Fully oracle-checked:
+    the generated DuckDB statement reproduces every stage (portable md5
+    hashes + arithmetic band combine) from the same constants.
+    Candidate generation is O(colliding pairs), not O(n^2)."""
     d = load(spark, sf_dir, "documents", parallelize=True)
     sig = minhash_signatures(d)
+    def band_hash(b: int):
+        # portable polynomial combine of the band's 4 minhashes (each
+        # < 2^31): chained (acc*1000003 + m) % 900000007 stays in int64
+        # and is reproducible in any SQL engine.
+        acc = F.col(f"m{b * ROWS_PER_BAND}")
+        for r in range(1, ROWS_PER_BAND):
+            acc = (acc * F.lit(BAND_MULT) + F.col(f"m{b * ROWS_PER_BAND + r}")) % F.lit(
+                BAND_MOD
+            )
+        return acc
+
     bands = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                ).alias("bh"),
-            )
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
             for b in range(N_BANDS)
         ]
     )

@@ -7,9 +7,10 @@ a file-source stream with event-time windows and watermarks.
 Each query replays the events fixture through a real file-source stream
 (trigger=availableNow) into an in-memory sink and returns the final
 batch DataFrame, so the driver can collect rows from a genuinely
-streaming execution. Rows-only checks: incremental state semantics are
-not ANSI-SQL-expressible (the batch twin win_time_tumbling_batch is the
-sql-checked equivalent of the tumbling agg).
+streaming execution. Because availableNow drains the whole fixture, the
+FINAL state of most queries is deterministic and oracle-checked against
+batch SQL; only the watermark-drop policy (stream_late) stays rows-only
+(emission depends on watermark strictness at batch boundaries).
 
 Scale note: state stores partition by group key; watermarks bound state
 size (late data beyond the delay is dropped), so the same topology runs
@@ -42,7 +43,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
@@ -60,7 +61,17 @@ def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataF
     return spark.table(name)
 
 
-@register("stream_tumbling")
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 10-minute window count+sum per event_type with a 1-hour
     watermark (batch twin: win_time_tumbling_batch, sql-checked)."""
@@ -77,7 +88,17 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, spark, "complete")
 
 
-@register("stream_sliding")
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH starts AS (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE])
+             AS window_start
+      FROM events)
+    SELECT window_start, COUNT(*) AS n FROM starts GROUP BY window_start
+    """,
+)
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding window (10 min length, 5 min slide): each event lands in
     two windows."""
@@ -89,7 +110,28 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, spark, "complete")
 
 
-@register("stream_session")
+@register(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT date_trunc('milliseconds', MIN(ts)) AS session_start,
+           date_trunc('milliseconds', MAX(ts)) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, sid
+    """,
+)
 def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user (30-minute gap): dynamic, data-driven
     window extents -- the 'lab session' grouping of instrument events."""
@@ -98,8 +140,8 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.session_window("ts", "30 minutes").alias("w"), "user_id"
     ).agg(F.count("*").alias("n_events"))
     out = agg.select(
-        F.col("w.start").alias("session_start"),
-        F.col("w.end").alias("session_end"),
+        F.date_trunc("millisecond", F.col("w.start")).alias("session_start"),
+        F.date_trunc("millisecond", F.col("w.end")).alias("session_end"),
         "user_id",
         "n_events",
     )
@@ -163,7 +205,17 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_join")
+@register(
+    "stream_join",
+    oracle="""
+    SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 10 MINUTE
+     AND c.ts <= p.ts
+    """,
+)
 def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases joined to same-user clicks
     within the preceding 10 minutes, both sides watermarked so the join
@@ -189,7 +241,13 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(joined, spark, "append")
 
 
-@register("stream_stateful")
+@register(
+    "stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: a per-user
     running profile (event count + running max value) maintained in
@@ -227,12 +285,17 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_dedup")
+@register(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup keyed on (user_id, event_type) within the
     watermark -- the 're-uploaded file' guard. State expires with the
-    watermark, so memory stays bounded on an infinite stream."""
+    watermark, so memory stays bounded on an infinite stream. Emits the
+    surviving KEY SET (which physical row survives is a benign race
+    across parallel tasks; the key set is the deterministic contract)."""
     ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
-    out = deduped.select("event_id", "user_id", "event_type")
+    out = deduped.select("user_id", "event_type")
     return _run_to_table(out, spark, "append")
