@@ -279,37 +279,86 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= 0.5)
 
 
-@register("dedup_simhash")
+N_SIM_BITS = 60  # 15 hex digits of md5 parse exactly into int64
+SIM_CHUNKS = 4
+SIM_CHUNK_BITS = N_SIM_BITS // SIM_CHUNKS
+SIM_MAX_HAMMING = 3  # pigeonhole: <=3 differing bits => one equal chunk
+
+
+def _simhash_oracle() -> str:
+    """The full simhash pipeline as one DuckDB statement, generated from
+    the same constants as the Spark side (portable md5-derived 60-bit
+    token hashes)."""
+    bitsums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(N_SIM_BITS)
+    )
+    simbits = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(N_SIM_BITS)
+    )
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, "
+        f"(simhash >> {c * SIM_CHUNK_BITS}) & {(1 << SIM_CHUNK_BITS) - 1} AS cv "
+        f"FROM sim"
+        for c in range(SIM_CHUNKS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(str_split(text, ' '))), 1, 15))::BIGINT AS h
+      FROM documents),
+    sums AS (SELECT doc_id, {bitsums} FROM tok GROUP BY doc_id),
+    sim AS (SELECT doc_id, CAST({simbits} AS BIGINT) AS simhash FROM sums),
+    chunks AS ({chunk_rows}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIM_MAX_HAMMING}
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 63-bit signature (sum of +/-1 per bit over token
-    hashes), candidate pairs from 4 x 16-bit chunk equality (pigeonhole:
-    any pair within Hamming distance 3 shares a chunk), verified with
-    bit_count(XOR) <= 3. Same LSH-join shape as minhash: no O(n^2)."""
+    """SimHash near-dup: 60-bit signature (sum of +/-1 per bit over
+    portable md5-derived token hashes), candidate pairs from 4 x 15-bit
+    chunk equality (pigeonhole: any pair within Hamming distance 3
+    shares a chunk), verified with bit_count(XOR) <= 3. Same LSH-join
+    shape as minhash, and like it fully oracle-checked end to end."""
     d = load(spark, sf_dir, "documents", parallelize=True)
     toks = d.select("doc_id", F.explode(tokens_col()).alias("tok")).select(
-        "doc_id", F.xxhash64("tok").alias("h")
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint").alias("h"),
     )
     bit_sums = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(63)
+        for i in range(N_SIM_BITS)
     ]
     agg = toks.groupBy("doc_id").agg(*bit_sums)
     sim = agg.select(
         "doc_id",
         sum(
-            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(63)],
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(N_SIM_BITS)
+            ],
             F.lit(0),
-        ).cast("bigint").alias("simhash"),
+        )
+        .cast("bigint")
+        .alias("simhash"),
     )
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                F.shiftright("simhash", SIM_CHUNK_BITS * c)
+                .bitwiseAND(F.lit((1 << SIM_CHUNK_BITS) - 1))
+                .alias("cv"),
             )
-            for c in range(4)
+            for c in range(SIM_CHUNKS)
         ]
     )
     bk = sim.select("doc_id", "simhash", F.explode(chunks).alias("cc")).select(
@@ -322,13 +371,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
         )
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= 3)
+    return pairs.filter(F.col("hamming") <= SIM_MAX_HAMMING)
 
 
 @register(
