@@ -248,3 +248,35 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_price_cov"
         ),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): three measure columns become
+    (metric, value) rows -- the inverse of agg_pivot and the shape
+    normalizer for per-channel extraction outputs (a BioLogic file's
+    Ewe/I/cycle channels are exactly this)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_discount").alias("discount"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "price", "discount"],
+        "metric",
+        "value",
+    )
