@@ -12,7 +12,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from metadata_extractors_api_spark import Engine  # noqa: E402
+from metadata_extractors_api_spark import Engine, QUERIES  # noqa: E402
 from metadata_extractors_api_spark.sources import files_df  # noqa: E402
 
 
@@ -41,7 +41,7 @@ def main() -> None:
     print("== Streaming: tumbling window over the event stream ==")
     eng.query("stream_tumbling").orderBy("window_start").show(3)
 
-    print("done: see SURVEY.md §8 for the full 105-query inventory")
+    print(f"done: see SURVEY.md §8 for the full {len(QUERIES)}-query inventory")
 
 
 if __name__ == "__main__":

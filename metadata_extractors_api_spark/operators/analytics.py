@@ -253,13 +253,12 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_unpivot",
     oracle="""
-    SELECT l_orderkey, l_linenumber, metric, value FROM (
-      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
-             CAST(l_quantity AS DOUBLE) AS value FROM lineitem
-      UNION ALL
-      SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
-      UNION ALL
-      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem)
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
     """,
 )
 def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
