@@ -47,17 +47,28 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
-    """Drain the stream into a memory sink and return the result table."""
+    """Drain the stream into a memory sink and return the result table.
+
+    Shuffle partitions are scoped down for the stream's lifetime: AQE
+    does not coalesce STREAMING aggregations, so a caller session at the
+    200-partition default pays 200 state-store tasks per micro-batch for
+    fixture-sized data. (A streaming query pins its state partitioning
+    at first checkpoint; on a real cluster you size this up front.)"""
     name = "s" + uuid.uuid4().hex[:12]
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mdx_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="mdx_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
