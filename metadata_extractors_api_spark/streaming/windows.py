@@ -8,9 +8,9 @@ Each query replays the events fixture through a real file-source stream
 (trigger=availableNow) into an in-memory sink and returns the final
 batch DataFrame, so the driver can collect rows from a genuinely
 streaming execution. Because availableNow drains the whole fixture, the
-FINAL state of most queries is deterministic and oracle-checked against
-batch SQL; only the watermark-drop policy (stream_late) stays rows-only
-(emission depends on watermark strictness at batch boundaries).
+FINAL state of every query here is deterministic and oracle-checked
+against batch SQL (incl. the watermark-drop policy: emitted windows are
+exactly those ending before the final watermark).
 
 Scale note: state stores partition by group key; watermarks bound state
 size (late data beyond the delay is dropped), so the same topology runs
@@ -159,11 +159,24 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(out, spark, "complete")
 
 
-@register("stream_late")
+@register(
+    "stream_late",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    HAVING window_start + INTERVAL 10 MINUTE
+           <= (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE
+    """,
+)
 def stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark + append mode: only windows the watermark has passed are
-    emitted, so late rows beyond 30 minutes are dropped from results --
-    the out-of-order-instrument-upload policy."""
+    """Watermark + append mode: only windows the watermark has passed
+    are emitted -- the out-of-order-instrument-upload policy. Oracle:
+    the emitted set is exactly the windows whose end precedes the final
+    watermark (global max ts - 30 min); with microsecond timestamps an
+    exact end==watermark tie is measure-zero, so strictness cannot flip
+    a window."""
     ev = _events_stream(spark, sf_dir).withWatermark("ts", "30 minutes")
     agg = ev.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
         F.count("*").alias("n")
