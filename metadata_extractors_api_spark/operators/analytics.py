@@ -279,3 +279,67 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register(
+    "text_edit_distance",
+    oracle="""
+    WITH heads AS (
+      SELECT doc_id, substr(text, 1, 40) AS head
+      FROM documents WHERE doc_id < 30)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+    FROM heads a JOIN heads b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 30
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Levenshtein distance over bounded document prefixes:
+    the fuzzy-match primitive (typo-level dedup). Bounded slice because
+    edit distance is O(len^2) per pair and O(n^2) pairs -- at scale this
+    runs AFTER an LSH/ngram candidate filter, never standalone."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", F.substring("text", 1, 40).alias("head"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.head"), F.col("b.head")).cast("int").alias(
+                "edit_dist"
+            ),
+        )
+        .filter(F.col("edit_dist") <= 30)
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(arg_max(cnt_key, cnt * 100 + cnt_key) AS INT) AS mode_qty,
+           CAST(MAX(cnt) AS BIGINT) AS mode_count
+    FROM (
+      SELECT l_returnflag, CAST(l_quantity AS INT) AS cnt_key, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2)
+    GROUP BY l_returnflag
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group via count + arg-max -- two
+    shuffles, no sort. Ties broken deterministically by the composite
+    scalar cnt*100+key (key < 100), identical in both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    counted = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("int").alias("cnt_key")
+    ).agg(F.count("*").alias("cnt"))
+    return counted.groupBy("l_returnflag").agg(
+        F.max_by("cnt_key", F.col("cnt") * 100 + F.col("cnt_key"))
+        .cast("int")
+        .alias("mode_qty"),
+        F.max("cnt").alias("mode_count"),
+    )
