@@ -118,19 +118,51 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_percentile")
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile sketch (single-pass, fixed memory): the 100 TB
-    form of agg_percentile. Sketch internals are engine-specific ->
-    rows-only check; agg_percentile is the exact cross-checked twin."""
+    form of agg_percentile.
+
+    Sketch outputs are engine-specific, so the query asserts the
+    sketch's *rank-error contract* instead of its raw value: with
+    accuracy=10000 the guaranteed rank error is 1e-4, so each approx
+    quantile must land inside the exact [q - 0.005, q + 0.005] value
+    band (50x slack). The query emits the exact percentiles plus a
+    Spark-computed ``within_tol`` boolean; the oracle emits the same
+    exact percentiles plus literal TRUE."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.percentile("l_extendedprice", F.lit(0.495)).alias("_p50_lo"),
+        F.percentile("l_extendedprice", F.lit(0.505)).alias("_p50_hi"),
+        F.percentile("l_extendedprice", F.lit(0.895)).alias("_p90_lo"),
+        F.percentile("l_extendedprice", F.lit(0.905)).alias("_p90_hi"),
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "p50_approx"
+            "_p50_approx"
         ),
         F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias(
-            "p90_approx"
+            "_p90_approx"
         ),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50",
+        "p90",
+        (
+            F.col("_p50_approx").between(F.col("_p50_lo"), F.col("_p50_hi"))
+            & F.col("_p90_approx").between(F.col("_p90_lo"), F.col("_p90_hi"))
+        ).alias("within_tol"),
     )
 
 

@@ -529,14 +529,38 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct: the 100 TB-scale form of
-    agg_distinct (single pass, fixed memory). Sketch values are
-    engine-specific, so rows-only check."""
+    agg_distinct (single pass, fixed memory per group).
+
+    Sketch estimates are engine-specific, so the query asserts the
+    sketch's *accuracy contract* instead of its raw value: it emits the
+    exact distinct count plus a Spark-computed ``within_tol`` boolean
+    (|approx - exact| <= 5% of exact, i.e. 5x the configured rsd=0.01),
+    and the oracle emits the same exact count plus literal TRUE. A
+    drifting sketch flips the boolean and fails the hash compare."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_parts",
+        (
+            F.abs(F.col("_approx") - F.col("n_parts"))
+            <= F.col("n_parts") * F.lit(0.05)
+        ).alias("within_tol"),
     )
 
 
