@@ -78,3 +78,47 @@ def test_multimodal_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def _boilerplate_dir(spark, tmp_path_factory, n_docs=10_000):
+    """An adversarial corpus: n identical boilerplate docs. Every doc
+    lands in the SAME (band, hash) bucket in every band, so an
+    unguarded LSH self-join would materialize ~n^2/2 pairs per band."""
+    out = str(tmp_path_factory.mktemp("boilerplate"))
+    boiler = "terms of service apply contact support for more information today"
+    df = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit(boiler).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.length(F.lit(boiler)).cast("long").alias("n_chars"),
+    )
+    df.coalesce(4).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_lsh_bucket_cap_quarantines_boilerplate(spark, tmp_path_factory):
+    """10k identical docs: the MAX_LSH_BUCKET guard must quarantine the
+    degenerate bucket (zero candidate pairs, no quadratic join) and the
+    stats query must report the quarantine — no silent caps."""
+    sf = _boilerplate_dir(spark, tmp_path_factory)
+    pairs = mdx.QUERIES["dedup_minhash"](spark, sf)
+    assert pairs.count() == 0  # completes fast: bucket quarantined, not expanded
+    stats = mdx.QUERIES["dedup_minhash_bucket_stats"](spark, sf).collect()
+    assert len(stats) == 16
+    for r in stats:
+        assert r["max_bucket"] == 10_000
+        assert r["n_quarantined"] >= 1
+
+
+def test_simhash_bucket_cap_quarantines_boilerplate(spark, tmp_path_factory):
+    sf = _boilerplate_dir(spark, tmp_path_factory)
+    pairs = mdx.QUERIES["dedup_simhash"](spark, sf)
+    assert pairs.count() == 0
+
+
+def test_minhash_still_finds_dups_under_cap(spark, sf_dir):
+    """The cap must be inert on the clean fixture corpus: bucket stats
+    show no quarantine at test scale."""
+    stats = mdx.QUERIES["dedup_minhash_bucket_stats"](spark, sf_dir).collect()
+    assert all(r["n_quarantined"] == 0 for r in stats)
