@@ -10,7 +10,7 @@ Scale design notes:
   materialized are same-bucket candidates.
 - Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
   variant (sim_ann_lsh) is the scale path (query only probes its bucket).
-- All dot products run in *scaled int64* (x*y*1e12 rounded): float32
+- All dot products run in *scaled int64* (floor(x*y*1e12)): float32
   inputs widen to double exactly, each product is one deterministic IEEE
   op, and integer sums are order-independent -- so Spark's parallel
   aggregation matches the DuckDB oracle bit-for-bit with no float-order
@@ -73,11 +73,15 @@ def _cap_buckets(df: DataFrame, *keys: str) -> DataFrame:
 
 
 def dot_scaled(a: Column, b: Column) -> Column:
-    """Order-independent exact dot product: sum of int64(round(x*y*1e12))."""
+    """Order-independent dot product in scaled int64: sum of
+    floor(x*y*1e12). floor (not round) is deliberate: floor of a
+    bit-identical double is identical in every engine, while decimal
+    round-half implementations (exact-expansion vs float math) can
+    diverge by 1 on boundary values."""
     prods = F.zip_with(
         a,
         b,
-        lambda x, y: F.round(x.cast("double") * y.cast("double") * F.lit(SCALE), 0).cast(
+        lambda x, y: F.floor(x.cast("double") * y.cast("double") * F.lit(SCALE)).cast(
             "bigint"
         ),
     )
@@ -103,11 +107,16 @@ def token_hash32(tok: Column) -> Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
 
 
-# The DuckDB-side rendering of the same scaled-int dot product.
+# The DuckDB-side rendering of the same scaled-int dot product. The
+# DOUBLE casts on BOTH operands are load-bearing: DuckDB multiplies
+# FLOAT*FLOAT in float32 (rounding the 48-bit product to 24 bits)
+# before widening, while Spark's double*double product is exact -- the
+# casts force the same exact double arithmetic on both sides.
 def _sql_dot(a: str, b: str) -> str:
     return (
         f"CAST(list_sum(list_transform({a}, (x,i) -> "
-        f"CAST(round(x * {b}[i] * 1e12, 0) AS BIGINT))) AS BIGINT)"
+        f"CAST(floor(CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE) * 1e12) "
+        f"AS BIGINT))) AS BIGINT)"
     )
 
 
@@ -617,10 +626,16 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetically so every engine and run agrees).
 N_PLANES = 8
 DIM = 64
-PLANES = [
-    [(((j * DIM + d) * 2654435761) % 4294967296) / 2147483648.0 - 1.0 for d in range(DIM)]
-    for j in range(N_PLANES)
-]
+
+
+def _plane(j: int) -> list[float]:
+    return [
+        (((j * DIM + d) * 2654435761) % 4294967296) / 2147483648.0 - 1.0
+        for d in range(DIM)
+    ]
+
+
+PLANES = [_plane(j) for j in range(N_PLANES)]
 
 
 def _sql_plane_dot(vec: str, plane: list[float]) -> str:
@@ -628,7 +643,7 @@ def _sql_plane_dot(vec: str, plane: list[float]) -> str:
     lits = "[" + ", ".join(repr(v) for v in plane) + "]"
     return (
         f"list_sum(list_transform({vec}, (x,i) -> "
-        f"CAST(round(x * ({lits})[i] * 1e12, 0) AS BIGINT)))"
+        f"CAST(floor(CAST(x AS DOUBLE) * ({lits})[i] * 1e12) AS BIGINT)))"
     )
 
 
@@ -695,6 +710,138 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     return probed.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+# Banded sign-LSH for corpus-wide embedding dedup: T tables of K
+# hyperplane bits each. A pair whose per-bit agreement probability is
+# p = 1 - theta/pi collides in at least one table with probability
+# 1 - (1 - p^K)^T. With K=6, T=8: true near-dups (cosine >= 0.95,
+# p = 0.899) are recalled at ~0.998; random pairs (p = 0.5) collide at
+# ~0.12, so the candidate space shrinks ~8x at this K and shrinks
+# geometrically as K grows with corpus size (at 100 TB you run K ~ 16
+# and more tables; K,T are the knobs, the topology is unchanged).
+N_EMB_TABLES = 8
+EMB_BITS = 6
+EMB_PLANES = [_plane(N_PLANES + j) for j in range(N_EMB_TABLES * EMB_BITS)]
+# Embedding buckets are coarser than minhash band buckets (64 buckets
+# per table), so they get their own, larger quarantine cap.
+MAX_EMB_BUCKET = 256
+
+
+def _emb_dedup_oracle() -> str:
+    """The full banded-LSH embedding-dedup pipeline as one DuckDB
+    statement, generated from the same plane literals, cap and threshold
+    the Spark side uses."""
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {_sql_plane_dot('embedding', EMB_PLANES[t * EMB_BITS + j])}"
+            f" >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(EMB_BITS)
+        )
+
+    buckets = ", ".join(f"({bucket(t)}) AS b{t}" for t in range(N_EMB_TABLES))
+    ent_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bucket FROM b" for t in range(N_EMB_TABLES)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, {buckets} FROM embeddings),
+    ent AS ({ent_rows}),
+    capped AS (
+      SELECT vec_id, t, bucket FROM (
+        SELECT vec_id, t, bucket,
+               count(*) OVER (PARTITION BY t, bucket) AS bn
+        FROM ent)
+      WHERE bn <= {MAX_EMB_BUCKET}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM capped a JOIN capped b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    n AS (SELECT vec_id, embedding,
+                 {_sql_dot('embedding', 'embedding')} AS nn
+          FROM embeddings),
+    scored AS (
+      SELECT c.vec_a, c.vec_b,
+             ({_sql_dot('x.embedding', 'y.embedding')} / 1e12)
+                 / (sqrt(x.nn / 1e12) * sqrt(y.nn / 1e12)) AS raw
+      FROM cand c
+      JOIN n x ON x.vec_id = c.vec_a
+      JOIN n y ON y.vec_id = c.vec_b)
+    SELECT vec_a, vec_b,
+           CAST(floor(raw * 1e6) AS BIGINT) AS cosine_e6
+    FROM scored WHERE raw >= 0.35
+    """
+
+
+@register("dedup_embedding_lsh", oracle=_emb_dedup_oracle())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide embedding near-dup pairing — the unbounded-scale path
+    that dedup_embedding (bounded all-pairs baseline) lacks. Banded
+    sign-LSH: each vector enters T=8 tables keyed by a K=6-bit
+    hyperplane signature; candidate pairs come from an equi-join on
+    (table, bucket) — never an n^2 cross join — with the same over-cap
+    bucket quarantine as dedup_minhash; survivors are exact-verified
+    with scaled-int cosine. Fully oracle-checked: the generated DuckDB
+    statement reproduces bucketing, cap and verification from the same
+    plane literals. Recall is the banding formula in the module notes;
+    at 100 TB the bucket id doubles as the shuffle key, so the pairing
+    is one shuffle co-partitioned with the verify join."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+
+    def table_bucket(t: int) -> Column:
+        bits = []
+        for j in range(EMB_BITS):
+            plane = F.array(*[F.lit(v) for v in EMB_PLANES[t * EMB_BITS + j]])
+            proj = dot_scaled(F.col("embedding"), plane)
+            bits.append(F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        return sum(bits, F.lit(0)).cast("int")
+
+    entries = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), table_bucket(t).alias("bucket"))
+            for t in range(N_EMB_TABLES)
+        ]
+    )
+    ent = e.select("vec_id", F.explode(entries).alias("tb")).select(
+        "vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+    w = Window.partitionBy("t", "bucket")
+    capped = (
+        ent.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= MAX_EMB_BUCKET)
+        .drop("_bn")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    n = e.select(
+        "vec_id",
+        "embedding",
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
+    )
+    nx = n.withColumnsRenamed({"vec_id": "vec_a", "embedding": "emb_a", "nn": "nn_a"})
+    ny = n.withColumnsRenamed({"vec_id": "vec_b", "embedding": "emb_b", "nn": "nn_b"})
+    # The verify emits cosine as floor(raw * 1e6): every op in the chain
+    # (int dot -> IEEE divide/sqrt/multiply -> floor) is bit-identical
+    # across engines, unlike decimal round(double, 6), whose exact-vs-
+    # float half-up implementations diverge by 1 ulp on boundary values.
+    raw = (dot_scaled(F.col("emb_a"), F.col("emb_b")) / F.lit(SCALE)) / (
+        F.sqrt(F.col("nn_a") / F.lit(SCALE)) * F.sqrt(F.col("nn_b") / F.lit(SCALE))
+    )
+    scored = (
+        cand.join(nx, "vec_a")
+        .join(ny, "vec_b")
+        .select("vec_a", "vec_b", raw.alias("raw"))
+    )
+    return scored.filter(F.col("raw") >= 0.35).select(
+        "vec_a",
+        "vec_b",
+        F.floor(F.col("raw") * F.lit(1e6)).cast("bigint").alias("cosine_e6"),
+    )
 
 
 # ---------------------------------------------------------------------------

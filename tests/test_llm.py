@@ -122,3 +122,23 @@ def test_minhash_still_finds_dups_under_cap(spark, sf_dir):
     show no quarantine at test scale."""
     stats = mdx.QUERIES["dedup_minhash_bucket_stats"](spark, sf_dir).collect()
     assert all(r["n_quarantined"] == 0 for r in stats)
+
+
+def test_embedding_lsh_dedup_recall_and_precision(spark, sf_dir):
+    """dedup_embedding_lsh vs the exact all-pairs baseline on the
+    baseline's bounded slice: every reported pair must be a true pair
+    (precision 1.0 — verification is exact), and banded recall on the
+    fixture's weak 0.35+ pairs must clear the banding-formula floor."""
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in mdx.QUERIES["dedup_embedding"](spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in mdx.QUERIES["dedup_embedding_lsh"](spark, sf_dir).collect()
+        if r["vec_a"] < 200 and r["vec_b"] < 200
+    }
+    assert lsh <= exact, "LSH pairs are exact-verified; no false positives"
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.2, f"banded recall too low: {recall}"
