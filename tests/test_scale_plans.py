@@ -65,3 +65,14 @@ def test_filter_pred_pushdown(spark, sf_dir):
     # plan toString truncates long filter lists; assert on the prefix
     assert "IsNotNull(l_discount" in pushed
     assert "GreaterThanOrEqual(l_quantity" in pushed
+
+
+def test_ann_probes_are_partition_pruned(spark, sf_dir):
+    """Both ANN probes must read their materialized index with a static
+    PartitionFilters IN-list — the plan that stays a pruned scan at any
+    corpus size — and never a full-scan + post-filter."""
+    for name, part_col in (("sim_ann_lsh", "bucket"), ("sim_ann_ivf", "cluster")):
+        plan = _plan(mdx.QUERIES[name](spark, sf_dir))
+        assert "PartitionFilters" in plan, name
+        tail = plan.split("PartitionFilters")[1][:300]
+        assert part_col in tail, (name, tail)
