@@ -243,41 +243,126 @@ def extract_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUN_SCHEMA = "file_id long, method string, channel string, point int, value double"
+
+
+def _cli_shim_source() -> str:
+    """Source of the ``csvx`` stand-in extractor binary the cli path
+    executes (the fixture registry's cli command). Deterministic output
+    from its argv so the subprocess round-trip is oracle-checkable."""
+    from metadata_extractors_api_spark.plans.extractors_fixture import (
+        EXTRACT_CHANNELS,
+        EXTRACT_POINTS,
+    )
+
+    return (
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        f"CHANNELS = {list(EXTRACT_CHANNELS)!r}\n"
+        f"POINTS = {EXTRACT_POINTS}\n"
+        "inp = sys.argv[1]\n"
+        "for ch in CHANNELS:\n"
+        "    for pt in range(POINTS):\n"
+        "        val = round(len(inp) + pt + len(ch) * 0.25, 2)\n"
+        "        print(f'{ch},{pt},{val}')\n"
+    )
+
+
 @register(
     "extract_run",
     oracle=f"""
     WITH files AS (SELECT * FROM {reg.files_values_sql()}),
          filetypes AS (SELECT * FROM {reg.filetypes_values_sql()}),
-         resolved AS (
-           SELECT f.file_id
-           FROM files f
-           JOIN filetypes ft ON f.filetype_id = ft.id
-           WHERE ft.registered_extractors[1] IS NOT NULL),
-         channels(channel) AS (VALUES ('Ewe'), ('I'), ('cycle')),
-         points AS (SELECT unnest(range(0, 5)) AS point)
-    SELECT r.file_id, c.channel, CAST(p.point AS INT) AS point,
-           round(r.file_id * 10 + p.point + length(c.channel) * 0.25, 2) AS value
-    FROM resolved r CROSS JOIN channels c CROSS JOIN points p
+         extractors AS (SELECT * FROM {reg.extractors_values_sql()}),
+    s1 AS (
+      SELECT f.file_id, f.path,
+             ft.registered_extractors[1] AS extractor_id
+      FROM files f JOIN filetypes ft ON f.filetype_id = ft.id
+      WHERE ft.registered_extractors[1] IS NOT NULL),
+    s2 AS (
+      SELECT s1.file_id, s1.path,
+             coalesce(list_filter(ex.usage, u -> u.method = 'python')[1],
+                      ex.usage[-1]) AS u
+      FROM s1 JOIN extractors ex ON ex.id = s1.extractor_id),
+    s3 AS (SELECT file_id, path, u.method AS method FROM s2),
+    channels(channel) AS (VALUES ('Ewe'), ('I'), ('cycle')),
+    points AS (SELECT unnest(range(0, 5)) AS point)
+    SELECT s3.file_id, s3.method, c.channel, CAST(p.point AS INT) AS point,
+           round(length(s3.path) + p.point + length(c.channel) * 0.25 +
+                 CASE WHEN s3.method = 'python' THEN 0.5 ELSE 0 END, 2) AS value
+    FROM s3 CROSS JOIN channels c CROSS JOIN points p
     """,
 )
 def extract_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A15 execution port: each dispatched file's 'extraction' runs in an
-    applyInPandas worker stage (where a real extractor would parse the
-    file) and emits a typed electrochemistry-shaped table
-    (file_id, channel, point, value). The simulated extractor is
-    deterministic so the whole dispatch->execute path is sql-checkable."""
+    """A15/A16/EP2 execution: every dispatched file is EXECUTED, not
+    simulated.
 
-    def run_extractor(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for fid in pdf["file_id"]:
-            for ch in ("Ewe", "I", "cycle"):
-                for pt in range(5):
-                    out.append(
-                        (fid, ch, pt, round(fid * 10 + pt + len(ch) * 0.25, 2))
-                    )
-        return pd.DataFrame(out, columns=["file_id", "channel", "point", "value"])
+    python rows (A16, reference ``_execute_python`` __init__.py:370-399):
+    the worker parses the RENDERED call string, resolves the registry's
+    ``setup`` to a registered extractor object, descends the function
+    tree and invokes the resolved callable — the extractor's output
+    values depend on the call's arguments, so the oracle catches any
+    mis-routing in the template -> parse -> resolve -> invoke chain.
 
-    dispatched = extract_dispatch(spark, sf_dir).select("file_id")
-    return dispatched.groupBy("file_id").applyInPandas(
-        run_extractor, "file_id long, channel string, point int, value double"
+    cli rows (EP2, reference ``_execute_cli`` __init__.py:296-306): the
+    worker executes the RENDERED command line through a real
+    ``sh -c`` subprocess (one per file — per-file commands are the
+    reference's execution unit) against a deterministic stand-in
+    ``csvx`` binary, and parses the typed rows off stdout."""
+    from metadata_extractors_api_spark.plans.extractors_fixture import (
+        execute_python_call,
     )
+
+    dispatched = extract_dispatch(spark, sf_dir).select(
+        "file_id", "method", "setup", "rendered"
+    )
+    shim_source = _cli_shim_source()
+
+    def run_python(batches):
+        for pdf in batches:
+            out = []
+            for fid, setup, rendered in zip(
+                pdf["file_id"], pdf["setup"], pdf["rendered"]
+            ):
+                for ch, pt, val in execute_python_call(rendered, setup):
+                    out.append((fid, "python", ch, pt, val))
+            yield pd.DataFrame(
+                out, columns=["file_id", "method", "channel", "point", "value"]
+            )
+
+    def run_cli(batches):
+        import os
+        import subprocess
+        import tempfile
+
+        shim_dir = tempfile.mkdtemp(prefix="mdx_cli_shim_")
+        shim = os.path.join(shim_dir, "csvx")
+        with open(shim, "w") as fh:
+            fh.write(shim_source)
+        os.chmod(shim, 0o755)
+        env = dict(os.environ)
+        env["PATH"] = shim_dir + os.pathsep + env.get("PATH", "")
+        for pdf in batches:
+            out = []
+            for fid, rendered in zip(pdf["file_id"], pdf["rendered"]):
+                res = subprocess.run(
+                    ["/bin/sh", "-c", rendered],
+                    capture_output=True,
+                    text=True,
+                    env=env,
+                    check=True,
+                )
+                for line in res.stdout.splitlines():
+                    ch, pt, val = line.split(",")
+                    out.append((fid, "cli", ch, int(pt), float(val)))
+            yield pd.DataFrame(
+                out, columns=["file_id", "method", "channel", "point", "value"]
+            )
+
+    py = dispatched.filter(F.col("method") == "python").mapInPandas(
+        run_python, _RUN_SCHEMA
+    )
+    cli = dispatched.filter(F.col("method") == "cli").mapInPandas(
+        run_cli, _RUN_SCHEMA
+    )
+    return py.unionByName(cli)

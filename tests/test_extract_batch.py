@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import metadata_extractors_api_spark as mdx
 from metadata_extractors_api_spark.engine import Engine
 from metadata_extractors_api_spark.plans.extract_batch import extract_batch, resolve
 from metadata_extractors_api_spark.sources import registry as reg
@@ -62,3 +63,47 @@ def test_engine_facade(spark, sf_dir):
     assert eng.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"] > 0
     assert eng.query("limit_topk").count() == 10
     assert eng.extract_batch(reg.files_df(spark)).count() == 6
+
+
+def test_a16_dynamic_invocation_semantics():
+    """Ports the reference's _execute_python contract
+    (__init__.py:370-399): name-mismatch and unresolvable trees raise
+    RuntimeError; a valid rendered call resolves through the attribute
+    tree and invokes with parsed args/kwargs."""
+    import pytest
+
+    from metadata_extractors_api_spark.plans.extractors_fixture import (
+        EXTRACTOR_MODULES,
+        descend_function_tree,
+        execute_python_call,
+    )
+
+    rows = execute_python_call(
+        "yadg.extractors.extract('biologic-mpr', '/data/gcpl.mpr')", "yadg"
+    )
+    assert len(rows) == 15
+    assert rows[0] == ("Ewe", 0, round(len("/data/gcpl.mpr") + 0 + 3 * 0.25 + 0.5, 2))
+
+    # wrong input_type must change the values (args really flow through)
+    other = execute_python_call(
+        "yadg.extractors.extract('unknown', '/data/gcpl.mpr')", "yadg"
+    )
+    assert other[0][2] != rows[0][2]
+
+    with pytest.raises(RuntimeError, match="mismatch"):
+        descend_function_tree(EXTRACTOR_MODULES["yadg"], ["notyadg", "extract"])
+    with pytest.raises(RuntimeError, match="Could not resolve"):
+        execute_python_call("yadg.missing.fn('x')", "yadg")
+    with pytest.raises(RuntimeError, match="Only simple"):
+        execute_python_call("yadg.extractors.extract('x')", "import yadg")
+    with pytest.raises(RuntimeError, match="No registered extractor"):
+        execute_python_call("nope.extract('x')", "nope")
+
+
+def test_extract_run_executes_both_methods(spark, sf_dir):
+    out = mdx.QUERIES["extract_run"](spark, sf_dir).collect()
+    methods = {(r["file_id"], r["method"]) for r in out}
+    assert (1, "python") in methods and (4, "cli") in methods
+    # cli rows came from a real subprocess of the rendered command
+    cli_vals = [r for r in out if r["method"] == "cli" and r["file_id"] == 4]
+    assert len(cli_vals) == 15
