@@ -41,8 +41,21 @@ def load(
     if name == "events":
         from pyspark.sql import functions as F
 
+        # The legacy conf only matters while spark.read.parquet infers
+        # the footer schema (ts arrives as raw nanos long); restore the
+        # previous value right after so the session-global setting
+        # doesn't leak into later reads of OTHER ns-timestamp files
+        # (verified: the planned scan keeps its baked schema and reads
+        # identical values after the restore).
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )

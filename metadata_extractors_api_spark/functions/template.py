@@ -59,14 +59,26 @@ def template_expr(
 
     ``values`` maps field name -> Column (nullable). NULL leaves the slot
     in place, mirroring the reference's None-skip semantics. Python-mode
-    quoting uses single quotes (repr of a plain string).
+    quoting replicates CPython ``repr`` for printable strings: backslash
+    escaped first, then double-quote wrapping when the value contains a
+    single quote but no double quote, else single-quote wrapping with
+    embedded single quotes escaped (test_template_expr_matches_repr
+    pins the parity; control characters are out of contract).
     """
     out = command
     for field in FIELDS:
         if field not in values:
             continue
         v = values[field].cast("string")
-        quoted = F.when(method == "python", F.concat(F.lit("'"), v, F.lit("'"))).otherwise(v)
+        bs = F.replace(v, F.lit("\\"), F.lit("\\\\"))
+        double_quoted = F.concat(F.lit('"'), bs, F.lit('"'))
+        single_quoted = F.concat(
+            F.lit("'"), F.replace(bs, F.lit("'"), F.lit("\\'")), F.lit("'")
+        )
+        reprd = F.when(
+            v.contains("'") & ~v.contains('"'), double_quoted
+        ).otherwise(single_quoted)
+        quoted = F.when(method == "python", reprd).otherwise(v)
         out = F.when(v.isNull(), out).otherwise(
             F.replace(out, F.lit("{{ " + field + " }}"), quoted)
         )

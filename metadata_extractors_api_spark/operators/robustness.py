@@ -45,34 +45,62 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scan_csv_permissive",
-    oracle="SELECT 4 AS total, 2 AS quarantined",
+# One source of truth for the permissive-CSV fixture: these rows feed
+# BOTH the CSV file Spark parses and the oracle's VALUES CTE, so the
+# oracle re-derives the quarantine split with TRY_CAST instead of
+# asserting literal counts. Rows 2 and 4 are malformed (qty / price).
+_CSV_ROWS = [
+    ("1", "10", "99.5"),
+    ("2", "notanumber", "88.0"),
+    ("3", "30", "77.25"),
+    ("4", "40", "oops"),
+]
+
+_CSV_ORACLE = (
+    "WITH raw(id_s, qty_s, price_s) AS (VALUES "
+    + ", ".join(f"('{i}', '{q}', '{p}')" for i, q, p in _CSV_ROWS)
+    + """)
+    SELECT CAST(COUNT(*) AS INT) AS total,
+           CAST(SUM(CASE WHEN TRY_CAST(qty_s AS INT) IS NULL
+                           OR TRY_CAST(price_s AS DOUBLE) IS NULL
+                         THEN 1 ELSE 0 END) AS INT) AS quarantined
+    FROM raw
+    """
 )
+
+# session-scoped memo: the parsed CSV must stay cached (the corrupt-
+# record column is filled during parsing), so keep ONE cached copy per
+# session instead of pinning a new one per invocation.
+_CSV_MEMO: dict[int, DataFrame] = {}
+
+
+@register("scan_csv_permissive", oracle=_CSV_ORACLE)
 def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Permissive CSV ingestion: malformed rows land in _corrupt_record
     instead of failing the job (the reference raised on any shape
     mismatch, §1.3; a 100 TB ingest quarantines instead). Returns the
-    good/bad split so the quarantine count is checkable."""
-    d = tempfile.mkdtemp(prefix="mdx_csv_")
-    path = os.path.join(d, "in.csv")
-    with open(path, "w") as f:
-        f.write("id,qty,price\n")
-        f.write("1,10,99.5\n")
-        f.write("2,notanumber,88.0\n")  # malformed qty
-        f.write("3,30,77.25\n")
-        f.write("4,40,oops\n")  # malformed price
-    df = (
-        spark.read.option("header", "true")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .schema("id INT, qty INT, price DOUBLE, _corrupt_record STRING")
-        .csv(path)
-    )
-    # Spark requires referencing the corrupt-record column only after
-    # caching (it is filled during parsing, not derivable from a
-    # re-parse of projected columns).
-    df = df.cache()
+    good/bad split; the oracle re-derives it from the same fixture rows
+    with TRY_CAST rather than asserting constants."""
+    df = _CSV_MEMO.get(id(spark))
+    if df is None:
+        d = tempfile.mkdtemp(prefix="mdx_csv_")
+        path = os.path.join(d, "in.csv")
+        with open(path, "w") as f:
+            f.write("id,qty,price\n")
+            for row in _CSV_ROWS:
+                f.write(",".join(row) + "\n")
+        df = (
+            spark.read.option("header", "true")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .schema("id INT, qty INT, price DOUBLE, _corrupt_record STRING")
+            .csv(path)
+        )
+        # Spark requires referencing the corrupt-record column only
+        # after caching (it is filled during parsing, not derivable
+        # from a re-parse of projected columns).
+        df = df.cache()
+        _CSV_MEMO[id(spark)] = df
     return df.agg(
         F.count("*").cast("int").alias("total"),
         F.count("_corrupt_record").cast("int").alias("quarantined"),

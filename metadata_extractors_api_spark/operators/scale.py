@@ -130,7 +130,9 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition value, so only that directory is listed/read
     (PartitionFilters in the plan). Partition column values survive the
     round-trip as directory keys."""
-    out = os.path.join(tempfile.gettempdir(), "mdx_part_sink")
+    # mkdtemp per call (like every other sink query): a fixed shared
+    # path lets two concurrent sessions race overwrite-vs-read.
+    out = os.path.join(tempfile.mkdtemp(prefix="mdx_part_sink_"), "t")
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linestatus", "l_quantity", "l_returnflag"
     )
@@ -150,10 +152,13 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-format sink/source round-trip (parquet, json, csv with
     explicit schema on re-read): one summary row per format; each count
-    must equal the source row count (oracle) -- no format drops rows."""
+    must equal the source row count (oracle) -- no format drops rows.
+    The result is a UNION of per-format aggregate plans over the
+    re-read files (one distributed DataFrame, no driver-side counts;
+    only the writes are eager, as any sink is)."""
     src = load(spark, sf_dir, "region")
     base = tempfile.mkdtemp(prefix="mdx_fmt_")
-    rows = []
+    out = None
     for fmt in ("parquet", "json", "csv"):
         path = os.path.join(base, fmt)
         w = src.write.mode("overwrite").format(fmt)
@@ -165,5 +170,8 @@ def sink_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
             r = r.option("header", "true").schema("r_regionkey INT, r_name STRING")
         elif fmt == "json":
             r = r.schema("r_regionkey INT, r_name STRING")
-        rows.append((fmt, r.load(path).count()))
-    return spark.createDataFrame(rows, "format STRING, n_rows BIGINT")
+        branch = r.load(path).agg(F.count("*").alias("n_rows")).select(
+            F.lit(fmt).alias("format"), "n_rows"
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

@@ -93,17 +93,24 @@ def resolve(spark: SparkSession, files: DataFrame, filetypes: DataFrame,
         usage.getField("setup").alias("setup"),
         usage.getField("command").alias("command"),
     )
-    out_path = default_output_path(F.col("path"))
-    eff_input_type = F.coalesce(
-        F.nullif(F.try_element_at(F.col("template"), F.lit("input_type")), F.lit("")),
-        F.col("filetype_id"),
-    )
+    # A8/apply_template_args applies the supported-filetype template
+    # override (with falsy fallback) to ALL four fields, not just
+    # input_type -- mirror that: override wins unless absent or ''.
+    def _override(field: str, default: Column | None) -> Column:
+        o = F.nullif(F.try_element_at(F.col("template"), F.lit(field)), F.lit(""))
+        return F.coalesce(o, default) if default is not None else o
+
+    out_path = _override("output_path", default_output_path(F.col("path")))
+    eff_input_type = _override("input_type", F.col("filetype_id"))
+    eff_input_path = _override("input_path", F.col("path"))
+    eff_output_type = _override("output_type", None)  # no local default
     rendered = render_command(
         F.col("command"),
         F.col("method"),
         {
             "input_type": eff_input_type,
-            "input_path": F.col("path"),
+            "input_path": eff_input_path,
+            "output_type": eff_output_type,
             "output_path": out_path,
         },
     )
@@ -212,8 +219,12 @@ _DISPATCH_ORACLE = f"""
     s4 AS (
       SELECT file_id, path, filetype_id, extractor_id, n_candidates,
              u.method AS method, u.setup AS setup, u.command AS command,
-             regexp_replace(path, '\\.[^.]+$', '') || '.json' AS output_path,
-             coalesce(nullif(template['input_type'][1], ''), filetype_id) AS eff_type
+             coalesce(nullif(template['output_path'][1], ''),
+                      regexp_replace(path, '\\.[^.]+$', '') || '.json')
+                 AS output_path,
+             coalesce(nullif(template['input_type'][1], ''), filetype_id) AS eff_type,
+             coalesce(nullif(template['input_path'][1], ''), path) AS eff_path,
+             nullif(template['output_type'][1], '') AS eff_otype
       FROM s3),
     s5 AS (
       SELECT *,
@@ -221,14 +232,21 @@ _DISPATCH_ORACLE = f"""
           '{{{{ input_type }}}}',
           CASE WHEN method = 'python' THEN '''' || eff_type || '''' ELSE eff_type END),
           '{{{{ input_path }}}}',
-          CASE WHEN method = 'python' THEN '''' || path || '''' ELSE path END),
+          CASE WHEN method = 'python' THEN '''' || eff_path || '''' ELSE eff_path END),
           '{{{{ output_path }}}}',
           CASE WHEN method = 'python' THEN '''' || output_path || '''' ELSE output_path END)
-          AS rendered
-      FROM s4)
+          AS r3
+      FROM s4),
+    s6 AS (
+      SELECT *,
+        CASE WHEN eff_otype IS NULL THEN r3
+             ELSE replace(r3, '{{{{ output_type }}}}',
+               CASE WHEN method = 'python' THEN '''' || eff_otype || '''' ELSE eff_otype END)
+        END AS rendered
+      FROM s5)
     SELECT file_id, path, filetype_id, extractor_id, n_candidates,
            method, setup, output_path, rendered
-    FROM s5
+    FROM s6
 """
 
 

@@ -19,6 +19,7 @@ continuously on a cluster with bounded memory.
 
 from __future__ import annotations
 
+import contextlib
 import tempfile
 import uuid
 
@@ -26,6 +27,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metadata_extractors_api_spark.registry import register
+
+
+@contextlib.contextmanager
+def _nanos_conf(spark: SparkSession):
+    """Scope spark.sql.legacy.parquet.nanosAsLong=true to a stream
+    drain (the file source reads the ns-timestamp parquet per
+    micro-batch against the declared BIGINT ts), restoring the previous
+    session value afterwards so it doesn't leak."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 EVENTS_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
@@ -35,8 +53,8 @@ EVENTS_SCHEMA = (
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (ns ts -> µs timestamp,
-    same conversion as catalog.load)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    same conversion as catalog.load). The nanosAsLong conf the read
+    needs is scoped to the drain in _run_to_table, not set here."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
@@ -58,15 +76,16 @@ def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataF
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="mdx_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _nanos_conf(spark):
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="mdx_ckpt_"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -213,13 +232,14 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("overwrite").parquet(os.path.join(out, f"b{batch_id}"))
 
     ev = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
-    q = (
-        ev.writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="mdx_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _nanos_conf(spark):
+        q = (
+            ev.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="mdx_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     back = spark.read.parquet(os.path.join(out, "b*"))
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),

@@ -107,3 +107,31 @@ def test_extract_run_executes_both_methods(spark, sf_dir):
     # cli rows came from a real subprocess of the rendered command
     cli_vals = [r for r in out if r["method"] == "cli" and r["file_id"] == 4]
     assert len(cli_vals) == 15
+
+
+def test_template_override_applies_to_all_fields(spark):
+    """A registry template override of input_path / output_path must
+    render like the reference's apply_template_args (falsy fallback on
+    every field), not just input_type."""
+    ex = reg.extractors_df(spark).withColumn(
+        "supported_filetypes",
+        F.when(
+            F.col("id") == "csv-extract",
+            F.array(
+                F.struct(
+                    F.lit("example-csv").alias("id"),
+                    F.create_map(
+                        F.lit("input_path"), F.lit("/override/in.csv"),
+                        F.lit("output_path"), F.lit(""),  # falsy -> default
+                    ).alias("template"),
+                )
+            ),
+        ).otherwise(F.col("supported_filetypes")),
+    )
+    out = (
+        resolve(spark, reg.files_df(spark), reg.filetypes_df(spark), ex)
+        .filter(F.col("file_id") == 4)
+        .collect()[0]
+    )
+    assert out["rendered"] == "csvx /override/in.csv /data/table.json"
+    assert out["output_path"] == "/data/table.json"

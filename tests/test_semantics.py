@@ -106,3 +106,39 @@ def test_dequote_asymmetric():
     assert dequote("'abc'") == "abc"
     assert dequote('"abc"') == "abc"
     assert dequote("abc") == "abc"
+
+
+def test_template_expr_matches_repr(spark):
+    """Column-form python-mode quoting must equal CPython repr for
+    printable strings, including embedded quotes and backslashes."""
+    from pyspark.sql import functions as F
+
+    from metadata_extractors_api_spark.functions.template import (
+        apply_template_args,
+        template_expr,
+    )
+
+    tricky = [
+        "plain.txt",
+        "it's here.mpr",
+        'say "hi".csv',
+        "both ' and \".bin",
+        "back\\slash.dat",
+        "mix '\\\" all",
+    ]
+    df = spark.createDataFrame([(t,) for t in tricky], "p string")
+    got = (
+        df.select(
+            "p",
+            template_expr(
+                F.lit("run {{ input_path }}"),
+                F.lit("python"),
+                {"input_path": F.col("p")},
+            ).alias("r"),
+        )
+        .toPandas()
+        .set_index("p")["r"]
+    )
+    for t in tricky:
+        want = apply_template_args("run {{ input_path }}", "python", input_path=t)
+        assert got[t] == want == f"run {t!r}"
