@@ -88,3 +88,42 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views (for engine.sql())."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# (session, sf_dir) pairs whose stats tables are already analyzed.
+_STATS_MEMO: set[tuple[int, str]] = set()
+
+#: relational tables worth CBO stats (events needs the legacy ns read
+#: path and the doc/embedding tables join on nothing).
+STATS_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+]
+
+
+def create_stats_tables(spark: SparkSession, sf_dir: str, db: str = "mdx_stats") -> str:
+    """Register the fixture parquet as catalog tables and ANALYZE them
+    (table + all-column statistics), feeding Spark's cost-based
+    optimizer. The session catalog is in-memory, so this is
+    session-scoped state, not an on-disk metastore. On a cluster this
+    is the scheduled `ANALYZE TABLE ... COMPUTE STATISTICS` job that
+    keeps CBO join-reordering and broadcast decisions honest as tables
+    grow. Returns the database name; memoized per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    if key in _STATS_MEMO:
+        return db
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for t in STATS_TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {db}.{t}")
+        spark.sql(
+            f"CREATE TABLE {db}.{t} USING PARQUET LOCATION '{sf_dir}/{t}.parquet'"
+        )
+        spark.sql(f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS")
+        spark.sql(f"ANALYZE TABLE {db}.{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+    _STATS_MEMO.add(key)
+    return db

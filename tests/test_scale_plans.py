@@ -76,3 +76,57 @@ def test_ann_probes_are_partition_pruned(spark, sf_dir):
         assert "PartitionFilters" in plan, name
         tail = plan.split("PartitionFilters")[1][:300]
         assert part_col in tail, (name, tail)
+
+
+def test_tpch_q3_q10_plan_shape(spark, sf_dir):
+    """Pin the composite-workload physical plans: dimension sides
+    broadcast, selective predicates pushed to the fact scan, top-k via
+    TakeOrderedAndProject. A regression in any of these turns the
+    100 TB plan into a shuffle monster, so they are asserted, not
+    assumed."""
+    q3 = _plan(mdx.QUERIES["tpch_q3_shipping"](spark, sf_dir))
+    assert "BroadcastHashJoin" in q3
+    assert "TakeOrderedAndProject" in q3
+    pushed = q3.split("PushedFilters")
+    assert any("l_shipdate" in p[:300] for p in pushed[1:])
+    assert any("o_orderdate" in p[:300] for p in pushed[1:])
+
+    q10 = _plan(mdx.QUERIES["tpch_q10_returns"](spark, sf_dir))
+    assert q10.count("BroadcastHashJoin") >= 2  # customer + nation
+    assert "TakeOrderedAndProject" in q10
+    pushed = q10.split("PushedFilters")
+    assert any("l_returnflag" in p[:300] for p in pushed[1:])
+
+
+def test_cbo_stats_drive_join_estimates(spark, sf_dir):
+    """ANALYZE TABLE feeds the cost-based optimizer: with stats tables
+    registered, the optimized logical plan of a q10-shaped join carries
+    a row-count estimate (CBO has real cardinalities to reorder with),
+    which no-stats plans lack."""
+    from metadata_extractors_api_spark.catalog import create_stats_tables
+
+    db = create_stats_tables(spark, sf_dir)
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.sql(
+            f"""
+            SELECT c.c_custkey, SUM(l.l_extendedprice) AS rev
+            FROM {db}.customer c
+            JOIN {db}.orders o ON c.c_custkey = o.o_custkey
+            JOIN {db}.lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey
+            """
+        )
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), "CBO row-count estimate missing"
+        assert int(stats.rowCount().get()) > 0
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
