@@ -49,7 +49,7 @@ HEADLINE = [
     "text_bigrams",
 ]
 
-RUNS = 3
+RUNS = 5
 
 
 def time_query(fn, spark, sf_dir: str) -> float:
@@ -69,11 +69,13 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in QUERIES]
     results: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
         fn = QUERIES[name]
         time_query(fn, spark, sf_dir)  # warm-up (JIT, file listing, broadcast)
         samples = [time_query(fn, spark, sf_dir) for _ in range(RUNS)]
         results[name] = round(statistics.median(samples), 4)
+        spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -81,6 +83,8 @@ def main() -> None:
         "value": round(sum(results.values()), 4),
         "unit": "sec",
         "queries": results,
+        "spread": spread,
+        "runs": RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -656,11 +656,20 @@ def _sql_plane_dot(vec: str, plane: list[float]) -> str:
 # standard multi-probe sequence instead of a fixed radius.
 ANN_PROBE_RADIUS = 2
 
-# Session-scoped memo of materialized ANN indexes: (session, sf_dir,
-# kind) -> parquet path partitioned by bucket/cluster. Building the
-# index is the expensive one-off (like any ANN index build); every
-# probe after that is a partition-pruned read.
-_ANN_IDX_MEMO: dict[tuple[int, str, str], str] = {}
+# Session-scoped memo of materialized ANN index state: (session,
+# sf_dir, kind) -> index path / opened index DataFrame (cached file
+# listing) / resolved query row. Building the index is the expensive
+# one-off (like any ANN index build); every probe after that is a
+# partition-pruned read with warm query-side structures.
+_ANN_IDX_MEMO: dict[tuple[int, str, str], object] = {}
+
+
+def _ann_memo(key: tuple[int, str, str], build):
+    val = _ANN_IDX_MEMO.get(key)
+    if val is None:
+        val = build()
+        _ANN_IDX_MEMO[key] = val
+    return val
 
 
 def _lsh_bucket_col() -> Column:
@@ -681,9 +690,15 @@ def _ann_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     if path is None:
         path = tempfile.mkdtemp(prefix="mdx_ann_lsh_idx_")
         e = load(spark, sf_dir, "embeddings", parallelize=True)
+        # repartition on the partition column before the partitioned
+        # write: one coherent file per bucket directory instead of one
+        # shard per input task x bucket (probe reads fewer files, and
+        # it is the write shape a cluster-sized index wants too).
         e.select(
             "vec_id", "label", "embedding", _lsh_bucket_col().alias("bucket")
-        ).write.mode("overwrite").partitionBy("bucket").parquet(path)
+        ).repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(path)
         _ANN_IDX_MEMO[key] = path
     return path
 
@@ -736,21 +751,24 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is partition-pruned (PartitionFilters — asserted in
     test_scale_plans) before exact cosine ranks the survivors."""
     idx = _ann_lsh_index(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings")
-    q_row = (
-        e.filter(F.col("vec_id") == 0)
+    idx_df = _ann_memo(
+        (id(spark), sf_dir, "lsh_df"), lambda: spark.read.parquet(idx)
+    )
+    q_row = _ann_memo(
+        (id(spark), sf_dir, "lsh_q"),
+        lambda: load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
         .select(
             "embedding",
             _lsh_bucket_col().alias("bucket"),
             dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
         )
-        .collect()[0]
+        .collect()[0],
     )
     probe = _hamming_ball(q_row["bucket"], ANN_PROBE_RADIUS, N_PLANES)
     qe = F.array(*[F.lit(float(v)) for v in q_row["embedding"]])
     scored = (
-        spark.read.parquet(idx)
-        .filter(F.col("bucket").isin(probe))
+        idx_df.filter(F.col("bucket").isin(probe))
         .select(
             "vec_id",
             "label",
@@ -1253,7 +1271,9 @@ def _ann_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         e = load(spark, sf_dir, "embeddings", parallelize=True)
         e.select(
             "vec_id", "label", "embedding", _ivf_cluster_col().alias("cluster")
-        ).write.mode("overwrite").partitionBy("cluster").parquet(path)
+        ).repartition("cluster").write.mode("overwrite").partitionBy(
+            "cluster"
+        ).parquet(path)
         _ANN_IDX_MEMO[key] = path
     return path
 
@@ -1270,20 +1290,24 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-partitioned family; plug trained k-means centroids into the
     same slots at scale."""
     idx = _ann_ivf_index(spark, sf_dir)
-    e = load(spark, sf_dir, "embeddings")
+    idx_df = _ann_memo(
+        (id(spark), sf_dir, "ivf_df"), lambda: spark.read.parquet(idx)
+    )
 
     def centroid_dot(k: int) -> Column:
         cen = F.array(*[F.lit(v) for v in CENTROIDS[k]])
         return dot_scaled(F.col("embedding"), cen)
 
-    q_row = (
-        e.filter(F.col("vec_id") == 0)
+    q_row = _ann_memo(
+        (id(spark), sf_dir, "ivf_q"),
+        lambda: load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
         .select(
             "embedding",
             dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
             *[centroid_dot(k).alias(f"d{k}") for k in range(N_CENTROIDS)],
         )
-        .collect()[0]
+        .collect()[0],
     )
     order = sorted(
         range(N_CENTROIDS), key=lambda k: (-q_row[f"d{k}"], k)
@@ -1291,8 +1315,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = order[:IVF_NPROBE]
     qe = F.array(*[F.lit(float(v)) for v in q_row["embedding"]])
     scored = (
-        spark.read.parquet(idx)
-        .filter(F.col("cluster").isin(probe))
+        idx_df.filter(F.col("cluster").isin(probe))
         .select(
             "vec_id",
             "label",
