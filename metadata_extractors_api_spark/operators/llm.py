@@ -223,9 +223,10 @@ def _minhash_cte_prefix() -> str:
     rawb AS ({band_rows})"""
 
 
-def _minhash_oracle() -> str:
-    """The ENTIRE minhash-LSH pipeline as one DuckDB statement (shared
-    prefix + the same over-cap bucket quarantine the Spark side applies)."""
+def _minhash_pairs_ctes() -> str:
+    """The full minhash-LSH pair pipeline as a CTE chain ending in
+    ``mh_pairs`` (doc_a, doc_b, jaccard >= 0.5) — shared by the
+    dedup_minhash oracle and the connected-components oracle."""
     return f"""{_minhash_cte_prefix()},
     buckets AS (
       SELECT doc_id, band, bh FROM (
@@ -244,13 +245,21 @@ def _minhash_oracle() -> str:
       FROM cand c
       JOIN exsh x ON x.doc_id = c.doc_a
       JOIN exsh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
-      GROUP BY c.doc_a, c.doc_b)
-    SELECT i.doc_a, i.doc_b,
-           round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+      GROUP BY c.doc_a, c.doc_b),
+    mh_pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5)"""
+
+
+def _minhash_oracle() -> str:
+    """The ENTIRE minhash-LSH pipeline as one DuckDB statement (shared
+    prefix + the same over-cap bucket quarantine the Spark side applies)."""
+    return f"""{_minhash_pairs_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM mh_pairs
     """
 
 

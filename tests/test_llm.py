@@ -177,3 +177,60 @@ def test_ann_recall_on_planted_neighbors(spark, tmp_path_factory):
         got = {r["vec_id"] for r in mdx.QUERIES[name](spark, sf).collect()}
         recall = len(got & exact) / len(exact)
         assert recall >= 0.9, f"{name} recall {recall}"
+
+
+def test_dedup_components_transitivity(spark, tmp_path_factory):
+    """A~B and B~C must land in one component even when A~C never share
+    a bucket pair: chain three near-identical docs and check all three
+    get the min doc_id as component."""
+    out = str(tmp_path_factory.mktemp("chain"))
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    docs = [
+        (10, base + " one"),
+        (20, base + " two"),
+        (30, base + " three"),
+        (99, "completely different content about shuffle partitioning and "
+             "adaptive query execution in distributed engines today"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in mdx.QUERIES["dedup_components"](spark, out).collect()
+    }
+    assert comp.get(10) == comp.get(20) == comp.get(30) == 10
+    assert 99 not in comp  # no near-dup pair -> not in any group
+
+
+def test_sample_stratified_quota(spark, sf_dir):
+    """Every stratum keeps exactly ceil(20% of its size) docs."""
+    import math
+
+    d = mdx.QUERIES["sample_stratified"](spark, sf_dir).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in d.collect()}
+    from metadata_extractors_api_spark.catalog import load as _load
+
+    totals = {
+        r["lang"]: r["count"]
+        for r in _load(spark, sf_dir, "documents").groupBy("lang").count().collect()
+    }
+    for lang, n in totals.items():
+        assert got[lang] == math.ceil(n * 0.2), lang
+
+
+def test_pack_sequences_bins_respect_budget(spark, sf_dir):
+    """Within a stream, bins are contiguous and every doc's start
+    offset lies inside its bin's budget window."""
+    rows = (
+        mdx.QUERIES["pack_sequences"](spark, sf_dir)
+        .filter(F.col("lang") == "en")
+        .orderBy("doc_id")
+        .collect()
+    )
+    run = 0
+    for r in rows:
+        assert r["bin_id"] == run // 2048
+        run += r["n_tok"]
