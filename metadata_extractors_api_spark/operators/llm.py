@@ -1183,6 +1183,105 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TARGET = 224  # longest-edge budget for the resize slot
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             64 + octet_length(encode(text)) % 1024 AS w,
+             64 + (7 * octet_length(encode(text))) % 1024 AS h
+      FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN greatest(w, h) <= {RESIZE_TARGET} THEN w
+                ELSE (w * {RESIZE_TARGET}) // greatest(w, h) END AS INT) AS out_w,
+           CAST(CASE WHEN greatest(w, h) <= {RESIZE_TARGET} THEN h
+                ELSE (h * {RESIZE_TARGET}) // greatest(w, h) END AS INT) AS out_h,
+           CAST(least(n_bytes,
+                CAST(CASE WHEN greatest(w, h) <= {RESIZE_TARGET} THEN w
+                     ELSE (w * {RESIZE_TARGET}) // greatest(w, h) END AS BIGINT) *
+                CAST(CASE WHEN greatest(w, h) <= {RESIZE_TARGET} THEN h
+                     ELSE (h * {RESIZE_TARGET}) // greatest(w, h) END AS BIGINT))
+               AS BIGINT) AS n_thumb_bytes
+    FROM m
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize slot of the multimodal pipeline: mapInPandas stage that
+    would hold the real pixel resample (decoder stubbed, like
+    multimodal_meta). The output geometry is integer longest-edge-to-224
+    arithmetic over the fake-decoded dimensions — exact in any engine —
+    and the thumbnail byte budget is emitted so the downstream writer
+    can size buffers. Batch shape, Arrow transfer and typed schema are
+    the real thing; only the pixel math is the documented stub."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n, w, h, _codec = _fake_decode(payload)
+                longest = max(w, h)
+                if longest <= RESIZE_TARGET:
+                    ow, oh = w, h
+                else:
+                    ow = w * RESIZE_TARGET // longest
+                    oh = h * RESIZE_TARGET // longest
+                rows.append((doc_id, ow, oh, min(n, ow * oh)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h", "n_thumb_bytes"]
+            )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(
+        resize_batches, "doc_id long, out_w int, out_h int, n_thumb_bytes long"
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, '') AS cs FROM documents)
+    SELECT doc_id,
+           CAST(len(cs) % 256 AS INT) AS f_len,
+           CAST(ascii(cs[1]) AS INT) AS f_first,
+           CAST(ascii(cs[-1]) AS INT) AS f_last,
+           CAST(list_sum(list_transform(cs, (c, i) -> ascii(c) * i)) % 997
+                AS INT) AS f_poly
+    FROM t
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract slot of the multimodal pipeline: mapInPandas
+    stage that would hold a real embedding model / feature extractor;
+    the deterministic fake derives 4 integer features from the decoded
+    payload (length, first/last code point, positional polynomial) so
+    the Arrow round-trip and typed feature schema are sql-checkable."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = bytes(payload).decode("utf-8")
+                poly = sum(ord(c) * (i + 1) for i, c in enumerate(s)) % 997
+                rows.append((doc_id, len(s) % 256, ord(s[0]), ord(s[-1]), poly))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "f_len", "f_first", "f_last", "f_poly"]
+            )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(
+        feature_batches,
+        "doc_id long, f_len int, f_first int, f_last int, f_poly int",
+    )
+
+
 # IVF-style ANN: 8 deterministic "centroids" (no trained k-means -- the
 # assignment/probe TOPOLOGY is what matters for the scale path; plug real
 # centroids in the same slots). Same one-source-of-truth oracle scheme as
