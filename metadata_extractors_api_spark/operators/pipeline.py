@@ -171,3 +171,135 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("lbl").alias("component_id"))
+
+
+# --- distributed k-means (iterative algorithm on DataFrames) ---------------
+#
+# Long-format formulation: points exploded to (vec_id, dim, scaled_int)
+# rows, so assignment is a join+groupBy and the centroid update is a
+# groupBy mean — every step an ordinary shuffle, no per-dimension code
+# generation, any dimensionality. Exactness: coordinates quantized to
+# floor(x * 2^24) int64 (|x| < 0.58 in the fixture; diff^2 * 64 dims
+# stays under 2^55), centroid means floored after one exact IEEE
+# division, inertia integer-shifted down 24 bits before the final sum
+# so it also stays in exact int64 range. Every op is therefore
+# bit-identical across engines and the WHOLE 2-iteration training loop
+# is oracle-checked by an unrolled DuckDB CTE chain.
+KM_K = 4
+KM_ITERS = 2
+KM_SCALE = 1 << 24
+KM_SHRINK = 1 << 24
+
+
+def _kmeans_oracle() -> str:
+    def dist_cte(name: str, cent: str) -> str:
+        return f"""{name} AS (
+      SELECT p.vec_id, c.cluster,
+             SUM((p.xs - c.c) * (p.xs - c.c)) AS dist
+      FROM pts p JOIN {cent} c ON p.d = c.d
+      GROUP BY 1, 2)"""
+
+    def assign_cte(name: str, dist: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, cluster, dist FROM (
+        SELECT vec_id, cluster, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM {dist})
+      WHERE rn = 1)"""
+
+    def update_cte(name: str, assign: str) -> str:
+        return f"""{name} AS (
+      SELECT a.cluster, p.d,
+             CAST(floor(CAST(SUM(p.xs) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM {assign} a JOIN pts p ON p.vec_id = a.vec_id
+      GROUP BY 1, 2)"""
+
+    iters = []
+    cent = "c0"
+    for i in range(1, KM_ITERS + 1):
+        iters += [
+            dist_cte(f"d{i}", cent),
+            assign_cte(f"a{i}", f"d{i}"),
+            update_cte(f"c{i}", f"a{i}"),
+        ]
+        cent = f"c{i}"
+    final = KM_ITERS + 1
+    iters += [dist_cte(f"d{final}", cent), assign_cte(f"a{final}", f"d{final}")]
+    chain = ",\n    ".join(iters)
+    return f"""
+    WITH pts AS (
+      SELECT vec_id, i AS d,
+             CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS xs
+      FROM (SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding) AS x
+            FROM embeddings)),
+    c0 AS (SELECT vec_id - 1 AS cluster, d, xs AS c
+           FROM pts WHERE vec_id BETWEEN 1 AND {KM_K}),
+    {chain}
+    SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n,
+           CAST(SUM(dist // {KM_SHRINK}) AS BIGINT) AS inertia_scaled
+    FROM a{final}
+    GROUP BY cluster
+    """
+
+
+@register("kmeans_train", oracle=_kmeans_oracle())
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means training (Lloyd's algorithm) as DataFrame
+    iterations — the trained-centroid path that sim_ann_ivf's fixed
+    centroids stand in for. Long-format points make every step a
+    join + groupBy (no per-dimension expressions, any D); two
+    assignment/update rounds from a deterministic init (vec_id 1..K),
+    then a final assignment reporting per-cluster size and scaled
+    inertia. All arithmetic is exact int64 (see module notes), so the
+    ENTIRE training loop hash-matches the unrolled recursive oracle.
+    The iteration count is fixed (the oracle unrolls it); convergence-
+    driven loops would use the dedup_components driver-test pattern."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    pts = (
+        e.select("vec_id", F.posexplode("embedding").alias("d0", "x"))
+        .select(
+            "vec_id",
+            (F.col("d0") + 1).alias("d"),
+            F.floor(F.col("x").cast("double") * F.lit(float(KM_SCALE)))
+            .cast("bigint")
+            .alias("xs"),
+        )
+        .localCheckpoint()  # reused by every round: compute once
+    )
+    cent = pts.filter(F.col("vec_id").between(1, KM_K)).select(
+        (F.col("vec_id") - 1).alias("cluster"), "d", F.col("xs").alias("c")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        diff = F.col("xs") - F.col("c")
+        dist = (
+            pts.join(cent, "d")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        return (
+            dist.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cluster", "dist")
+        )
+
+    for _ in range(KM_ITERS):
+        a = assign(cent)
+        cent = (
+            a.join(pts, "vec_id")
+            .groupBy("cluster", "d")
+            .agg(
+                F.floor(F.sum("xs") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("c")
+            )
+        )
+    final = assign(cent)
+    return final.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(f"dist div {KM_SHRINK}")).alias("inertia_scaled"),
+    )

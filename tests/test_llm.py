@@ -234,3 +234,16 @@ def test_pack_sequences_bins_respect_budget(spark, sf_dir):
     for r in rows:
         assert r["bin_id"] == run // 2048
         run += r["n_tok"]
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_dir):
+    """Every vector lands in exactly one cluster and inertia is
+    non-negative; re-running is deterministic (exact int arithmetic)."""
+    rows = mdx.QUERIES["kmeans_train"](spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    from metadata_extractors_api_spark.catalog import load as _load
+
+    assert total == _load(spark, sf_dir, "embeddings").count()
+    assert all(r["inertia_scaled"] >= 0 for r in rows)
+    again = mdx.QUERIES["kmeans_train"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
