@@ -303,3 +303,77 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr(f"dist div {KM_SHRINK}")).alias("inertia_scaled"),
     )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+           CAST(length(text) - length(trim(regexp_replace(regexp_replace(
+                lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+               AS BIGINT) AS n_removed
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization: lowercase, strip non-alphanumerics, collapse
+    whitespace — the canonical pre-dedup/pre-tokenize cleanup pass.
+    Pure column expressions (codegen'd, no UDF); emits the removed-char
+    count so cleanup aggressiveness is auditable downstream."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length("text") - F.length(norm)).cast("bigint").alias("n_removed"),
+    )
+
+
+@register(
+    "dedup_apply",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_ctes().strip().removeprefix("WITH ")},
+    nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM mh_pairs
+        UNION ALL SELECT doc_b FROM mh_pairs)),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+      UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+    walk(u, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v),
+    comp AS (SELECT u AS doc_id, MIN(lbl) AS component_id
+             FROM walk GROUP BY u),
+    drops AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+    SELECT d.lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+    GROUP BY d.lang
+    """,
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup application: resolve transitive near-dup groups
+    (dedup_components), keep each group's min-doc_id keeper, drop the
+    rest, and report the per-lang before/after counts — the audit row a
+    production dedup run ships with. The drop set is dim-sized relative
+    to the corpus, so the anti-join broadcasts at any scale."""
+    comp = dedup_components(spark, sf_dir)
+    drops = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    d = load(spark, sf_dir, "documents")
+    kept = d.join(drops, "doc_id", "left_anti")
+    before = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    after = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    return before.join(after, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
