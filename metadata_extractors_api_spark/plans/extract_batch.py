@@ -250,15 +250,26 @@ _DISPATCH_ORACLE = f"""
 """
 
 
+# The dispatch plan is a large expression tree (two broadcast joins +
+# four template renders); building it dominates the query's local cost,
+# so the immutable DataFrame is memoized per session like the fixture
+# frames it reads.
+_DISPATCH_MEMO: dict[int, DataFrame] = {}
+
+
 @register("extract_dispatch", oracle=_DISPATCH_ORACLE)
 def extract_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end A3-A9 composition on the fixture registry: every file
     resolved to (extractor, method, setup, rendered command, output
     path). The orphan file drops out at the extractor join, exactly as
     the reference raises before execution."""
-    return extract_batch(spark, reg.files_df(spark)).filter(
-        F.col("extractor_id").isNotNull()
-    )
+    df = _DISPATCH_MEMO.get(id(spark))
+    if df is None:
+        df = extract_batch(spark, reg.files_df(spark)).filter(
+            F.col("extractor_id").isNotNull()
+        )
+        _DISPATCH_MEMO[id(spark)] = df
+    return df
 
 
 _RUN_SCHEMA = "file_id long, method string, channel string, point int, value double"
