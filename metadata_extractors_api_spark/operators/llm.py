@@ -591,6 +591,156 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cosine") >= 0.35)
 
 
+# Prefix-filtered all-pairs join (AllPairs / PPJoin family, Bayardo et
+# al. WWW'07; Xiao et al. WWW'08): with every doc's shingles ordered by
+# one GLOBAL ordering (ascending document frequency, i.e. rarest
+# first), any pair with Jaccard >= t must share at least one shingle
+# within each side's first |S| - ceil(t*|S|) + 1 shingles. Indexing
+# only that prefix keeps the candidate join bounded by rare-shingle
+# collisions instead of the full inverted-index pair space, with zero
+# recall loss (the filter is exact, not probabilistic). Two further
+# exact PPJoin filters shrink the candidate set ~6x on the fixture:
+# the LENGTH filter (J >= t forces t*|A| <= |B| <= |A|/t) and the
+# POSITIONAL filter (a prefix match at ranks (ra, rb) caps the overlap
+# at min(|A|-ra, |B|-rb)+1, which must reach ceil(t/(1+t)*(|A|+|B|)),
+# the overlap J >= t requires).
+#
+# Cross-engine care: 0.7 is NOT an exact binary fraction, and DuckDB
+# parses bare decimal literals as exact DECIMALs while Spark lits are
+# doubles -- e.g. ceil(decimal .7 * 10) = 7 but ceil(double .7 * 10)
+# = 8. Every oracle occurrence is therefore CAST(... AS DOUBLE) so
+# both engines run the identical IEEE expression.
+PREFIX_T = 0.7
+PREFIX_RATIO = PREFIX_T / (1 + PREFIX_T)
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(tk[i:i+2], ' '))) AS sl
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(sl) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+    dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1),
+    ranked AS (
+      SELECT e.doc_id, e.shingle, s.n,
+             row_number() OVER (PARTITION BY e.doc_id
+                                ORDER BY d.df, e.shingle) AS rn
+      FROM ex e JOIN dfreq d USING (shingle) JOIN sizes s USING (doc_id)),
+    pref AS (SELECT doc_id, shingle, n, rn FROM ranked
+             WHERE rn <= n - CAST(ceil(CAST({PREFIX_T!r} AS DOUBLE) * n)
+                                  AS BIGINT) + 1),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM pref a
+             JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             WHERE b.n >= CAST(ceil(CAST({PREFIX_T!r} AS DOUBLE) * a.n)
+                               AS BIGINT)
+               AND a.n >= CAST(ceil(CAST({PREFIX_T!r} AS DOUBLE) * b.n)
+                               AS BIGINT)
+               AND least(a.n - a.rn, b.n - b.rn) + 1
+                   >= CAST(ceil(CAST({PREFIX_RATIO!r} AS DOUBLE)
+                                * (a.n + b.n)) AS BIGINT)),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i
+              FROM cand c
+              JOIN ex ea ON ea.doc_id = c.doc_a
+              JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+              GROUP BY 1, 2),
+    res AS (
+      SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b, CAST(floor(j * 1e6) AS BIGINT) AS jaccard_e6
+    FROM res WHERE j >= CAST({PREFIX_T!r} AS DOUBLE)
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED corpus-wide exact n-gram Jaccard pairs via prefix
+    filtering — the scale answer to dedup_ngram_jaccard's bounded
+    inverted-index primitive. Shingles are globally ordered by
+    ascending document frequency; only each doc's first
+    |S| - ceil(t*|S|) + 1 shingles are indexed, and the PPJoin length
+    + positional filters prune the prefix collisions further (33k
+    candidates vs 12.5M possible pairs at sf0.1, identical final pair
+    set — asserted against the full inverted index in tests).
+    Candidates are then verified with an exact intersection count over
+    the full shingle sets. Every step is a shuffle join / groupBy on
+    keys Spark distributes evenly; the df-ordering window shares one
+    shuffle, and the frequency ordering itself is the skew guard
+    (boilerplate shingles have high df, so they never enter a
+    prefix)."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    ex = (
+        d.select("doc_id", tokens_col().alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_col(toks=F.col("_toks")))
+            ).alias("shingle"),
+        )
+        # reused by four consumers (sizes, dfreq, both verify sides):
+        # materialize once instead of re-exploding the corpus each time
+        .localCheckpoint()
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    wrank = wdoc.orderBy("df", "shingle")
+    ranked = (
+        ex.join(dfreq, "shingle")
+        .withColumn("n", F.count(F.lit(1)).over(wdoc))
+        .withColumn("rn", F.row_number().over(wrank))
+    )
+    pref = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(PREFIX_T) * F.col("n")) + 1
+    ).select("doc_id", "shingle", "n", "rn")
+    a, b = pref.alias("a"), pref.alias("b")
+    an, bn = F.col("a.n"), F.col("b.n")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (bn >= F.ceil(F.lit(PREFIX_T) * an))
+            & (an >= F.ceil(F.lit(PREFIX_T) * bn))
+            & (
+                F.least(an - F.col("a.rn"), bn - F.col("b.rn")) + 1
+                >= F.ceil(F.lit(PREFIX_RATIO) * (an + bn))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ea = ex.withColumnsRenamed({"doc_id": "doc_a"})
+    eb = ex.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"})
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("j", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("j") >= PREFIX_T)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("j") * F.lit(1e6)).cast("bigint").alias("jaccard_e6"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

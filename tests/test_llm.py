@@ -65,6 +65,57 @@ def test_dedup_exact_all_unique_corpus(spark, sf_dir):
     assert df.filter(F.col("n_copies") > 1).count() == 0
 
 
+def test_prefix_filter_loses_no_pairs(spark, sf_dir):
+    """The AllPairs prefix filter is exact, not probabilistic: the
+    prefix-filtered pair set must EQUAL the full inverted-index join's
+    pair set at the same Jaccard threshold (here over the whole
+    sf0.001 corpus, where brute force is affordable)."""
+    from metadata_extractors_api_spark.operators.llm import (
+        PREFIX_T,
+        shingles_col,
+        tokens_col,
+    )
+    from metadata_extractors_api_spark.catalog import load
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in mdx.QUERIES["dedup_jaccard_prefix"](spark, sf_dir).collect()
+    }
+    ex = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", tokens_col().alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(shingles_col(toks=F.col("_toks")))
+            ).alias("shingle"),
+        )
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"})
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= PREFIX_T
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_langid_deterministic(spark, sf_dir):
     a = mdx.QUERIES["text_langid"](spark, sf_dir).toPandas().sort_values("doc_id")
     b = mdx.QUERIES["text_langid"](spark, sf_dir).toPandas().sort_values("doc_id")
