@@ -17,13 +17,19 @@ Scale design notes:
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metadata_extractors_api_spark.catalog import load
 from metadata_extractors_api_spark.operators.llm import (
+    SCALE,
+    _ann_memo,
     _minhash_pairs_ctes,
+    _sql_dot,
     dedup_minhash,
+    dot_scaled,
     tokens_col,
 )
 from metadata_extractors_api_spark.registry import register
@@ -191,16 +197,16 @@ KM_SCALE = 1 << 24
 KM_SHRINK = 1 << 24
 
 
-def _kmeans_oracle() -> str:
-    def dist_cte(name: str, cent: str) -> str:
-        return f"""{name} AS (
+def _km_dist_cte(name: str, cent: str) -> str:
+    return f"""{name} AS (
       SELECT p.vec_id, c.cluster,
              SUM((p.xs - c.c) * (p.xs - c.c)) AS dist
       FROM pts p JOIN {cent} c ON p.d = c.d
       GROUP BY 1, 2)"""
 
-    def assign_cte(name: str, dist: str) -> str:
-        return f"""{name} AS (
+
+def _km_assign_cte(name: str, dist: str) -> str:
+    return f"""{name} AS (
       SELECT vec_id, cluster, dist FROM (
         SELECT vec_id, cluster, dist,
                row_number() OVER (PARTITION BY vec_id
@@ -208,27 +214,35 @@ def _kmeans_oracle() -> str:
         FROM {dist})
       WHERE rn = 1)"""
 
-    def update_cte(name: str, assign: str) -> str:
-        return f"""{name} AS (
+
+def _km_update_cte(name: str, assign: str) -> str:
+    return f"""{name} AS (
       SELECT a.cluster, p.d,
              CAST(floor(CAST(SUM(p.xs) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
       FROM {assign} a JOIN pts p ON p.vec_id = a.vec_id
       GROUP BY 1, 2)"""
 
+
+def _km_chain() -> tuple[str, str, str]:
+    """The unrolled training chain shared by every consumer of the
+    trained model: returns (CTE list from pts through the final
+    assignment, final-distance CTE name, final-assignment CTE name)."""
     iters = []
     cent = "c0"
     for i in range(1, KM_ITERS + 1):
         iters += [
-            dist_cte(f"d{i}", cent),
-            assign_cte(f"a{i}", f"d{i}"),
-            update_cte(f"c{i}", f"a{i}"),
+            _km_dist_cte(f"d{i}", cent),
+            _km_assign_cte(f"a{i}", f"d{i}"),
+            _km_update_cte(f"c{i}", f"a{i}"),
         ]
         cent = f"c{i}"
     final = KM_ITERS + 1
-    iters += [dist_cte(f"d{final}", cent), assign_cte(f"a{final}", f"d{final}")]
+    iters += [
+        _km_dist_cte(f"d{final}", cent),
+        _km_assign_cte(f"a{final}", f"d{final}"),
+    ]
     chain = ",\n    ".join(iters)
-    return f"""
-    WITH pts AS (
+    prefix = f"""pts AS (
       SELECT vec_id, i AS d,
              CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS xs
       FROM (SELECT vec_id,
@@ -237,12 +251,78 @@ def _kmeans_oracle() -> str:
             FROM embeddings)),
     c0 AS (SELECT vec_id - 1 AS cluster, d, xs AS c
            FROM pts WHERE vec_id BETWEEN 1 AND {KM_K}),
-    {chain}
+    {chain}"""
+    return prefix, f"d{final}", f"a{final}"
+
+
+def _kmeans_oracle() -> str:
+    chain, _dist, assign = _km_chain()
+    return f"""
+    WITH {chain}
     SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n,
            CAST(SUM(dist // {KM_SHRINK}) AS BIGINT) AS inertia_scaled
-    FROM a{final}
+    FROM {assign}
     GROUP BY cluster
     """
+
+
+def _km_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings in long format (vec_id, d, xs) with exact-int64
+    quantized coordinates, materialized once for the iteration loop."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("d0", "x"))
+        .select(
+            "vec_id",
+            (F.col("d0") + 1).alias("d"),
+            F.floor(F.col("x").cast("double") * F.lit(float(KM_SCALE)))
+            .cast("bigint")
+            .alias("xs"),
+        )
+        .localCheckpoint()  # reused by every round: compute once
+    )
+
+
+def _km_dist(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """Exact squared distance of every point to every centroid. The
+    centroid table is K*D rows — always broadcast."""
+    diff = F.col("xs") - F.col("c")
+    return (
+        pts.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+
+
+def _km_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (ties to the lowest cluster id)."""
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    return (
+        _km_dist(pts, cent)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "dist")
+    )
+
+
+def _km_train(pts: DataFrame) -> DataFrame:
+    """KM_ITERS Lloyd rounds from the deterministic init (vec_id 1..K);
+    returns the trained centroid table (cluster, d, c)."""
+    cent = pts.filter(F.col("vec_id").between(1, KM_K)).select(
+        (F.col("vec_id") - 1).alias("cluster"), "d", F.col("xs").alias("c")
+    )
+    for _ in range(KM_ITERS):
+        a = _km_assign(pts, cent)
+        cent = (
+            a.join(pts, "vec_id")
+            .groupBy("cluster", "d")
+            .agg(
+                F.floor(F.sum("xs") / F.count(F.lit(1)))
+                .cast("bigint")
+                .alias("c")
+            )
+        )
+    return cent
 
 
 @register("kmeans_train", oracle=_kmeans_oracle())
@@ -257,48 +337,8 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENTIRE training loop hash-matches the unrolled recursive oracle.
     The iteration count is fixed (the oracle unrolls it); convergence-
     driven loops would use the dedup_components driver-test pattern."""
-    e = load(spark, sf_dir, "embeddings", parallelize=True)
-    pts = (
-        e.select("vec_id", F.posexplode("embedding").alias("d0", "x"))
-        .select(
-            "vec_id",
-            (F.col("d0") + 1).alias("d"),
-            F.floor(F.col("x").cast("double") * F.lit(float(KM_SCALE)))
-            .cast("bigint")
-            .alias("xs"),
-        )
-        .localCheckpoint()  # reused by every round: compute once
-    )
-    cent = pts.filter(F.col("vec_id").between(1, KM_K)).select(
-        (F.col("vec_id") - 1).alias("cluster"), "d", F.col("xs").alias("c")
-    )
-
-    def assign(cent: DataFrame) -> DataFrame:
-        diff = F.col("xs") - F.col("c")
-        dist = (
-            pts.join(cent, "d")
-            .groupBy("vec_id", "cluster")
-            .agg(F.sum(diff * diff).alias("dist"))
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
-        return (
-            dist.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cluster", "dist")
-        )
-
-    for _ in range(KM_ITERS):
-        a = assign(cent)
-        cent = (
-            a.join(pts, "vec_id")
-            .groupBy("cluster", "d")
-            .agg(
-                F.floor(F.sum("xs") / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("c")
-            )
-        )
-    final = assign(cent)
+    pts = _km_pts(spark, sf_dir)
+    final = _km_assign(pts, _km_train(pts))
     return final.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.expr(f"dist div {KM_SHRINK}")).alias("inertia_scaled"),
@@ -376,4 +416,119 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+# --- trained-centroid IVF search (k-means model -> ANN index) --------------
+#
+# sim_ann_ivf partitions the corpus by its nearest of 8 FIXED
+# hyperplane-derived centroids; this is the promised trained slot: the
+# same materialized-index + partition-pruned-probe topology, but the
+# centroids come out of the k-means loop above, so the partitioning
+# adapts to the data distribution. Because training is exact int64,
+# the whole model -> index -> probe path hash-matches one generated
+# DuckDB statement (train chain reused verbatim from the kmeans
+# oracle).
+IVF_TRAINED_NPROBE = 2
+
+
+def _ivf_trained_oracle() -> str:
+    chain, dist, assign = _km_chain()
+    dot = _sql_dot("e.embedding", "q.qe")
+    nn = _sql_dot("e.embedding", "e.embedding")
+    return f"""
+    WITH {chain},
+    qsel AS (
+      SELECT cluster FROM (
+        SELECT cluster, row_number() OVER (ORDER BY dist, cluster) AS rn
+        FROM {dist} WHERE vec_id = 0)
+      WHERE rn <= {IVF_TRAINED_NPROBE}),
+    q AS (SELECT embedding AS qe,
+                 {_sql_dot('embedding', 'embedding')} AS qn
+          FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT e.vec_id, e.label,
+             ({dot} / 1e12)
+             / (sqrt({nn} / 1e12) * sqrt(q.qn / 1e12)) AS cos
+      FROM embeddings e
+      JOIN {assign} a ON a.vec_id = e.vec_id
+      CROSS JOIN q
+      WHERE a.cluster IN (SELECT cluster FROM qsel))
+    SELECT vec_id, label, CAST(floor(cos * 1e6) AS BIGINT) AS score_e6
+    FROM probe
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_ann_ivf_trained", oracle=_ivf_trained_oracle())
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over a TRAINED inverted file: k-means centroids from
+    the exact-int64 Lloyd loop assign every vector a cluster, the
+    corpus is written partitioned by that cluster id (one-off build,
+    memoized per session), and the query probes its
+    IVF_TRAINED_NPROBE nearest clusters as a partition-pruned scan
+    with exact cosine ranking inside. Train/assign/probe distances are
+    all exact integer arithmetic, so model AND search hash-match the
+    generated oracle end to end. At scale the index build is one
+    training job plus one partitioned write; each query then reads
+    only nprobe/K of the corpus."""
+
+    def build() -> dict:
+        pts = _km_pts(spark, sf_dir)
+        cent = _km_train(pts)
+        assign = _km_assign(pts, cent).select("vec_id", "cluster")
+        e = load(spark, sf_dir, "embeddings", parallelize=True)
+        path = tempfile.mkdtemp(prefix="mdx_ann_ivft_idx_")
+        (
+            e.join(assign, "vec_id")
+            .repartition("cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(path)
+        )
+        dist0 = (
+            _km_dist(pts.filter(F.col("vec_id") == 0), cent)
+            .select("cluster", "dist")
+            .collect()
+        )
+        probe = [
+            r["cluster"]
+            for r in sorted(dist0, key=lambda r: (r["dist"], r["cluster"]))
+        ][:IVF_TRAINED_NPROBE]
+        q = (
+            load(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select(
+                "embedding",
+                dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
+            )
+            .collect()[0]
+        )
+        return {"path": path, "probe": probe, "emb": q["embedding"], "qn": q["nn"]}
+
+    st = _ann_memo((id(spark), sf_dir, "ivf_trained"), build)
+    idx_df = _ann_memo(
+        (id(spark), sf_dir, "ivf_trained_df"),
+        lambda: spark.read.parquet(st["path"]),
+    )
+    qe = F.array(*[F.lit(float(v)) for v in st["emb"]])
+    cos = (
+        (dot_scaled(F.col("embedding"), qe) / F.lit(SCALE))
+        / (
+            F.sqrt(dot_scaled(F.col("embedding"), F.col("embedding")) / F.lit(SCALE))
+            * F.sqrt(F.lit(st["qn"]) / F.lit(SCALE))
+        )
+    )
+    scored = idx_df.filter(F.col("cluster").isin(st["probe"])).select(
+        "vec_id", "label", cos.alias("cos")
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+        .select(
+            "vec_id",
+            "label",
+            F.floor(F.col("cos") * F.lit(1e6)).cast("bigint").alias("score_e6"),
+        )
     )

@@ -71,7 +71,11 @@ def test_ann_probes_are_partition_pruned(spark, sf_dir):
     """Both ANN probes must read their materialized index with a static
     PartitionFilters IN-list — the plan that stays a pruned scan at any
     corpus size — and never a full-scan + post-filter."""
-    for name, part_col in (("sim_ann_lsh", "bucket"), ("sim_ann_ivf", "cluster")):
+    for name, part_col in (
+        ("sim_ann_lsh", "bucket"),
+        ("sim_ann_ivf", "cluster"),
+        ("sim_ann_ivf_trained", "cluster"),
+    ):
         plan = _plan(mdx.QUERIES[name](spark, sf_dir))
         assert "PartitionFilters" in plan, name
         tail = plan.split("PartitionFilters")[1][:300]
