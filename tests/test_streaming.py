@@ -51,3 +51,19 @@ def test_stream_stateful_counts_everything(spark, sf_dir):
 def test_stream_dedup_keeps_first_per_key(spark, sf_dir):
     df = mdx.QUERIES["stream_dedup"](spark, sf_dir).toPandas()
     assert df.groupby(["user_id", "event_type"]).size().max() == 1
+
+
+def test_stream_profile_tws_composite_state(spark, sf_dir):
+    """The composite-state profile must agree with batch facts: total
+    events conserved, distinct-type counts within the global type
+    vocabulary, one row per user. Runs the TWS path where its protobuf
+    dependency exists, the applyInPandasWithState fallback otherwise --
+    identical semantics by construction."""
+    from metadata_extractors_api_spark.catalog import load
+
+    df = mdx.QUERIES["stream_profile_tws"](spark, sf_dir).toPandas()
+    ev = load(spark, sf_dir, "events")
+    assert df["n_events"].sum() == ev.count()
+    assert df["user_id"].is_unique
+    n_types_global = ev.select("event_type").distinct().count()
+    assert df["n_types"].between(1, n_types_global).all()
