@@ -187,3 +187,58 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") >= 30)
         & (F.col("n_stop") / F.col("n_tokens") >= 0.05)
     ).select("doc_id", "lang", "n_tokens")
+
+
+Q18_MIN_QTY = 250  # ~top 1% of fixture orders by total quantity
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q18_MIN_QTY})
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS odate,
+           o.o_totalprice, b.sum_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): aggregate lineitem once
+    per order, keep orders whose total quantity clears the threshold,
+    then decorate with orders + customer. The classic Q18 formulation
+    re-joins lineitem against its own HAVING subquery; since every
+    output column is order-grained, the aggregate IS the fact side here
+    — one pass over lineitem, and the joins run on the ~1% surviving
+    key set (customer broadcast, orders semi-reduced by the join).
+    Quantities are integral doubles, summed as exact BIGINT."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
