@@ -36,9 +36,11 @@ HEADLINE = [
     # LLM-pipeline headliners
     "dedup_exact",
     "dedup_minhash",
+    "dedup_jaccard_prefix",
     "dedup_embedding",
     "sim_topk",
     "sim_ann_lsh",
+    "sim_ann_ivf_trained",
     "text_stats",
     "text_fingerprint",
     # extraction dispatch (the reference-capability centerpiece)
@@ -46,6 +48,7 @@ HEADLINE = [
     # composite workload
     "tpch_q3_shipping",
     "tpch_q10_returns",
+    "tpch_q18_large_orders",
     "text_bigrams",
 ]
 
