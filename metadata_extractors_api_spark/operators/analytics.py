@@ -375,3 +375,41 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mode_qty"),
         F.max("cnt").alias("mode_count"),
     )
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+    SELECT c_mktsegment AS segment, COUNT(*) AS n, TRUE AS within_tol
+    FROM customer GROUP BY 1
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch (approx_top_k, Spark 4): per-partition
+    sketches merge associatively, so heavy hitters over 100 TB are one
+    pass + one tiny merge -- the streaming-friendly form of a
+    count-per-key top-k.
+
+    Sketch internals are engine-specific, so like the other approximate
+    aggregates this asserts the ACCURACY CONTRACT instead of raw sketch
+    state: with k chosen above the column's cardinality (and far below
+    maxItemsTracked), every distinct item is tracked exactly, so each
+    sketch estimate must EQUAL the exact group count. The query emits
+    the exact counts plus the Spark-verified equality flag; the oracle
+    emits the same exact counts plus literal TRUE."""
+    c = load(spark, sf_dir, "customer")
+    est = (
+        c.agg(F.expr("approx_top_k(c_mktsegment, 10)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("segment"), F.col("e.count").alias("est")
+        )
+    )
+    exact = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return exact.join(F.broadcast(est), "segment", "left").select(
+        "segment",
+        "n",
+        (F.col("est") == F.col("n")).alias("within_tol"),
+    )
