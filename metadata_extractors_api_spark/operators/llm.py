@@ -741,6 +741,68 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_W = 10  # tokens per rolling span (Lee et al.-style substring dedup)
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    sp AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - {SPAN_W - 2}, 1)),
+                                   i -> array_to_string(tk[i:i+{SPAN_W - 1}], ' ')))
+                 AS span
+      FROM toks WHERE len(tk) >= {SPAN_W})
+    SELECT span, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection: every rolling SPAN_W-token
+    span in the corpus, grouped to find spans occurring in 2+ documents
+    -- the span-level pass (fine-grained boilerplate/quote detection)
+    that document-level dedup misses, as popularized for LLM training
+    corpora by suffix-array substring dedup; the rolling-window
+    formulation trades the suffix array for one explode + one groupBy,
+    which is exactly what distributes: the shuffle key is the span
+    hash, skew-free because a heavy span still lands on one reducer
+    only once per occurrence. Downstream, occurrences of a flagged
+    span are cut from documents (the cut step is a join back on
+    doc_id)."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    spans = (
+        d.select("doc_id", tokens_col().alias("_toks"))
+        .filter(F.size("_toks") >= SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(
+                            F.size("_toks") - (SPAN_W - 1), F.lit(1)
+                        ),
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("_toks", i, SPAN_W), " "
+                    ),
+                )
+            ).alias("span"),
+        )
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -294,3 +294,77 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
     )
+
+
+@register(
+    "text_doc_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM toks WHERE len(tk) >= 2),
+    uni AS (SELECT unnest(tk) AS token FROM toks),
+    bc AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY 1),
+    uc AS (SELECT token, COUNT(*) AS n1 FROM uni GROUP BY 1),
+    sc AS (
+      SELECT g.doc_id,
+             CAST(floor(ln(bc.cnt * 1.0 / uc.n1) * 1e9) AS BIGINT) AS s
+      FROM bg g
+      JOIN bc USING (bigram)
+      JOIN uc ON str_split(g.bigram, ' ')[1] = uc.token)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(s) AS BIGINT) AS logprob_e9,
+           CAST(floor(CAST(SUM(s) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS avg_logprob_e9
+    FROM sc GROUP BY doc_id
+    """,
+)
+def text_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM fluency score: each document's bigrams
+    scored by the corpus-wide transition probability P(w2|w1) =
+    count(w1 w2)/count(w1), summed as log-probs -- the classic
+    cheap-LM quality signal for corpus filtering (low avg log-prob =
+    disfluent/boilerplate text). Two corpus aggregations build the
+    model, one join scores every document against it; all shuffles key
+    on n-gram/token hashes. Cross-engine exactness: each log-prob is
+    quantized floor(ln(p)*1e9) BEFORE summation -- ln() agrees
+    bitwise between the JVM and DuckDB on these rational inputs
+    (verified over the fixture's full ratio domain), and integer sums
+    are order-independent, so the parallel aggregation hash-matches."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    toked = d.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.try_element_at("tk", i), F.try_element_at("tk", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    uni = d.select(F.explode(F.split("text", " ")).alias("token"))
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    uc = uni.groupBy("token").agg(F.count(F.lit(1)).alias("n1"))
+    scored = (
+        bg.join(bc, "bigram")
+        .join(uc, F.split(F.col("bigram"), " ").getItem(0) == uc.token)
+        .select(
+            "doc_id",
+            F.floor(F.log(F.col("cnt") / F.col("n1")) * F.lit(1e9))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("s").alias("logprob_e9"),
+        F.floor(F.sum("s").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_logprob_e9"),
+    )

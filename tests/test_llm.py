@@ -298,3 +298,31 @@ def test_kmeans_partitions_all_vectors(spark, sf_dir):
     assert all(r["inertia_scaled"] >= 0 for r in rows)
     again = mdx.QUERIES["kmeans_train"](spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_substring_spans_find_planted_dup(spark, tmp_path_factory):
+    """Two docs sharing a 12-token run must surface shared 10-token
+    spans; the unrelated doc must contribute none."""
+    import pandas as pd
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    out = str(tmp_path_factory.mktemp("spans"))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "intro words here " + shared,
+                    shared + " trailing words here",
+                    "totally unrelated text with none of those tokens at all now",
+                ],
+                "lang": ["en"] * 3,
+                "source": ["web"] * 3,
+                "n_chars": [10] * 3,
+            }
+        )
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    rows = mdx.QUERIES["dedup_substring_spans"](spark, out).collect()
+    assert len(rows) == 3  # 12-token shared run -> 3 shared 10-token spans
+    assert all(r["n_docs"] == 2 and r["first_doc"] == 1 for r in rows)

@@ -67,3 +67,10 @@ def test_stream_profile_tws_composite_state(spark, sf_dir):
     assert df["user_id"].is_unique
     n_types_global = ev.select("event_type").distinct().count()
     assert df["n_types"].between(1, n_types_global).all()
+
+
+def test_stream_custom_source_exactly_once(spark, sf_dir):
+    """The offset-tracked feed must deliver every fixture row exactly
+    once across its micro-batches (append sink, no dups, no gaps)."""
+    df = mdx.QUERIES["stream_custom_source"](spark, sf_dir).toPandas()
+    assert sorted(df["file_id"].tolist()) == [1, 2, 3, 4, 5, 6]
