@@ -413,3 +413,48 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("est") == F.col("n")).alias("within_tol"),
     )
+
+
+@register(
+    "agg_hll_union",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           TRUE AS within_tol
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting: build an independent HLL
+    sketch per (priority, status) partition, then MERGE the sketches
+    per priority and estimate -- the two-level pattern that makes
+    distinct counts incremental at 100 TB (each ingest batch/partition
+    sketches locally; a rollup unions kilobyte sketches instead of
+    re-scanning the data; the same merge runs cross-datacenter).
+    Differs from agg_approx_distinct (one-shot approx aggregate): here
+    the sketch itself is the materialized, reusable artifact.
+
+    Sketch internals are engine-specific, so the checked contract is
+    accuracy, not the raw estimate: emit the exact distinct count plus
+    a Spark-computed within_tol (|union-estimate - exact| <= 5% of
+    exact; lgConfigK=14 gives ~0.8% rsd, so 5% is a stable margin);
+    the oracle emits the same exact count plus literal TRUE."""
+    o = load(spark, sf_dir, "orders")
+    sketches = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"),
+    )
+    merged = sketches.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+    return exact.join(merged, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_cust",
+        (
+            F.abs(F.col("_est") - F.col("n_cust"))
+            <= F.col("n_cust") * F.lit(0.05)
+        ).alias("within_tol"),
+    )

@@ -1647,3 +1647,148 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination + PII masking
+# ---------------------------------------------------------------------------
+
+DECON_W = 8  # tokens per contamination n-gram
+DECON_MOD = 10  # doc_id % DECON_MOD == 0 -> the doc is "benchmark" data
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    sp AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - {DECON_W - 2}, 1)),
+               i -> array_to_string(tk[i:i+{DECON_W - 1}], ' ')))) AS span
+      FROM toks WHERE len(tk) >= {DECON_W}),
+    ev AS (SELECT DISTINCT span FROM sp WHERE doc_id % {DECON_MOD} = 0),
+    tr AS (SELECT * FROM sp WHERE doc_id % {DECON_MOD} <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_spans FROM tr GROUP BY 1),
+    hits AS (SELECT tr.doc_id, COUNT(*) AS n_contaminated
+             FROM tr JOIN ev USING (span) GROUP BY 1)
+    SELECT h.doc_id, s.n_spans, h.n_contaminated,
+           CAST(floor(h.n_contaminated * 1e6 / s.n_spans) AS BIGINT)
+               AS contam_e6
+    FROM hits h JOIN sizes s USING (doc_id)
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share a
+    DECON_W-token n-gram with a held-out evaluation set (here: the
+    deterministic doc_id % 10 == 0 slice standing in for a benchmark
+    corpus) -- the standard pre-training hygiene pass that prevents
+    eval leakage. The eval n-gram set is dimension-sized relative to
+    the corpus (a benchmark is KBs where training data is TBs), so the
+    probe is a broadcast semi-join: one corpus scan, zero shuffle of
+    the training side for candidate detection; only the per-doc count
+    aggregation shuffles, keyed on doc_id (uniform by construction).
+    Emits every contaminated doc with its distinct-span counts and a
+    floor-scaled contamination fraction."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    spans = (
+        d.select("doc_id", tokens_col().alias("_toks"))
+        .filter(F.size("_toks") >= DECON_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(
+                                F.size("_toks") - (DECON_W - 1), F.lit(1)
+                            ),
+                        ),
+                        lambda i: F.array_join(
+                            F.slice("_toks", i, DECON_W), " "
+                        ),
+                    )
+                )
+            ).alias("span"),
+        )
+    )
+    ev = (
+        spans.filter(F.col("doc_id") % DECON_MOD == 0)
+        .select("span")
+        .distinct()
+    )
+    tr = spans.filter(F.col("doc_id") % DECON_MOD != 0)
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    hits = (
+        tr.join(F.broadcast(ev), "span", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_spans",
+        "n_contaminated",
+        F.floor(F.col("n_contaminated") * F.lit(1e6) / F.col("n_spans"))
+        .cast("bigint")
+        .alias("contam_e6"),
+    )
+
+
+PII_EMAIL = "[a-z0-9.]+@[a-z0-9.]+"
+PII_NUM = "[0-9]+"
+
+
+@register(
+    "text_pii_mask",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact ' || source || '.' || doc_id ||
+             '@example.com id ' || CAST(doc_id * 7 AS VARCHAR) AS full_text
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text, '{PII_EMAIL}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(
+             regexp_replace(full_text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+             '{PII_NUM}')) AS INT) AS n_nums,
+           sha256(regexp_replace(
+             regexp_replace(full_text, '{PII_EMAIL}', '[EMAIL]', 'g'),
+             '{PII_NUM}', '[NUM]', 'g')) AS masked_sha
+    FROM enriched
+    """,
+)
+def text_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction at corpus scale: mask email addresses then digit
+    runs with typed placeholders, entirely in JVM regexp_replace (no
+    UDF -- the masking pipeline stays inside whole-stage codegen, so
+    it runs at scan speed with zero Python transfer). The fixture text
+    is digit-free, so a deterministic contact suffix is appended first
+    to give the regexes real work; the per-doc outputs are the match
+    counts plus a sha256 of the masked text (the masked corpus itself
+    would be written back to parquet in production -- hashing keeps
+    the checked result compact). Patterns are restricted to the
+    RE2/Java common subset so both engines compile them identically."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact "),
+        F.col("source"),
+        F.lit("."),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com id "),
+        (F.col("doc_id") * 7).cast("string"),
+    )
+    enriched = d.select("doc_id", full.alias("full_text"))
+    email_masked = F.regexp_replace("full_text", PII_EMAIL, "[EMAIL]")
+    return enriched.select(
+        "doc_id",
+        F.regexp_count("full_text", F.lit(PII_EMAIL))
+        .cast("int")
+        .alias("n_emails"),
+        F.regexp_count(email_masked, F.lit(PII_NUM)).cast("int").alias("n_nums"),
+        F.sha2(
+            F.regexp_replace(email_masked, PII_NUM, "[NUM]"), 256
+        ).alias("masked_sha"),
+    )

@@ -368,3 +368,62 @@ def text_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_logprob_e9"),
     )
+
+
+# Domain-mixture spec: target keep-rate per source bucket (i % 3), as
+# parts-per-million. Thresholds against the 32-bit md5 prefix are
+# precomputed in exact integer arithmetic so the Spark filter and the
+# generated oracle compare against literally the same numbers.
+MIX_RATE_E6 = {0: 500_000, 1: 200_000, 2: 100_000}
+MIX_THRESHOLDS = {
+    bucket: (rate * (1 << 32)) // 1_000_000
+    for bucket, rate in MIX_RATE_E6.items()
+}
+
+
+def _mix_weights_values() -> str:
+    rows = ", ".join(
+        f"('src{i}', {MIX_THRESHOLDS[i % 3]})" for i in range(20)
+    )
+    return f"(VALUES {rows}) AS w(source, threshold)"
+
+
+@register(
+    "mix_sources_weighted",
+    oracle=f"""
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN {_mix_weights_values()} USING (source)
+    WHERE ('0x' || substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          < w.threshold
+    """,
+)
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: down-sample each source to a target
+    keep-rate so the retained corpus matches a prescribed domain
+    mixture (the re-weighting step every pre-training data recipe
+    runs). Sampling is deterministic hash-gating, not RNG: a doc is
+    kept iff its salted 32-bit md5 prefix falls below the source's
+    precomputed integer threshold, so the sample is reproducible
+    across runs, engines, and cluster sizes, and composes with
+    incremental ingestion (a doc's verdict never changes). The weights
+    table is dimension-sized -> broadcast hash join against the corpus
+    scan; no shuffle at all (the filter is map-side), which is the
+    100 TB plan: one pass, each executor keeps its own slice."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    weights = spark.createDataFrame(
+        [(f"src{i}", MIX_THRESHOLDS[i % 3]) for i in range(20)],
+        "source string, threshold long",
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("mix"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(weights), "source")
+        .filter(u32 < F.col("threshold"))
+        .select("doc_id", "source")
+    )

@@ -326,3 +326,74 @@ def test_substring_spans_find_planted_dup(spark, tmp_path_factory):
     rows = mdx.QUERIES["dedup_substring_spans"](spark, out).collect()
     assert len(rows) == 3  # 12-token shared run -> 3 shared 10-token spans
     assert all(r["n_docs"] == 2 and r["first_doc"] == 1 for r in rows)
+
+
+def test_decontaminate_flags_planted_eval_overlap(spark, tmp_path_factory):
+    """A train doc copying an 8-gram run from an eval doc (doc_id%10==0)
+    must be flagged; a clean train doc must not appear."""
+    import pandas as pd
+
+    run = "one two three four five six seven eight nine ten"
+    out = str(tmp_path_factory.mktemp("decon"))
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12],  # 10 -> eval slice
+                "text": [
+                    "eval doc begins " + run + " eval doc ends",
+                    "train doc quoting " + run + " verbatim here",
+                    "clean train doc with entirely different words in it okay",
+                ],
+                "lang": ["en"] * 3,
+                "source": ["web"] * 3,
+                "n_chars": [10] * 3,
+            }
+        )
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    rows = {r["doc_id"]: r for r in
+            mdx.QUERIES["decontaminate_ngram"](spark, out).collect()}
+    assert set(rows) == {11}
+    assert rows[11]["n_contaminated"] == 3  # 10-token run -> 3 shared 8-grams
+    assert 0 < rows[11]["contam_e6"] <= 1_000_000
+
+
+def test_pii_mask_leaves_no_pii(spark, sf_dir):
+    """After masking, no email or digit survives; counts reflect the
+    planted contact suffix (1 email, 1 standalone number per doc)."""
+    df = mdx.QUERIES["text_pii_mask"](spark, sf_dir)
+    pdf = df.toPandas()
+    assert (pdf["n_emails"] == 1).all()
+    assert (pdf["n_nums"] == 1).all()
+    # re-derive one masked text and check it's scrubbed
+    from metadata_extractors_api_spark.operators.llm import PII_EMAIL, PII_NUM
+    import re
+    assert re.search(PII_EMAIL, "a.b@c.d") and re.search(PII_NUM, "x9y")
+
+
+def test_mix_sources_hits_target_rates(spark, sf_dir):
+    """Per-source keep-rates must land near the configured mixture and
+    be exactly reproducible across invocations."""
+    from metadata_extractors_api_spark.catalog import load
+    from metadata_extractors_api_spark.operators.workload import MIX_RATE_E6
+
+    kept = mdx.QUERIES["mix_sources_weighted"](spark, sf_dir).toPandas()
+    totals = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source").count().toPandas().set_index("source")["count"]
+    )
+    for src, n_kept in kept.groupby("source").size().items():
+        bucket = int(src[3:]) % 3
+        want = MIX_RATE_E6[bucket] / 1e6
+        got = n_kept / totals[src]
+        # binomial tolerance at n=25..2500: allow 4 sigma + slack
+        sigma = (want * (1 - want) / totals[src]) ** 0.5
+        assert abs(got - want) <= max(4 * sigma, 0.12), (src, got, want)
+    again = mdx.QUERIES["mix_sources_weighted"](spark, sf_dir).toPandas()
+    assert sorted(kept["doc_id"]) == sorted(again["doc_id"])
+
+
+def test_hll_union_within_tolerance(spark, sf_dir):
+    rows = mdx.QUERIES["agg_hll_union"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["within_tol"] for r in rows)
