@@ -134,3 +134,38 @@ def test_cbo_stats_drive_join_estimates(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_mix_sources_is_map_side_only(spark, sf_dir):
+    """The mixture filter must be one broadcast hash join with the
+    hash-gate evaluated inside it -- no shuffle of the corpus (the
+    round-robin exchange from the local-parallelism repartition is the
+    only one allowed)."""
+    plan = _plan(mdx.QUERIES["mix_sources_weighted"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_probes_eval_via_broadcast_semi(spark, sf_dir):
+    """The eval n-gram set is dimension-sized: the contamination probe
+    must be a LeftSemi broadcast join (never a shuffle of the train
+    spans against the eval set)."""
+    plan = _plan(mdx.QUERIES["decontaminate_ngram"](spark, sf_dir))
+    assert "LeftSemi, BuildRight" in plan
+    # allowed hash exchanges: per-doc count aggregations (doc_id) and
+    # the eval-side distinct (span) -- the latter shuffles only the
+    # dimension-sized eval slice, never the train corpus
+    import re
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert set(keys) <= {"doc_id", "span"}, keys
+    assert keys.count("span") == 1, keys
+
+
+def test_pii_mask_is_single_pass_codegen(spark, sf_dir):
+    """Masking must stay inside whole-stage codegen: a single scan,
+    zero exchanges, no Python evaluation."""
+    plan = _plan(mdx.QUERIES["text_pii_mask"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("FileScan parquet") == 1
