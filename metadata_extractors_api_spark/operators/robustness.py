@@ -172,3 +172,74 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rowhash).cast("bigint").alias("checksum"),
         F.count("*").alias("n_rows"),
     )
+
+
+# One source of truth for the permissive-JSONL fixture (same discipline
+# as _CSV_ROWS): lines 2 and 5 are malformed JSON, line 3 is valid JSON
+# whose id is not castable, line 4 is missing a field.
+_JSONL_LINES = [
+    '{"id": 1, "name": "alpha"}',
+    '{"id": 2, "name": "beta"',
+    '{"id": "three", "name": "gamma"}',
+    '{"id": 4}',
+    'not json at all',
+    '{"id": 6, "name": "zeta"}',
+]
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_JSONL_ORACLE = (
+    "WITH raw(line) AS (VALUES "
+    + ", ".join(f"({_sql_str(ln)})" for ln in _JSONL_LINES)
+    + """)
+    SELECT CASE WHEN json_valid(line)
+                THEN TRY_CAST(json_extract_string(line, '$.id') AS INT)
+           END AS id,
+           CASE WHEN json_valid(line)
+                THEN json_extract_string(line, '$.name')
+           END AS name,
+           CASE WHEN NOT json_valid(line)
+                  OR (json_extract(line, '$.id') IS NOT NULL
+                      AND TRY_CAST(json_extract_string(line, '$.id') AS INT)
+                          IS NULL)
+                THEN line
+           END AS corrupt_raw
+    FROM raw
+    """
+)
+
+# session-scoped memo: same parsing-time corrupt-column caching
+# constraint as _CSV_MEMO.
+_JSONL_MEMO: dict[int, DataFrame] = {}
+
+
+@register("scan_jsonl_corrupt", oracle=_JSONL_ORACLE)
+def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive JSONL ingestion with field-level salvage: Spark keeps
+    every field it CAN parse (a type-mismatched id nulls that field and
+    quarantines the raw line in the corrupt column; the rest of the row
+    survives), malformed JSON nulls the whole row -- the
+    maximum-salvage ingest policy for web-scraped corpora where a
+    whole-row reject would discard salvageable text. The oracle
+    re-derives the identical salvage rule from the same fixture lines
+    with json_valid + TRY_CAST, so the parsing POLICY (not literal
+    counts) is what's checked."""
+    df = _JSONL_MEMO.get(id(spark))
+    if df is None:
+        d = tempfile.mkdtemp(prefix="mdx_jsonl_")
+        path = os.path.join(d, "in.jsonl")
+        with open(path, "w") as f:
+            f.write("\n".join(_JSONL_LINES) + "\n")
+        df = (
+            spark.read.option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .schema("id INT, name STRING, _corrupt_record STRING")
+            .json(path)
+        ).cache()
+        _JSONL_MEMO[id(spark)] = df
+    return df.select(
+        "id", "name", F.col("_corrupt_record").alias("corrupt_raw")
+    )

@@ -397,3 +397,24 @@ def test_hll_union_within_tolerance(spark, sf_dir):
     rows = mdx.QUERIES["agg_hll_union"](spark, sf_dir).collect()
     assert len(rows) == 5
     assert all(r["within_tol"] for r in rows)
+
+
+def test_quantize_bounds_and_reconstruction(spark, sf_dir):
+    """Quantized components must lie in [-127, 127] with per-component
+    reconstruction error bounded by one quantization step."""
+    rows = mdx.QUERIES["embedding_quantize"](spark, sf_dir).collect()
+    assert all(r["n_dims"] == 64 for r in rows)
+    # |q_i| <= 127 per component implies |q_sum| <= 127 * n_dims
+    assert all(abs(r["q_sum"]) <= 127 * r["n_dims"] for r in rows)
+    from metadata_extractors_api_spark.catalog import load as _load
+    vec = {
+        r["vec_id"]: r["embedding"]
+        for r in _load(spark, sf_dir, "embeddings").limit(5).collect()
+    }
+    import math
+    got = {r["vec_id"]: r for r in rows if r["vec_id"] in vec}
+    for vid, emb in vec.items():
+        amax = max(abs(float(x)) for x in emb)
+        q = [math.floor(float(x) * 127 / amax) for x in emb]
+        assert got[vid]["q_sum"] == sum(q)
+        assert all(-127 <= c <= 127 for c in q)

@@ -40,3 +40,16 @@ def test_checksum_is_stable_and_sensitive(spark, sf_dir):
     rowhash = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
     mut = o.agg(F.sum(rowhash).cast("bigint").alias("checksum")).collect()[0]
     assert mut["checksum"] != a["checksum"]
+
+
+def test_jsonl_salvages_partial_rows(spark, sf_dir):
+    """A type-mismatched field must not discard the row's other fields
+    (name survives when id fails), and malformed JSON must null the
+    whole row with the raw line quarantined."""
+    rows = mdx.QUERIES["scan_jsonl_corrupt"](spark, sf_dir).collect()
+    by_name = {r["name"]: r for r in rows}
+    assert by_name["gamma"]["id"] is None
+    assert by_name["gamma"]["corrupt_raw"] is not None
+    assert by_name["alpha"]["id"] == 1 and by_name["alpha"]["corrupt_raw"] is None
+    n_corrupt = sum(r["corrupt_raw"] is not None for r in rows)
+    assert n_corrupt == 3 and len(rows) == 6
