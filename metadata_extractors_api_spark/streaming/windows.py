@@ -343,3 +343,54 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     out = deduped.select("user_id", "event_type")
     return _run_to_table(out, spark, "append")
+
+
+@register(
+    "stream_incremental_restart",
+    oracle="SELECT doc_id, source FROM documents",
+)
+def stream_incremental_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once INCREMENTAL ingestion across restarts: the corpus
+    arrives in two deliveries; the stream drains delivery 1 with
+    trigger=availableNow into a transactional parquet sink, STOPS, the
+    second delivery lands, and a new query started from the SAME
+    checkpoint processes only the new files. The result is the full
+    corpus with no duplicates and no gaps -- the property that lets a
+    100 TB ingest pipeline run as a cron of cheap availableNow drains
+    (pay only for new data) instead of a 24/7 cluster, with the
+    checkpoint + file-sink transaction log (not rerun discipline)
+    guaranteeing exactly-once. Restart recovery is the same mechanism:
+    a crashed drain resumes from the checkpoint without replaying
+    committed files into the sink."""
+    import os
+
+    from metadata_extractors_api_spark.catalog import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    base = tempfile.mkdtemp(prefix="mdx_incr_")
+    in_dir = os.path.join(base, "in")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema("doc_id BIGINT, source STRING")
+            .parquet(in_dir)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(in_dir)
+        drain()
+        docs.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(in_dir)
+        drain()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(sink)

@@ -142,3 +142,54 @@ def test_template_expr_matches_repr(spark):
     for t in tricky:
         want = apply_template_args("run {{ input_path }}", "python", input_path=t)
         assert got[t] == want == f"run {t!r}"
+
+
+def test_asof_nearest_prefers_closer_forward_click(spark, tmp_path_factory):
+    """A purchase with a click 10s before and 2s after must pair with
+    the AFTER click; equal distances must prefer the backward click."""
+    import os
+
+    import pandas as pd
+
+    import metadata_extractors_api_spark as mdx
+
+    out = str(tmp_path_factory.mktemp("asof"))
+    base = 1_700_000_000_000_000_000  # ns epoch
+    s = 1_000_000_000
+    rows = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": [
+                base,            # u1 click (10s before)
+                base + 10 * s,   # u1 purchase
+                base + 12 * s,   # u1 click (2s after) -> nearest
+                base + 20 * s,   # u2 click (5s before)
+                base + 25 * s,   # u2 purchase
+                base + 30 * s,   # u2 click (5s after) -> tie, backward wins
+            ],
+            "user_id": [1, 1, 1, 2, 2, 2],
+            "event_type": ["click", "purchase", "click",
+                           "click", "purchase", "click"],
+            "value": [0.0] * 6,
+            "props": ["{}"] * 6,
+        }
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "ts": pa.array(rows["ts"], pa.timestamp("ns")),
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "event_type": pa.array(rows["event_type"]),
+            "value": pa.array(rows["value"], pa.float64()),
+            "props": pa.array(rows["props"]),
+        }
+    )
+    pq.write_table(t, os.path.join(out, "events.parquet"))
+    got = {
+        r["event_id"]: r["nearest_click"]
+        for r in mdx.QUERIES["join_asof_nearest"](spark, out).collect()
+    }
+    assert got == {2: 3, 5: 4}

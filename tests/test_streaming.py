@@ -74,3 +74,11 @@ def test_stream_custom_source_exactly_once(spark, sf_dir):
     once across its micro-batches (append sink, no dups, no gaps)."""
     df = mdx.QUERIES["stream_custom_source"](spark, sf_dir).toPandas()
     assert sorted(df["file_id"].tolist()) == [1, 2, 3, 4, 5, 6]
+
+
+def test_incremental_restart_no_dups_no_gaps(spark, sf_dir):
+    from metadata_extractors_api_spark.catalog import load
+
+    df = mdx.QUERIES["stream_incremental_restart"](spark, sf_dir).toPandas()
+    assert df["doc_id"].is_unique
+    assert len(df) == load(spark, sf_dir, "documents").count()
