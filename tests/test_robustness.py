@@ -53,3 +53,28 @@ def test_jsonl_salvages_partial_rows(spark, sf_dir):
     assert by_name["alpha"]["id"] == 1 and by_name["alpha"]["corrupt_raw"] is None
     n_corrupt = sum(r["corrupt_raw"] is not None for r in rows)
     assert n_corrupt == 3 and len(rows) == 6
+
+
+def test_binary_files_bytes_survive_the_scan(spark, sf_dir):
+    """binaryFile rows must carry the exact on-disk bytes (digest
+    matches hashlib over the generator), the glob decoy must be pruned,
+    and the zero-length file must be skipped (documented semantics)."""
+    import hashlib
+
+    from metadata_extractors_api_spark.sources.binary_files import (
+        _BIN_FILES,
+        _payload,
+    )
+
+    rows = {r["fname"]: r for r in mdx.QUERIES["scan_binary_files"](spark, sf_dir).collect()}
+    assert "ignore.txt" not in rows
+    assert "scan_000.bin" not in rows  # empty file yields no split
+    expected = {
+        name: (size, hashlib.md5(_payload(i, size)).hexdigest())
+        for i, (name, size) in enumerate(_BIN_FILES)
+        if size > 0
+    }
+    assert set(rows) == set(expected)
+    for name, (size, digest) in expected.items():
+        assert rows[name]["n_bytes"] == size
+        assert rows[name]["digest"] == digest
