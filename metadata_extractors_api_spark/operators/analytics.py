@@ -519,3 +519,66 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n"),
         F.floor(corr * F.lit(1e9)).cast("bigint").alias("corr_e9"),
     )
+
+
+@register(
+    "scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS state,
+             epoch_us(ts) AS ts_us, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, state, ts_us, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> state)
+    SELECT user_id, state,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER (
+             PARTITION BY user_id
+             ORDER BY ts_us, event_id) AS valid_to_us,
+           CAST(CASE WHEN lead(ts_us) OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts_us, event_id) IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM changes
+    """,
+)
+def scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension built from a change log: each
+    user's event stream collapses to versioned rows [valid_from_us,
+    valid_to_us) with an open-ended current version -- the warehouse
+    pattern behind every history-preserving dimension load.
+
+    Scale design: pure window algebra, no self-join. The naive SCD2
+    build (join each row to "the next change for the same key") is a
+    skew-prone range self-join; here change detection (lag) and
+    interval closing (lead) are two window passes over the SAME
+    partitioning (user_id), so the whole operator costs one shuffle
+    and the second window reuses the first's hash partitioning. Event
+    time is compared at exact microseconds (unix_micros) with
+    event_id as the total-order tiebreaker, so versions are
+    deterministic across engines and cluster sizes.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("state").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+        .drop("prev")
+    )
+    valid_to = F.lead("ts_us").over(w)
+    return changes.select(
+        "user_id",
+        "state",
+        F.col("ts_us").alias("valid_from_us"),
+        valid_to.alias("valid_to_us"),
+        F.when(valid_to.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("int").alias("is_current"),
+    )

@@ -127,3 +127,26 @@ def test_corr_matches_builtin_and_is_stable(spark, sf_dir):
     again = {r["l_returnflag"]: r["corr_e9"]
              for r in mdx.QUERIES["agg_corr"](spark, sf_dir).collect()}
     assert got == again
+
+
+def test_scd2_versions_tile_each_users_history(spark, sf_dir):
+    """SCD2 invariants: per user, versions are disjoint and contiguous
+    (each valid_to equals the next valid_from), exactly one version is
+    open-ended and flagged current, and consecutive versions never
+    repeat a state (else the change wasn't a change)."""
+    import metadata_extractors_api_spark as mdx
+
+    rows = mdx.QUERIES["scd2_dimension"](spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, versions in by_user.items():
+        versions.sort(key=lambda r: r["valid_from_us"])
+        open_ended = [v for v in versions if v["valid_to_us"] is None]
+        assert len(open_ended) == 1 and open_ended[0] is versions[-1]
+        assert all(v["is_current"] == (1 if v["valid_to_us"] is None else 0)
+                   for v in versions)
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"], (user, a, b)
+            assert a["state"] != b["state"], (user, a, b)
