@@ -150,3 +150,28 @@ def test_scd2_versions_tile_each_users_history(spark, sf_dir):
         for a, b in zip(versions, versions[1:]):
             assert a["valid_to_us"] == b["valid_from_us"], (user, a, b)
             assert a["state"] != b["state"], (user, a, b)
+
+
+def test_skew_kurtosis_match_builtins_and_are_stable(spark, sf_dir):
+    """The exact-power-sum skew/kurtosis must agree with Spark's
+    builtin skewness()/kurtosis() to float precision and be
+    bit-identical across reruns (the builtins' running updates are
+    order-sensitive; the power-sum form is not)."""
+    import metadata_extractors_api_spark as mdx
+    from metadata_extractors_api_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    got = {r["l_returnflag"]: (r["skew_e9"], r["kurt_e9"])
+           for r in mdx.QUERIES["agg_skew_kurtosis"](spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")
+    ref = {r["l_returnflag"]: (r["s"], r["k"])
+           for r in li.groupBy("l_returnflag")
+                      .agg(F.skewness("l_quantity").alias("s"),
+                           F.kurtosis("l_quantity").alias("k"))
+                      .collect()}
+    for flag, (s_e9, k_e9) in got.items():
+        assert abs(s_e9 / 1e9 - ref[flag][0]) < 1e-6, (flag, s_e9, ref[flag])
+        assert abs(k_e9 / 1e9 - ref[flag][1]) < 1e-6, (flag, k_e9, ref[flag])
+    again = {r["l_returnflag"]: (r["skew_e9"], r["kurt_e9"])
+             for r in mdx.QUERIES["agg_skew_kurtosis"](spark, sf_dir).collect()}
+    assert got == again
