@@ -532,3 +532,113 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cos") * F.lit(1e6)).cast("bigint").alias("score_e6"),
         )
     )
+
+
+# --- integer-scaled PageRank (iterative graph algorithm) -------------------
+#
+# Rank mass is held as exact integer units (1e12 per node initially) and
+# every update is integer arithmetic: share = (85 * (rank // deg)) // 100,
+# new_rank = BASE + sum(shares-in). Integer division and BIGINT sums are
+# order-independent and identical across engines, so the WHOLE 5-iteration
+# computation is bit-reproducible and oracle-checked by an unrolled CTE
+# chain -- float PageRank can never hash-match because IEEE summation
+# order differs between engines and partitionings. Dangling nodes (no
+# out-edges) simply leak their share, the standard simplification; both
+# engines implement the same rule, and every node keeps the BASE floor.
+PR_SCALE = 10**12
+PR_BASE = 15 * PR_SCALE // 100
+PR_ITERS = 5
+
+_PR_EDGE_CTES = """
+    edges AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)
+""".format(scale=PR_SCALE)
+
+
+def _pagerank_oracle() -> str:
+    ctes = [_PR_EDGE_CTES.strip()]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(f"""c{i} AS (
+      SELECT e.dst AS node,
+             SUM((85 * (r.rank // d.deg)) // 100) AS c
+      FROM edges e
+      JOIN r{i - 1} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst)""")
+        ctes.append(f"""r{i} AS (
+      SELECT n.node,
+             CAST({PR_BASE} + COALESCE(c.c, 0) AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, rank AS rank_units FROM r{PR_ITERS}"
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer-nation -> supplier-nation trade
+    graph, 5 synchronous iterations in exact integer arithmetic.
+
+    Scale design: the Pregel/GraphX shape -- each iteration is one
+    join of the edge list with the current ranks on src plus one
+    aggregation onto dst, so an iteration costs exactly the shuffles
+    of a join+groupBy and nothing touches the driver. Edge list and
+    degrees are computed once and localCheckpoint'ed (on a cluster:
+    persisted + reliably checkpointed) so the 4-way join that builds
+    the graph doesn't replay per iteration; ranks are checkpointed per
+    round to truncate the iterative lineage, the same discipline as
+    dedup_components/kmeans_train. Because rank mass is integer units
+    (see module comment), results are bit-identical on any cluster
+    size -- the property that makes an iterative algorithm testable at
+    100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("bigint"))
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(85 * (rank div deg)) div 100").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(PR_BASE) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.col("rank").alias("rank_units"))

@@ -175,3 +175,21 @@ def test_skew_kurtosis_match_builtins_and_are_stable(spark, sf_dir):
     again = {r["l_returnflag"]: (r["skew_e9"], r["kurt_e9"])
              for r in mdx.QUERIES["agg_skew_kurtosis"](spark, sf_dir).collect()}
     assert got == again
+
+
+def test_pagerank_mass_and_floor_invariants(spark, sf_dir):
+    """Integer PageRank invariants: every node keeps at least the BASE
+    floor, total mass never exceeds the initial endowment (floor
+    division and dangling nodes only ever leak mass), and reruns are
+    bit-identical (the property float PageRank cannot give)."""
+    import metadata_extractors_api_spark as mdx
+    from metadata_extractors_api_spark.operators.pipeline import PR_BASE, PR_SCALE
+
+    rows = {r["node"]: r["rank_units"]
+            for r in mdx.QUERIES["graph_pagerank"](spark, sf_dir).collect()}
+    assert len(rows) == 25  # every nation, including any dangling ones
+    assert all(v >= PR_BASE for v in rows.values())
+    assert sum(rows.values()) <= 25 * PR_SCALE
+    again = {r["node"]: r["rank_units"]
+             for r in mdx.QUERIES["graph_pagerank"](spark, sf_dir).collect()}
+    assert rows == again
