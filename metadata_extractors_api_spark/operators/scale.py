@@ -175,3 +175,67 @@ def sink_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+@register(
+    "sink_compaction",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(
+             CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+           ), 1, 8))::BIGINT) AS BIGINT) AS checksum,
+           -- file counts are the CONTRACT under test, not derivable
+           -- from the table: round-robin repartition(n) over non-empty
+           -- input must yield exactly n parquet files, before and
+           -- after compaction (64 fragmented -> 4 compacted).
+           CAST(64 AS INT) AS files_before,
+           CAST(4 AS INT) AS files_after
+    FROM orders
+    """,
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: rewrite a fragmented dataset (64 shards)
+    into size-targeted files (4), proving no row was lost or mutated.
+    THE table-maintenance job at 100 TB -- streaming ingest and
+    fine-grained partitioning leave millions of KB-sized files whose
+    per-file open/footer overhead dominates scans; periodic compaction
+    restores maxPartitionBytes-sized scan units. In production the
+    target count is ceil(input_bytes / target_file_size) from a
+    metadata-only listing (or spark.sql.files.maxRecordsPerFile);
+    pinned here so the file-count contract is assertable.
+
+    The audit is fully distributed: row checksum is the same
+    order-independent md5-sum primitive as table_checksum, and file
+    counts come from COUNT(DISTINCT _metadata.file_path) on each
+    dataset -- the hidden metadata column keeps the check inside the
+    scan instead of a driver-side directory listing."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="mdx_compact_")
+    frag_path = os.path.join(d, "fragmented")
+    comp_path = os.path.join(d, "compacted")
+    o.repartition(64).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    frag.repartition(4).write.mode("overwrite").parquet(comp_path)
+    comp = spark.read.parquet(comp_path)
+
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+    )
+    rowhash = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    audit = comp.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(rowhash).cast("bigint").alias("checksum"),
+    )
+    files_before = frag.select(F.col("_metadata.file_path").alias("fp")).agg(
+        F.count_distinct("fp").cast("int").alias("files_before")
+    )
+    files_after = comp.select(F.col("_metadata.file_path").alias("fp")).agg(
+        F.count_distinct("fp").cast("int").alias("files_after")
+    )
+    return audit.crossJoin(files_before).crossJoin(files_after)

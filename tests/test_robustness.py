@@ -78,3 +78,14 @@ def test_binary_files_bytes_survive_the_scan(spark, sf_dir):
     for name, (size, digest) in expected.items():
         assert rows[name]["n_bytes"] == size
         assert rows[name]["digest"] == digest
+
+
+def test_compaction_preserves_the_table_checksum(spark, sf_dir):
+    """Compaction must be a pure physical rewrite: its post-compaction
+    checksum/row count equal table_checksum's answer on the source
+    table, and the file-count contract holds exactly."""
+    row = mdx.QUERIES["sink_compaction"](spark, sf_dir).collect()[0]
+    ref = mdx.QUERIES["table_checksum"](spark, sf_dir).collect()[0]
+    assert row["n_rows"] == ref["n_rows"]
+    assert row["checksum"] == ref["checksum"]
+    assert row["files_before"] == 64 and row["files_after"] == 4
