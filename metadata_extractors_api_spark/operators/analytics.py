@@ -657,3 +657,139 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(skew * F.lit(1e9)).cast("bigint").alias("skew_e9"),
         F.floor(kurt * F.lit(1e9)).cast("bigint").alias("kurt_e9"),
     )
+
+
+_ROLLUP_TS_SQL = """
+    SELECT event_type,
+           CASE WHEN grouping(bh) = 0 THEN 'hour'
+                WHEN grouping(bd) = 0 THEN 'day'
+                ELSE 'all' END AS resolution,
+           CASE WHEN grouping(bh) = 0 THEN bh * 3600000000
+                WHEN grouping(bd) = 0 THEN bd * 86400000000
+                ELSE -1 END AS bucket_start_us,
+           COUNT(*) AS n,
+           CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM base
+    GROUP BY GROUPING SETS ((event_type, bh), (event_type, bd),
+                            (event_type))
+"""
+
+
+@register(
+    "rollup_timeseries",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS bh,
+             epoch_us(ts) // 86400000000 AS bd,
+             CAST(value AS DECIMAL(14,2)) AS v
+      FROM events)
+    """
+    + _ROLLUP_TS_SQL,
+)
+def rollup_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time-series rollup (the hypertable /
+    continuous-aggregate pattern): hourly, daily, and all-time
+    aggregates per event type in ONE pass. GROUPING SETS over
+    precomputed integer bucket indexes gives a single Expand +
+    hash-aggregate plan -- one scan and one shuffle for all three
+    resolutions, where the naive union-of-three-groupBys scans the
+    fact table three times (decisive at 100 TB, where the scan IS the
+    cost). Buckets are exact integer floor-divisions of microsecond
+    epochs, value sums are exact decimal cents -- both
+    order-independent, so the rollup is engine- and
+    partitioning-reproducible. The identical SELECT text runs on both
+    engines; only the bucket-index derivation differs (unix_micros vs
+    epoch_us)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("bh"),
+        F.expr("unix_micros(ts) div 86400000000").alias("bd"),
+        F.col("value").cast("decimal(14,2)").alias("v"),
+    )
+    ev.createOrReplaceTempView("base")
+    return spark.sql(_ROLLUP_TS_SQL)
+
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+CM_SLACK = 8  # upper bound: est <= exact + CM_SLACK * N / CM_WIDTH
+
+
+def _cm_hash(depth: int, key) -> F.Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(depth)), key.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CM_WIDTH
+    )
+
+
+@register(
+    "agg_countmin",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS exact_n,
+           TRUE AS lower_ok, TRUE AS upper_ok
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch, built and queried distributed. The
+    sketch is depth x width counters (md5 row hashes); building it is
+    one Expand (explode to depth rows) + one hash aggregate, and the
+    result is a few-KB MERGEABLE artifact: counters from independent
+    batches/partitions add cell-wise, so 100 TB of per-shard sketches
+    roll up without rescanning -- the same incremental property as
+    agg_hll_union, but for point frequencies instead of cardinality.
+    Point estimates min over the depth rows via an equi-join of probe
+    cells against the sketch.
+
+    Sketch layouts are engine-specific, so the checked contract is
+    CM's accuracy guarantee, per probe key: est >= exact (structural
+    -- collisions only ever add) and est <= exact + 8N/width (the
+    eps*N overcount bound with generous slack; verified to hold
+    deterministically for this data at sf0.01 and sf0.1). The oracle
+    emits the exact frequencies plus literal TRUE."""
+    li = load(spark, sf_dir, "lineitem")
+    key = F.col("l_suppkey")
+
+    cells = [
+        F.struct(F.lit(i).alias("d"), _cm_hash(i, key).alias("b"))
+        for i in range(CM_DEPTH)
+    ]
+    sketch = (
+        li.select(F.explode(F.array(*cells)).alias("c"))
+        .groupBy(F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    n_total = li.count()  # scalar: the bound parameter, not data
+    bound = (CM_SLACK * n_total + CM_WIDTH - 1) // CM_WIDTH
+
+    probe_key = F.col("l_suppkey")
+    probe_cells = [
+        F.struct(F.lit(i).alias("d"), _cm_hash(i, probe_key).alias("b"))
+        for i in range(CM_DEPTH)
+    ]
+    probes = exact.select(
+        "l_suppkey", "exact_n", F.explode(F.array(*probe_cells)).alias("c")
+    ).select("l_suppkey", "exact_n", F.col("c.d").alias("d"), F.col("c.b").alias("b"))
+
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("l_suppkey", "exact_n")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.select(
+        "l_suppkey",
+        "exact_n",
+        (F.col("est") >= F.col("exact_n")).alias("lower_ok"),
+        (F.col("est") <= F.col("exact_n") + F.lit(int(bound))).alias("upper_ok"),
+    )
