@@ -793,3 +793,160 @@ def agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("est") >= F.col("exact_n")).alias("lower_ok"),
         (F.col("est") <= F.col("exact_n") + F.lit(int(bound))).alias("upper_ok"),
     )
+
+
+@register(
+    "anomaly_mad",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    med AS (
+      SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+      FROM ranked GROUP BY event_type),
+    dev AS (
+      SELECT r.event_type, r.event_id, abs(r.value - m.med) AS dev, m.med,
+             row_number() OVER (PARTITION BY r.event_type
+                                ORDER BY abs(r.value - m.med), r.event_id)
+                 AS rn,
+             count(*) OVER (PARTITION BY r.event_type) AS n
+      FROM ranked r JOIN med m ON m.event_type = r.event_type),
+    mad AS (
+      SELECT event_type, MAX(med) AS med,
+             MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS mad
+      FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           MAX(a.med) AS med,
+           MAX(a.mad) AS mad,
+           CAST(SUM(CASE WHEN 0.6745 * d.dev > 3.5 * a.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM dev d JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type
+    """,
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: flag
+    values whose modified z-score (0.6745 * |x - med| / MAD) exceeds
+    3.5 -- the standard data-quality screen that, unlike mean/stddev
+    z-scores, is not itself dragged by the outliers it hunts.
+
+    Reproducibility: medians are DISCRETE (the value at row (n+1)//2
+    under a total order with event_id tiebreaker), not interpolated --
+    interpolated medians differ in engines' formula choices and would
+    make threshold comparisons flip near the boundary. Every derived
+    quantity (abs deviation, the two products in the comparison) is
+    a single IEEE op on identical inputs, so anomaly counts are
+    bit-deterministic on both engines at any partitioning. Scale: two
+    window passes + two joins on the group key; no collect, no
+    per-group driver work."""
+    ev = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("value"))
+        ).alias("med")
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    dev = (
+        ranked.join(med, "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("value") - F.col("med")).alias("dev"),
+            "med",
+        )
+        .select(
+            "event_type",
+            "event_id",
+            "dev",
+            "med",
+            F.row_number().over(wd).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dev"))
+        ).alias("mad"),
+    )
+    return (
+        dev.select("event_type", "dev")
+        .join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.lit(0.6745) * F.col("dev") > F.lit(3.5) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+@register(
+    "win_funnel",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2,
+             lead(epoch_us(ts), 2) OVER w AS ts2_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+    SELECT user_id, ts_us AS view_ts_us, ts2_us AS purchase_ts_us,
+           CAST((ts2_us - ts_us) // 1000000 AS BIGINT) AS funnel_secs
+    FROM ordered
+    WHERE event_type = 'view' AND e1 = 'click' AND e2 = 'purchase'
+    """,
+)
+def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel detection: find every strictly consecutive
+    view -> click -> purchase sequence per user (the MATCH_RECOGNIZE /
+    funnel-analysis primitive). One window pass with two leads over
+    the (user, time) total order -- a single shuffle on user_id, no
+    self-joins, so the pattern scan costs the same as any windowed
+    read of the event log. Event time at exact microseconds with
+    event_id tiebreaker keeps match sets identical across engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+        F.lead("ts_us", 2).over(w).alias("ts2_us"),
+    )
+    return seq.where(
+        (F.col("event_type") == "view")
+        & (F.col("e1") == "click")
+        & (F.col("e2") == "purchase")
+    ).select(
+        "user_id",
+        F.col("ts_us").alias("view_ts_us"),
+        F.col("ts2_us").alias("purchase_ts_us"),
+        F.expr("(ts2_us - ts_us) div 1000000").alias("funnel_secs"),
+    )

@@ -1871,3 +1871,41 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, v: a + v,
         ).alias("q_dot"),
     )
+
+
+@register(
+    "text_term_df",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS token
+      FROM documents),
+    stats AS (
+      SELECT token,
+             COUNT(DISTINCT doc_id) AS df,
+             COUNT(*) AS tf
+      FROM occ GROUP BY token),
+    total AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT s.token, s.df, s.tf, t.n_docs
+    FROM stats s CROSS JOIN total t
+    """,
+)
+def text_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics: per-token document frequency and total
+    term frequency plus the corpus size -- the exact-integer inputs
+    every IDF/BM25 ranking and stop-word screen derives from (the log
+    transform stays with the consumer: cross-libm ln() is not
+    bit-stable, counts are). Scale: explode + two-level aggregation;
+    the (doc, token) dedup is a map-side-combinable groupBy, and the
+    corpus size broadcasts as a 1-row dimension. The vocabulary
+    relation this emits is millions of rows at 100 TB but shrinks by
+    corpus-size factors from the occurrence stream -- the classic
+    heavy-aggregation shape Spark's partial aggregation handles
+    without skew tricks."""
+    d = load(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokens_col()).alias("token"))
+    stats = occ.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return stats.crossJoin(F.broadcast(total))
