@@ -32,37 +32,59 @@ def load(
 ) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    rejects by default: read it as raw nanos (legacy conf, runtime-
-    settable) and floor-convert to a microsecond TimestampType -- the
-    same truncation DuckDB applies when it hands ns values to µs
-    consumers, so oracle comparisons stay exact at µs granularity.
+    ``events.ts`` has shipped in two physical encodings across fixture
+    generations: parquet TIMESTAMP(NANOS) (which Spark 4 rejects unless
+    read as raw-nanos long under a legacy conf) and plain
+    TIMESTAMP(MICROS) (inferred as TIMESTAMP_NTZ). Detect which one is
+    on disk and normalize both to a microsecond TimestampType with the
+    same wall-clock values DuckDB sees, so oracle comparisons stay
+    exact at µs granularity regardless of fixture vintage.
     """
     if name == "events":
-        from pyspark.sql import functions as F
+        df = _load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if parallelize:
+        df = _ensure_parallel(spark, df)
+    return df
 
-        # The legacy conf only matters while spark.read.parquet infers
-        # the footer schema (ts arrives as raw nanos long); restore the
-        # previous value right after so the session-global setting
-        # doesn't leak into later reads of OTHER ns-timestamp files
-        # (verified: the planned scan keeps its baked schema and reads
-        # identical values after the restore).
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, normalizing ``ts`` to TimestampType.
+
+    * TIMESTAMP(MICROS) fixtures infer as TIMESTAMP_NTZ: cast to the
+      session-zoned TimestampType. The cast interprets the naive value
+      in the session timezone and collection converts back with the
+      same zone, so the wall-clock value round-trips identically for
+      ANY session timezone -- downstream operators keep seeing the one
+      TimestampType they were written against.
+    * TIMESTAMP(NANOS) fixtures fail plain schema inference; re-read
+      with the legacy nanos-as-long conf (scoped to the inference call
+      -- the planned scan keeps its baked schema after the restore) and
+      floor-convert ns -> µs, the same truncation DuckDB applies.
+    """
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        df = None
+    if df is None:
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = spark.read.parquet(path)
         finally:
             if prev is None:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if parallelize:
-        df = _ensure_parallel(spark, df)
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -45,23 +45,41 @@ def _nanos_conf(spark: SparkSession):
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NANOS = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+EVENTS_SCHEMA_MICROS = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ns ts -> µs timestamp,
-    same conversion as catalog.load). The nanosAsLong conf the read
-    needs is scoped to the drain in _run_to_table, not set here."""
+    """File-source stream over the events parquet, normalizing ts to a
+    µs TimestampType (same normalization as catalog._load_events).
+
+    The file source needs a declared schema, and the fixture has shipped
+    with ts as both TIMESTAMP(NANOS) (stream-read as BIGINT under the
+    nanosAsLong conf scoped to the drain in _run_to_table) and
+    TIMESTAMP(MICROS) (stream-read as TIMESTAMP_NTZ): probe the footer
+    with a one-off batch read to pick the matching schema."""
+    try:
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+        nanos = dict(batch.dtypes).get("ts") == "bigint"
+    except Exception:  # nanos footers fail plain schema inference
+        nanos = True
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(
+            EVENTS_SCHEMA_NANOS if nanos else EVENTS_SCHEMA_MICROS
+        )
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
