@@ -1,6 +1,7 @@
 """Operator modules. Importing this package populates the query registry."""
 
 from metadata_extractors_api_spark.operators import analytics  # noqa: F401
+from metadata_extractors_api_spark.operators import corpus  # noqa: F401
 from metadata_extractors_api_spark.operators import extended  # noqa: F401
 from metadata_extractors_api_spark.operators import extras  # noqa: F401
 from metadata_extractors_api_spark.operators import llm  # noqa: F401

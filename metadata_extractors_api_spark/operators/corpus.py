@@ -1,0 +1,316 @@
+"""Corpus- and cohort-level analytics: shuffle-free per-document
+quality screens (Gopher-style rule gates, repetition ratios), exact
+TF-IDF ranking, cohort retention, and co-occurrence graph analytics.
+
+These extend the training-data-pipeline family (SURVEY.md §2.B.11)
+with the document-level screens a 100 TB curation run applies BEFORE
+the pairwise dedup passes: every per-document metric here is computed
+with array higher-order functions inside whole-stage codegen -- zero
+shuffles, zero UDFs -- so the screen cost is one map pass over the
+corpus no matter the scale. Corpus-relative metrics (TF-IDF, cohort
+retention, triangles) use the minimum number of key-partitioned
+aggregations and document their exchange reuse.
+
+All arithmetic is exact-integer or single-IEEE-division so Spark and
+the DuckDB oracle agree bitwise (cross-libm transcendentals are the
+only non-portable ops; none are used -- see text_term_df's rationale at
+llm.py:1892).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.operators.llm import tokens_col
+from metadata_extractors_api_spark.registry import register
+
+
+@register(
+    "win_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    coh AS (
+      SELECT user_id, d,
+             MIN(d) OVER (PARTITION BY user_id) AS c
+      FROM act)
+    SELECT strftime(c, '%Y-%m-%d') AS cohort_day,
+           datediff('day', c, d) AS offset_days,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM coh
+    GROUP BY 1, 2
+    """,
+)
+def win_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each later active day (the offset-days triangle every growth
+    dashboard draws). Scale: ONE shuffle on user_id serves both the
+    (user, day) dedup and the first-day window -- the min-over-window
+    replaces the usual groupBy+join-back, so the cohort assignment
+    reuses the dedup's hash partitioning instead of adding an exchange;
+    the final (cohort, offset) aggregation is a partial-agg rollup of
+    at most days² cells per partition."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    act = ev.distinct()
+    w = Window.partitionBy("user_id")
+    coh = act.withColumn("c", F.min("d").over(w))
+    return coh.groupBy(
+        F.date_format("c", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff("d", "c").alias("offset_days"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+def _bigrams(tk):
+    """Adjacent-bigram array via HOF (empty when fewer than 2 tokens).
+
+    Spelled as a SQL expr: sequence(1, size-1) must be guarded because
+    Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of returning
+    empty like DuckDB's range(1, 1).
+    """
+    return F.when(F.size(tk) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+            ),
+        )
+    )
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(tk) AS n_words,
+             list_reduce(list_transform(tk, x -> len(x)), (a, b) -> a + b)
+                 AS sum_wlen,
+             list_max(list_transform(list_distinct(tk),
+                      t2 -> len(list_filter(tk, x -> x = t2)))) AS max_tok_cnt,
+             len(list_distinct(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1]))) AS uniq_bigrams,
+             greatest(len(tk) - 1, 0) AS n_bigrams
+      FROM t)
+    SELECT doc_id, n_words, sum_wlen, max_tok_cnt, uniq_bigrams, n_bigrams,
+           (n_words BETWEEN 10 AND 1000
+            AND sum_wlen BETWEEN 2 * n_words AND 8 * n_words
+            AND max_tok_cnt * 5 <= n_words
+            AND 2 * uniq_bigrams >= n_bigrams) AS keep
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1
+    repetition/length rules, adapted to the fixture's punctuation-free
+    corpus): word-count bounds, mean-word-length bounds, max
+    single-token dominance, and duplicate-bigram fraction, combined
+    into one keep flag. Every metric -- including per-token counts and
+    bigram distinctness -- is an array HOF on the tokens of THIS row,
+    so the whole screen is a single codegen'd map pass: no explode, no
+    shuffle, embarrassingly parallel at any corpus size (the per-doc
+    HOF cost is O(words · distinct-words), bounded by document length,
+    not corpus size). Mean bounds are cross-multiplied to stay in
+    exact integers (sum_wlen/n ∈ [2,8]  ⇔  sum_wlen ∈ [2n, 8n])."""
+    tk = tokens_col()
+    d = load(spark, sf_dir, "documents").select("doc_id", tk.alias("tk"))
+    m = d.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform("tk", lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        ).alias("sum_wlen"),
+        F.array_max(
+            F.transform(
+                F.array_distinct("tk"),
+                lambda t2: F.size(F.filter("tk", lambda x: x == t2)),
+            )
+        ).cast("bigint").alias("max_tok_cnt"),
+        F.size(F.array_distinct(_bigrams(F.col("tk")))).cast("bigint").alias(
+            "uniq_bigrams"
+        ),
+        F.greatest(F.size("tk") - 1, F.lit(0)).cast("bigint").alias("n_bigrams"),
+    )
+    keep = (
+        F.col("n_words").between(10, 1000)
+        & F.col("sum_wlen").between(2 * F.col("n_words"), 8 * F.col("n_words"))
+        & (F.col("max_tok_cnt") * 5 <= F.col("n_words"))
+        & (2 * F.col("uniq_bigrams") >= F.col("n_bigrams"))
+    )
+    return m.withColumn("keep", keep)
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN []
+                  ELSE list_transform(range(1, len(tk) - 1),
+                       i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END
+                 AS tri
+      FROM t)
+    SELECT doc_id,
+           len(tri) AS n_tri,
+           len(list_distinct(tri)) AS uniq_tri,
+           CASE WHEN len(tri) = 0 THEN 0.0
+                ELSE ROUND((len(tri) - len(list_distinct(tri)))
+                           * 1.0 / len(tri), 6) END AS dup_frac
+    FROM g
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-trigram fraction per document -- the "repeated
+    n-gram" repetition signal (Gopher §A1.1) that catches boilerplate
+    and degenerate generations before any corpus-wide dedup runs.
+    Same shuffle-free HOF shape as text_gopher_rules; the one division
+    is a single IEEE double op (bit-identical across engines), guarded
+    for short documents."""
+    tk = tokens_col()
+    d = load(spark, sf_dir, "documents").select("doc_id", tk.alias("tk"))
+    tri = F.when(F.size("tk") < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("tk"), i),
+                F.element_at(F.col("tk"), i + 1),
+                F.element_at(F.col("tk"), i + 2),
+            ),
+        )
+    )
+    g = d.select("doc_id", tri.alias("tri"))
+    n_tri = F.size("tri").cast("bigint")
+    uniq = F.size(F.array_distinct("tri")).cast("bigint")
+    dup = F.when(n_tri == 0, F.lit(0.0)).otherwise(
+        F.round((n_tri - uniq) * F.lit(1.0) / n_tri, 6)
+    )
+    return g.select(
+        "doc_id",
+        n_tri.alias("n_tri"),
+        uniq.alias("uniq_tri"),
+        dup.alias("dup_frac"),
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROUND((tf.tf * n.n_docs) * 1.0 / df.df, 6) AS score,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY (tf.tf * n.n_docs) * 1.0 / df.df DESC,
+                                         df.df ASC, tf.token ASC) AS rk
+      FROM tf JOIN df USING (token) CROSS JOIN n)
+    SELECT doc_id, token, tf, df, score
+    FROM scored WHERE rk <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by rational TF-IDF
+    (tf · N / df -- the log is deliberately omitted: ordering by
+    tf·N/df equals ordering by tf·ln-IDF for fixed tf sign, and the
+    integer-product-then-one-division form is bit-stable across
+    engines where ln() is not; see text_term_df). Scale: the occurrence
+    stream shuffles once on (doc, token) for TF and once on token for
+    DF -- both map-side combinable; the DF relation is vocabulary-
+    sized (shrinks by corpus factors) and AQE picks broadcast vs
+    shuffle for the join back; the corpus size broadcasts as a 1-row
+    dim; per-doc top-3 is one rank window over the doc's own terms."""
+    d = load(spark, sf_dir, "documents")
+    occ = d.select("doc_id", F.explode(tokens_col()).alias("token"))
+    tf = occ.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = occ.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")) * F.lit(1.0) / F.col("df")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(score.desc(), F.asc("df"), F.asc("token"))
+    )
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "df", F.round(score, 6).alias("score"))
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e1.s2 = e2.s1
+      JOIN e e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2)
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(DISTINCT s) FROM
+              (SELECT s1 AS s FROM e UNION SELECT s2 FROM e) v(s)) AS n_nodes,
+           (SELECT n_triangles FROM tri) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-supply graph (suppliers joined when
+    they ship the same part): the standard clustering-coefficient
+    numerator, in the oriented-edge enumeration (a<b<c) that counts
+    each triangle exactly once. Complements graph_pagerank as the
+    second graph-analytics primitive. Scale: edge construction is
+    bounded by suppliers-per-part (a per-key quadratic the skew guard
+    pattern of the LSH family applies to verbatim if a part had
+    pathological supplier fan-out); the triangle join is two hash
+    equi-joins on single endpoints -- the b-endpoint join dominates
+    with |E|·avg-degree probes, the textbook distributed triangle
+    plan. The edge list appears three times in the plan as the SAME
+    subtree, so its build (scan + two exchanges) is shared via Spark's
+    ReusedExchange rather than an explicit cache."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    b = ps.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s2")
+    )
+    e = (
+        ps.select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s1"))
+        .join(b, "p")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    e1 = e.select(F.col("s1").alias("a"), F.col("s2").alias("b_"))
+    e2 = e.select(F.col("s1").alias("b_"), F.col("s2").alias("c"))
+    e3 = e.select(F.col("s1").alias("a"), F.col("s2").alias("c"))
+    tri = e1.join(e2, "b_").join(e3, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nodes = (
+        e.select(F.col("s1").alias("s"))
+        .union(e.select("s2"))
+        .agg(F.count_distinct("s").alias("n_nodes"))
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges.crossJoin(F.broadcast(nodes)).crossJoin(F.broadcast(tri))
+    )

@@ -427,3 +427,123 @@ def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u32 < F.col("threshold"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "tpch_q7_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations, adapted to
+    fixture columns): the 6-relation join with a disjunctive cross-
+    nation predicate, grouped by nation pair and ship year. Scale: all
+    four dimensions (supplier, customer, nation x2) broadcast, so the
+    ONLY growing exchange is lineitem joining orders on the order key;
+    the nation filter cannot be pushed into either fact scan (it spans
+    both sides of the disjunction) but the supplier/customer broadcasts
+    carry their nation keys, so rows drop at the first two map-side
+    joins -- the same early-reduction Catalyst picks for the official
+    Q7. Year extraction is a string formatting, not a timezone-
+    dependent EXTRACT, to stay oracle-portable."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    rev = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.date_format("l_shipdate", "yyyy").cast("bigint").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q14_promo",
+    oracle="""
+    SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+           CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                               * (1 - CAST(l.l_discount AS DECIMAL(6,2)))
+                          ELSE 0 END), 2) AS DOUBLE) AS promo_revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,2)))), 2)
+                AS DOUBLE) AS total_revenue,
+           ROUND(100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                               * (1 - CAST(l.l_discount AS DECIMAL(6,2)))
+                          ELSE 0 END), 2) AS DOUBLE)
+                 / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,2)))), 2)
+                        AS DOUBLE), 4) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share, adapted: the fixture's
+    p_type domain is flat labels, so the predicate is equality on
+    'PROMO' and the result is broken out monthly instead of one
+    global row -- more rows to hash-check). Scale: part broadcasts
+    (dimension), so the plan is scan -> map-side join -> one grouped
+    aggregation; the conditional revenue uses the same exact-DECIMAL
+    sums as every money aggregate here, and the percentage is a single
+    IEEE division of the two already-rounded doubles (bit-stable)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    rev = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(14,2)")
+    )
+    promo_d = F.round(F.sum(promo), 2).cast("double")
+    total_d = F.round(F.sum(rev), 2).cast("double")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            promo_d.alias("promo_revenue"),
+            total_d.alias("total_revenue"),
+            F.round(F.lit(100.0) * promo_d / total_d, 4).alias("promo_pct"),
+        )
+        .orderBy("ship_month")
+    )

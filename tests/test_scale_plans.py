@@ -169,3 +169,36 @@ def test_pii_mask_is_single_pass_codegen(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("FileScan parquet") == 1
+
+
+def test_gopher_rules_is_shuffle_free(spark, sf_dir):
+    # The whole quality screen must stay a single map pass: array HOFs
+    # in codegen, no explode-driven aggregation, no exchange at all.
+    plan = _plan(mdx.QUERIES["text_gopher_rules"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # codegen stages present (starred in toString)
+
+
+def test_repetition_ratio_is_shuffle_free(spark, sf_dir):
+    plan = _plan(mdx.QUERIES["text_repetition_ratio"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_tpch_q7_broadcasts_all_dims(spark, sf_dir):
+    # supplier, customer, and both nation roles broadcast; the only
+    # growing exchange is lineitem joining orders on the order key.
+    plan = _plan(mdx.QUERIES["tpch_q7_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "Exchange hashpartitioning(l_suppkey" not in plan
+
+
+def test_triangle_count_reuses_edge_subplan(spark, sf_dir):
+    # The oriented edge list feeds three join roles; the executed plan
+    # must share its build (ReusedExchange), not rebuild the edge list
+    # per role. Reuse is an AQE runtime decision, so execute first and
+    # assert on the FINAL adaptive plan.
+    df = mdx.QUERIES["graph_triangle_count"](spark, sf_dir)
+    row = df.collect()[0]
+    assert row["n_triangles"] >= 0 and row["n_edges"] >= row["n_nodes"] - 1
+    plan = _plan(df)
+    assert "ReusedExchange" in plan or "ReusedSubquery" in plan
