@@ -314,3 +314,52 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         edges.crossJoin(F.broadcast(nodes)).crossJoin(F.broadcast(tri))
     )
+
+
+@register(
+    "win_gap_islands",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM act),
+    runs AS (
+      SELECT user_id, anchor, COUNT(*) AS len,
+             strftime(MIN(d), '%Y-%m-%d') AS start_day
+      FROM isl GROUP BY user_id, anchor)
+    SELECT user_id,
+           COUNT(*) AS n_streaks,
+           MAX(len) AS longest_streak,
+           MIN(start_day) AS first_day
+    FROM runs GROUP BY user_id
+    """,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the classic anchor trick (day minus row_number is constant within a
+    run of consecutive days). The inverse view of win_sessionize --
+    sessionize groups by GAP, this groups by CONTIGUITY -- and the
+    missing member of the window family. Scale: one shuffle on user_id
+    serves the dedup, the row_number window, and (via partial
+    aggregation on the same key prefix) both rollups; nothing
+    re-partitions after the first exchange."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    act = ev.distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = act.withColumn(
+        "anchor", F.date_sub("d", F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("start_day"),
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.min("start_day").alias("first_day"),
+    )

@@ -1909,3 +1909,116 @@ def text_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = d.agg(F.count(F.lit(1)).alias("n_docs"))
     return stats.crossJoin(F.broadcast(total))
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(tk[i:i+2], ' '))) AS shingle_list
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(shingle_list) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+    df AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+    rare AS (
+      SELECT ex.doc_id, ex.shingle FROM ex JOIN df USING (shingle)
+      WHERE df.df <= 50),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN ex a ON a.doc_id = c.doc_a
+      JOIN ex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b,
+           round(i * 1.0 / least(sa.n, sb.n), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / least(sa.n, sb.n) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (quote / subset detection): flags
+    pairs where the SMALLER document's shingle set is mostly inside the
+    larger one -- the near-dup class Jaccard misses (a long page quoting
+    a short doc has low Jaccard but containment ~1). Unbounded and
+    corpus-wide, in the two-phase scale shape:
+
+    1. Candidate generation over the RARE-shingle inverted index only
+       (document frequency <= 50): hot boilerplate shingles are the
+       quadratic-bucket risk in any index self-join, and dropping them
+       for candidate gen is the standard stopword guard -- NOT a silent
+       cap, because phase 2 recomputes the intersection over ALL
+       shingles of the surviving pairs, so the drop only costs recall
+       for pairs sharing exclusively-hot shingles (which containment
+       semantics do not target). Pairs must share >= 2 rare shingles.
+    2. Exact verification: the full shingle relation joins back to the
+       candidate pairs (fact-to-candidate semi-shape) and true
+       containment = |A∩B| / min(|A|,|B|) is an exact-integer ratio in
+       one IEEE division.
+
+    Scale: both phases are equi-joins on shingle/doc keys with
+    map-side-combinable counts; the df relation doubles as the skew
+    census (same observability as dedup_minhash_bucket_stats)."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    ex = d.select("doc_id", tokens_col().alias("_toks")).select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles_col(toks=F.col("_toks")))).alias(
+            "shingle"
+        ),
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_rel = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = ex.join(df_rel.filter(F.col("df") <= 50), "shingle").select(
+        "doc_id", "shingle"
+    )
+    ra, rb = rare.alias("ra"), rare.alias("rb")
+    cand = (
+        ra.join(
+            rb,
+            (F.col("ra.shingle") == F.col("rb.shingle"))
+            & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+        )
+        .groupBy(
+            F.col("ra.doc_id").alias("doc_a"), F.col("rb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("doc_a", "doc_b")
+    )
+    a = ex.withColumnsRenamed({"doc_id": "doc_a"})
+    b = ex.withColumnsRenamed({"doc_id": "b_doc", "shingle": "shingle_b"})
+    inter = (
+        cand.join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b_doc"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "n_a"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "n_b"})
+    c_raw = F.col("i") / F.least("n_a", "n_b")
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(c_raw >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_a",
+            "n_b",
+            F.round(c_raw, 6).alias("containment"),
+        )
+    )

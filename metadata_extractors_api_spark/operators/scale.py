@@ -239,3 +239,153 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("fp").cast("int").alias("files_after")
     )
     return audit.crossJoin(files_before).crossJoin(files_after)
+
+
+# Bloom filter geometry: 4096 bits as 128 x 32-bit words (32-bit masks
+# keep every shift below the int64 sign bit in both engines), 4 probes
+# per key via double hashing p_i = (h1 + i*h2) mod 4096.
+_BLOOM_BITS = 4096
+_BLOOM_WORD = 32
+_BLOOM_K = 4
+
+
+def _h32(col, salt: str):
+    """Portable 32-bit hash (md5 prefix), identical in Spark and DuckDB."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _bloom_oracle() -> str:
+    probes = ", ".join(f"({i})" for i in range(_BLOOM_K))
+    return f"""
+    WITH keys AS (
+      SELECT DISTINCT c_custkey AS k FROM customer
+      WHERE c_mktsegment = 'BUILDING'),
+    kh AS (
+      SELECT k,
+        ('0x' || substr(md5('b1' || CAST(k AS VARCHAR)), 1, 8))::BIGINT AS h1,
+        ('0x' || substr(md5('b2' || CAST(k AS VARCHAR)), 1, 8))::BIGINT AS h2
+      FROM keys),
+    probes(i) AS (VALUES {probes}),
+    kp AS (
+      SELECT ((h1 + i * h2) % {_BLOOM_BITS} + {_BLOOM_BITS}) % {_BLOOM_BITS} AS p
+      FROM kh CROSS JOIN probes),
+    words AS (
+      SELECT p // {_BLOOM_WORD} AS w,
+             bit_or(1::BIGINT << (p % {_BLOOM_WORD})) AS bits
+      FROM kp GROUP BY 1),
+    ph AS (
+      SELECT o_orderkey, o_custkey,
+        ('0x' || substr(md5('b1' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h1,
+        ('0x' || substr(md5('b2' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h2
+      FROM orders),
+    pp AS (
+      SELECT o_orderkey, o_custkey,
+             ((h1 + i * h2) % {_BLOOM_BITS} + {_BLOOM_BITS}) % {_BLOOM_BITS} AS p
+      FROM ph CROSS JOIN probes),
+    hit AS (
+      SELECT pp.o_orderkey, pp.o_custkey,
+             CASE WHEN w.bits IS NOT NULL
+                  AND (w.bits & (1::BIGINT << (pp.p % {_BLOOM_WORD}))) <> 0
+                  THEN 1 ELSE 0 END AS bit_set
+      FROM pp LEFT JOIN words w ON w.w = pp.p // {_BLOOM_WORD}),
+    verdict AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(min(bit_set) AS BOOLEAN) AS bloom_pass
+      FROM hit GROUP BY 1, 2)
+    SELECT COUNT(*) AS n_probe,
+           COUNT(*) FILTER (bloom_pass) AS n_pass,
+           COUNT(*) FILTER (o_custkey IN (SELECT k FROM keys)) AS n_true,
+           COUNT(*) FILTER (bloom_pass AND o_custkey NOT IN
+                            (SELECT k FROM keys)) AS n_false_pos,
+           (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) FROM words)
+               AS bits_set
+    FROM verdict
+    """
+
+
+@register("agg_bloom_prefilter", oracle=_bloom_oracle())
+def agg_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom-filter semi-join reduction, with its accuracy
+    audited: build a 4096-bit / 4-hash Bloom over the BUILDING-segment
+    customer keys (one bit_or aggregation into 128 words -- a
+    dimension-sized table), probe every order through it, and emit the
+    audit row (probes, bloom passes, exact matches, false positives,
+    bits set). This is the runtime-filter pattern that cuts shuffle
+    volume before a big join at 100 TB: the probe side drops
+    non-matching rows at the SCAN with a broadcast of 128 words instead
+    of shuffling the full fact to discover the miss (Spark's own
+    spark.sql.optimizer.runtime.bloomFilter does this invisibly; this
+    operator materializes it where the application controls the filter,
+    e.g. cross-table prefilters AQE cannot see). All hashing is
+    md5-derived and the verdict is exact integers, so the false-
+    positive count is oracle-checkable, not asserted from theory."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    keys = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    probes = spark.range(_BLOOM_K).select(F.col("id").alias("i"))
+    pos = (F.col("h1") + F.col("i") * F.col("h2")) % _BLOOM_BITS
+    pos = (pos + _BLOOM_BITS) % _BLOOM_BITS
+    kp = (
+        keys.withColumns(
+            {"h1": _h32(F.col("k"), "b1"), "h2": _h32(F.col("k"), "b2")}
+        )
+        .crossJoin(F.broadcast(probes))
+        .select(pos.alias("p"))
+    )
+    mask = F.expr(f"shiftleft(cast(1 as bigint), cast(p % {_BLOOM_WORD} as int))")
+    words = kp.groupBy(
+        (F.col("p") / _BLOOM_WORD).cast("bigint").alias("w")
+    ).agg(F.bit_or(mask).alias("bits"))
+    pp = (
+        o.select("o_orderkey", "o_custkey")
+        .withColumns(
+            {
+                "h1": _h32(F.col("o_custkey"), "b1"),
+                "h2": _h32(F.col("o_custkey"), "b2"),
+            }
+        )
+        .crossJoin(F.broadcast(probes))
+        .select("o_orderkey", "o_custkey", pos.alias("p"))
+    )
+    hit = pp.join(
+        F.broadcast(words),
+        (F.col("p") / _BLOOM_WORD).cast("bigint") == F.col("w"),
+        "left",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(mask) != 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("bit_set"),
+    )
+    verdict = hit.groupBy("o_orderkey", "o_custkey").agg(
+        (F.min("bit_set") == 1).alias("bloom_pass")
+    )
+    truth = verdict.join(
+        F.broadcast(keys.withColumn("is_true", F.lit(1))),
+        F.col("o_custkey") == F.col("k"),
+        "left",
+    )
+    bits_total = words.agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("bits_set")
+    )
+    audit = truth.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.count_if(F.col("bloom_pass")).alias("n_pass"),
+        F.count_if(F.col("is_true").isNotNull()).alias("n_true"),
+        F.count_if(F.col("bloom_pass") & F.col("is_true").isNull()).alias(
+            "n_false_pos"
+        ),
+    )
+    return audit.crossJoin(F.broadcast(bits_total))
