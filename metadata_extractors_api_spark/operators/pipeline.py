@@ -642,3 +642,181 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return ranks.select("node", F.col("rank").alias("rank_units"))
+
+
+# --- product-quantization ANN (PQ codebooks -> ADC scan) -------------------
+#
+# The third ANN topology next to the LSH buckets and the IVF partitions:
+# compress every vector to PQ_S one-byte codes (nearest codebook entry
+# per subspace), then answer queries by Asymmetric Distance Computation
+# -- a lookup-table sum over the codes, never touching the raw floats.
+# At 100 TB this is the memory path: 64 dims x 4 bytes become 4 code
+# bytes per vector (64x), the codebook (PQ_S*PQ_K*PQ_SUBD rows) and the
+# per-query distance table (PQ_S*PQ_K rows) broadcast everywhere, and
+# the scan is one broadcast join + groupBy over the code table. All
+# arithmetic is exact int64 on KM_SCALE-quantized coordinates, so
+# training, encoding, and the ADC ranking hash-match one generated
+# DuckDB statement (same regime as kmeans_train).
+PQ_S = 4  # subspaces
+PQ_SUBD = 16  # dims per subspace (4 x 16 = the fixture's 64)
+PQ_K = 8  # codebook entries per subspace
+PQ_ITERS = 1  # Lloyd refinement rounds over the deterministic init
+PQ_QUERY = 0  # probe vector
+PQ_TOPK = 10
+
+
+def _pq_chain() -> tuple[str, str, str]:
+    """Unrolled PQ training CTEs; returns (chain, codes_cte, cent_cte)."""
+
+    def dist(name: str, cent: str) -> str:
+        return f"""{name} AS (
+      SELECT p.vec_id, p.s, c.cluster,
+             SUM((p.xs - c.c) * (p.xs - c.c)) AS dist
+      FROM pq_pts p JOIN {cent} c ON c.s = p.s AND c.d = p.d
+      GROUP BY 1, 2, 3)"""
+
+    def assign(name: str, dist_cte: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, s, cluster FROM (
+        SELECT vec_id, s, cluster,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, cluster) AS rn
+        FROM {dist_cte})
+      WHERE rn = 1)"""
+
+    def update(name: str, assign_cte: str) -> str:
+        return f"""{name} AS (
+      SELECT a.s, a.cluster, p.d,
+             CAST(floor(CAST(SUM(p.xs) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM {assign_cte} a
+      JOIN pq_pts p ON p.vec_id = a.vec_id AND p.s = a.s
+      GROUP BY 1, 2, 3)"""
+
+    parts = [
+        f"""pq_pts AS (
+      SELECT vec_id,
+             (i - 1) // {PQ_SUBD} AS s,
+             (i - 1) % {PQ_SUBD} AS d,
+             CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS xs
+      FROM (SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS i,
+                   unnest(embedding) AS x
+            FROM embeddings))""",
+        f"""pq_c0 AS (
+      SELECT vec_id - 1 AS cluster, s, d, xs AS c
+      FROM pq_pts WHERE vec_id BETWEEN 1 AND {PQ_K})""",
+    ]
+    cent = "pq_c0"
+    for i in range(1, PQ_ITERS + 1):
+        parts += [
+            dist(f"pq_d{i}", cent),
+            assign(f"pq_a{i}", f"pq_d{i}"),
+            update(f"pq_c{i}", f"pq_a{i}"),
+        ]
+        cent = f"pq_c{i}"
+    final = PQ_ITERS + 1
+    parts += [dist(f"pq_d{final}", cent), assign(f"pq_codes", f"pq_d{final}")]
+    return ",\n    ".join(parts), "pq_codes", cent
+
+
+def _pq_oracle() -> str:
+    chain, codes, cent = _pq_chain()
+    return f"""
+    WITH {chain},
+    qd AS (
+      SELECT c.s, c.cluster, SUM((q.xs - c.c) * (q.xs - c.c)) AS qdist
+      FROM pq_pts q JOIN {cent} c ON c.s = q.s AND c.d = q.d
+      WHERE q.vec_id = {PQ_QUERY}
+      GROUP BY 1, 2)
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(adc_dist AS BIGINT) AS adc_dist FROM (
+      SELECT a.vec_id, SUM(q.qdist) AS adc_dist
+      FROM {codes} a JOIN qd q ON q.s = a.s AND q.cluster = a.cluster
+      GROUP BY 1)
+    ORDER BY adc_dist, vec_id
+    LIMIT {PQ_TOPK}
+    """
+
+
+def _pq_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings in PQ long format (vec_id, subspace, local dim, exact
+    int64 coordinate), computed once per query run."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+        .select(
+            "vec_id",
+            F.expr(f"i div {PQ_SUBD}").alias("s"),
+            (F.col("i") % PQ_SUBD).alias("d"),
+            F.floor(F.col("x").cast("double") * F.lit(float(KM_SCALE)))
+            .cast("bigint")
+            .alias("xs"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _pq_dist(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    diff = F.col("xs") - F.col("c")
+    return (
+        pts.join(F.broadcast(cent), ["s", "d"])
+        .groupBy("vec_id", "s", "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+
+
+def _pq_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    w = Window.partitionBy("vec_id", "s").orderBy("dist", "cluster")
+    return (
+        _pq_dist(pts, cent)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "cluster")
+    )
+
+
+@register("sim_ann_pq", oracle=_pq_oracle())
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: train per-subspace codebooks (PQ_ITERS
+    Lloyd rounds from the deterministic vec_id 1..K init), encode every
+    vector as its nearest code per subspace, and rank the corpus for
+    the probe vector by Asymmetric Distance Computation -- the summed
+    per-subspace distance between the query's subvectors and each
+    vector's CODEWORDS. Returns the top-10 (vec_id, adc_dist).
+
+    Scale: the trained codebook (S*K*subD rows) and the per-query
+    distance table (S*K rows) are broadcast dimensions; encoding is one
+    broadcast join + (vec_id, s) aggregation over the long-format
+    corpus, and the ADC scan joins the 4-codes-per-vector table to the
+    32-row distance table -- no raw-vector access at query time, which
+    is the point: at 100 TB the float embeddings stay in cold storage
+    and the scan runs over the 64x-smaller code table. Exact int64
+    throughout => the full train->encode->rank path hash-matches the
+    unrolled oracle."""
+    pts = _pq_pts(spark, sf_dir)
+    cent = pts.filter(F.col("vec_id").between(1, PQ_K)).select(
+        (F.col("vec_id") - 1).alias("cluster"), "s", "d", F.col("xs").alias("c")
+    )
+    for _ in range(PQ_ITERS):
+        a = _pq_assign(pts, cent)
+        cent = (
+            a.join(pts, ["vec_id", "s"])
+            .groupBy("s", "cluster", "d")
+            .agg(
+                F.floor(F.sum("xs") / F.count(F.lit(1))).cast("bigint").alias("c")
+            )
+        )
+    codes = _pq_assign(pts, cent)
+    qd = (
+        pts.filter(F.col("vec_id") == PQ_QUERY)
+        .join(F.broadcast(cent), ["s", "d"])
+        .groupBy("s", "cluster")
+        .agg(F.sum((F.col("xs") - F.col("c")) * (F.col("xs") - F.col("c"))).alias("qdist"))
+    )
+    return (
+        codes.join(F.broadcast(qd), ["s", "cluster"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(PQ_TOPK)
+    )

@@ -418,3 +418,12 @@ def test_quantize_bounds_and_reconstruction(spark, sf_dir):
         q = [math.floor(float(x) * 127 / amax) for x in emb]
         assert got[vid]["q_sum"] == sum(q)
         assert all(-127 <= c <= 127 for c in q)
+
+
+def test_sim_ann_pq_ranking_invariants(spark, sf_dir):
+    import metadata_extractors_api_spark as mdx
+
+    rows = mdx.QUERIES["sim_ann_pq"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    dists = [r["adc_dist"] for r in rows]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
