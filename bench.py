@@ -50,6 +50,13 @@ HEADLINE = [
     "tpch_q10_returns",
     "tpch_q18_large_orders",
     "text_bigrams",
+    # round-3 additions: shuffle-free quality screens, containment
+    # dedup, PQ-compressed ANN, Bloom semi-join reduction, Q7
+    "text_gopher_rules",
+    "dedup_containment",
+    "sim_ann_pq",
+    "agg_bloom_prefilter",
+    "tpch_q7_volume",
 ]
 
 RUNS = 5

@@ -950,3 +950,48 @@ def win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts2_us").alias("purchase_ts_us"),
         F.expr("(ts2_us - ts_us) div 1000000").alias("funnel_secs"),
     )
+
+
+@register(
+    "cdc_merge_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    last AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT user_id, event_type AS last_op, ts AS last_ts, value AS last_value
+    FROM last
+    WHERE event_type <> 'error'
+    """,
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (last-writer-wins upsert apply): collapse a change
+    stream to final state per key -- the batch core of every MERGE
+    INTO / upsert-materialization pipeline. Ops are the fixture's
+    event types; 'error' rows act as deletes, so a key whose LAST
+    change is a delete leaves the snapshot entirely. Scale: one
+    shuffle on the merge key and one row_number window ordered by
+    (ts, event_id) -- the event_id tiebreak makes replays
+    deterministic under same-timestamp races, which is what keeps
+    exactly-once semantics honest when a CDC source retries. The
+    delete filter runs AFTER last-wins resolution (a delete must beat
+    earlier updates), which is the ordering bugs in hand-rolled merge
+    jobs usually get wrong."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+        )
+    )

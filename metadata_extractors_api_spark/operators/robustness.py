@@ -243,3 +243,74 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "id", "name", F.col("_corrupt_record").alias("corrupt_raw")
     )
+
+
+@register(
+    "profile_table",
+    oracle="""
+    SELECT 'l_quantity' AS col_name,
+           COUNT(*) - COUNT(l_quantity) AS n_null,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS VARCHAR) AS min_val,
+           CAST(MAX(l_quantity) AS VARCHAR) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           CAST(MIN(l_extendedprice) AS VARCHAR),
+           CAST(MAX(l_extendedprice) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag',
+           COUNT(*) - COUNT(l_returnflag),
+           COUNT(DISTINCT l_returnflag),
+           MIN(l_returnflag), MAX(l_returnflag)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate',
+           COUNT(*) - COUNT(l_shipdate),
+           COUNT(DISTINCT l_shipdate),
+           strftime(MIN(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S')
+    FROM lineitem
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiler (the df.summarize / data-quality audit shape):
+    null count, distinct count, and min/max per profiled column, in
+    long format. ONE scan computes every statistic -- the per-column
+    UNION in the oracle is the semantic spec, but the Spark plan
+    aggregates all 16 measures in a single partial+final HashAggregate
+    pass and unpivots the 1-row result with a stack() projection, so
+    profiling cost at 100 TB is one read of the table regardless of
+    how many columns are profiled. Min/max stringify AFTER the numeric
+    aggregation (profiling must not compare numerics lexically)."""
+    li = load(spark, sf_dir, "lineitem")
+    num = lambda c: [  # noqa: E731
+        (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+        F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+        F.min(c).cast("string").alias(f"min_{c}"),
+        F.max(c).cast("string").alias(f"max_{c}"),
+    ]
+    ts = lambda c: [  # noqa: E731
+        (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+        F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+        F.date_format(F.min(c), "yyyy-MM-dd HH:mm:ss").alias(f"min_{c}"),
+        F.date_format(F.max(c), "yyyy-MM-dd HH:mm:ss").alias(f"max_{c}"),
+    ]
+    one = li.agg(
+        *num("l_quantity"),
+        *num("l_extendedprice"),
+        *num("l_returnflag"),
+        *ts("l_shipdate"),
+    )
+    stack = ", ".join(
+        f"'{c}', null_{c}, nd_{c}, min_{c}, max_{c}"
+        for c in ["l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate"]
+    )
+    return one.select(
+        F.expr(
+            f"stack(4, {stack}) AS (col_name, n_null, n_distinct, min_val, max_val)"
+        )
+    )

@@ -547,3 +547,142 @@ def tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_1'
+                          THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                               * (1 - CAST(l.l_discount AS DECIMAL(6,2)))
+                          ELSE 0 END), 2) AS DOUBLE) AS nation_revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,2)))), 2)
+                AS DOUBLE) AS total_revenue,
+           ROUND(CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_1'
+                          THEN CAST(l.l_extendedprice AS DECIMAL(14,2))
+                               * (1 - CAST(l.l_discount AS DECIMAL(6,2)))
+                          ELSE 0 END), 2) AS DOUBLE)
+                 / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,2)))), 2)
+                        AS DOUBLE), 6) AS mkt_share
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share inside one region's
+    demand): the 7-relation join where one nation role filters the
+    CUSTOMER side (via region) and the other labels the SUPPLIER side
+    inside a conditional aggregate. Scale: every dimension broadcasts;
+    lineitem-orders is again the only shuffled join, and the region
+    filter reaches the customer broadcast BEFORE the fact join, so
+    non-ASIA demand drops map-side. Share = one IEEE division of the
+    two exact-DECIMAL sums."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select("n_nationkey", "n_regionkey")
+    cust_asia = (
+        c.join(F.broadcast(n2), c.c_nationkey == n2.n_nationkey)
+        .join(F.broadcast(r), n2.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    rev = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    nat_rev = F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+        F.lit(0).cast("decimal(14,2)")
+    )
+    nat_d = F.round(F.sum(nat_rev), 2).cast("double")
+    tot_d = F.round(F.sum(rev), 2).cast("double")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_asia), o.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy").cast("bigint").alias("o_year")
+        )
+        .agg(
+            nat_d.alias("nation_revenue"),
+            tot_d.alias("total_revenue"),
+            F.round(nat_d / tot_d, 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT p.p_brand,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,2)))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs
+    predicate spanning both join sides). The optimizer lesson this
+    query encodes: the disjunction itself cannot be pushed whole, but
+    Catalyst extracts the common-factor conjuncts per side --
+    l_quantity BETWEEN 1 AND 30 reaches the fact SCAN as a pushed
+    range and the brand/size disjuncts prune the part broadcast --
+    so the join sees a fraction of both inputs even though the full
+    predicate only resolves after the join. Verified in
+    tests/test_scale_plans.py (PushedFilters on l_quantity)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )

@@ -202,3 +202,28 @@ def test_triangle_count_reuses_edge_subplan(spark, sf_dir):
     assert row["n_triangles"] >= 0 and row["n_edges"] >= row["n_nodes"] - 1
     plan = _plan(df)
     assert "ReusedExchange" in plan or "ReusedSubquery" in plan
+
+
+def test_q19_disjunction_reaches_scan(spark, sf_dir):
+    # The OR-of-ANDs predicate cannot be applied whole before the join,
+    # but its per-side projection (the l_quantity range disjunction)
+    # must reach the fact scan as a pushed filter.
+    plan = _plan(mdx.QUERIES["tpch_q19_disjunctive"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1][:400]
+    assert "l_quantity" in pushed
+
+
+def test_q8_broadcasts_every_dimension(spark, sf_dir):
+    plan = _plan(mdx.QUERIES["tpch_q8_market_share"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "Exchange hashpartitioning(l_suppkey" not in plan
+
+
+def test_cdc_merge_single_shuffle(spark, sf_dir):
+    plan = _plan(mdx.QUERIES["cdc_merge_apply"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    plan = _plan(mdx.QUERIES["profile_table"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
