@@ -2022,3 +2022,91 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(c_raw, 6).alias("containment"),
         )
     )
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    oracle=f"""{_minhash_pairs_ctes()},
+    xinter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM exsh a JOIN exsh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    xpairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM xinter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5),
+    m AS (SELECT doc_a, doc_b FROM mh_pairs)
+    SELECT (SELECT COUNT(*) FROM xpairs) AS n_exact,
+           (SELECT COUNT(*) FROM m) AS n_lsh,
+           (SELECT COUNT(*) FROM xpairs p JOIN m
+              ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b) AS n_both,
+           (SELECT COUNT(*) FROM xpairs p JOIN m
+              ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b) * 1000000
+             // greatest((SELECT COUNT(*) FROM xpairs), 1) AS recall_e6
+    """,
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall, not the theoretical S-curve: ground-truth
+    near-dup pairs (full inverted-index exact Jaccard >= 0.5) compared
+    against what the banded minhash pipeline actually surfaced. Emits
+    (n_exact, n_lsh, n_both, recall_e6) -- the audit row a production
+    dedup deployment recomputes on a sampled slice whenever corpus
+    characteristics drift, because banding parameters tuned on last
+    year's data silently lose recall on this year's. Scale: the
+    ground-truth side is the expensive full index self-join, which is
+    exactly why it runs as an AUDIT on a bounded sample at 100 TB
+    (fixture = the sample here) while the LSH side is the production
+    path; the pair-set comparison is an equi-join on (doc_a, doc_b)
+    and the ratio is exact integer arithmetic."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    key = (id(spark), sf_dir)
+    ex = _JACCARD_EX_MEMO.get(key)
+    if ex is None:
+        ex = (
+            d.select("doc_id", tokens_col().alias("_toks"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(shingles_col(toks=F.col("_toks")))
+                ).alias("shingle"),
+            )
+            .localCheckpoint()
+        )
+        _JACCARD_EX_MEMO[key] = ex
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    xinter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"})
+    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"})
+    exact = (
+        xinter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")) >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    lsh = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    both = exact.join(lsh, ["doc_a", "doc_b"])
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_both = both.agg(F.count(F.lit(1)).alias("n_both"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_both))
+        .withColumn(
+            "recall_e6",
+            F.expr("n_both * 1000000 div greatest(n_exact, 1)"),
+        )
+    )

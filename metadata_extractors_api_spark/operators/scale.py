@@ -389,3 +389,78 @@ def agg_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return audit.crossJoin(F.broadcast(bits_total))
+
+
+# Z-order geometry: 16 low bits of each key interleaved into a 32-bit
+# Morton code; audit buckets of 2^16 code cells each (fixture key
+# ranges put the code well under 2^31, so this yields tens of buckets
+# at sf0.01 and ~1k at sf0.1 -- file-count-sized either way).
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 16
+
+
+def _z_value_expr(p: str, s: str, div: str) -> str:
+    """Bit-interleave rendered as pure integer arithmetic ((x div 2^i)
+    % 2 scaled back into place), identical text for Spark SQL (div) and
+    DuckDB (//) so both engines evaluate the same formula."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({p} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({s} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def _zorder_oracle() -> str:
+    z = _z_value_expr(f"(l_partkey % {1 << _Z_BITS})", f"(l_suppkey % {1 << _Z_BITS})", "//")
+    return f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             ({z}) // {1 << _Z_BUCKET_SHIFT} AS zbucket
+      FROM lineitem)
+    SELECT zbucket,
+           COUNT(*) AS n,
+           MIN(l_partkey) AS p_min, MAX(l_partkey) AS p_max,
+           MIN(l_suppkey) AS s_min, MAX(l_suppkey) AS s_max,
+           MAX(l_partkey) - MIN(l_partkey) AS p_span,
+           MAX(l_suppkey) - MIN(l_suppkey) AS s_span
+    FROM z GROUP BY zbucket
+    """
+
+
+@register("zorder_cluster_audit", oracle=_zorder_oracle())
+def zorder_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit: interleave the low 16 bits of
+    (l_partkey, l_suppkey) into a space-filling-curve code, bucket rows
+    by its high bits, and report per-bucket min/max SPANS of both keys.
+    This is the evidence behind multi-dimensional data skipping: under
+    a Z-order layout every bucket (= file at write time) covers a
+    narrow range in BOTH dimensions, so a reader filtering on EITHER
+    key prunes most buckets from footer stats alone -- a lexicographic
+    sort gives narrow spans on the leading key only. At 100 TB the
+    write path is `repartitionByRange(zvalue).sortWithinPartitions`
+    feeding the partitioned sink (sink_partitioned/sink_compaction show
+    that machinery); this operator is the layout-quality audit that
+    runs after such a write. The Morton code is rendered as pure
+    integer arithmetic -- one codegen'd expression, no UDF -- and the
+    audit is a single groupBy."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    z_sql = _z_value_expr(
+        f"(l_partkey % {1 << _Z_BITS})",
+        f"(l_suppkey % {1 << _Z_BITS})",
+        "div",
+    )
+    return (
+        li.withColumn(
+            "zbucket", F.expr(f"({z_sql}) div {1 << _Z_BUCKET_SHIFT}")
+        )
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("p_min"),
+            F.max("l_partkey").alias("p_max"),
+            F.min("l_suppkey").alias("s_min"),
+            F.max("l_suppkey").alias("s_max"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("p_span"),
+            (F.max("l_suppkey") - F.min("l_suppkey")).alias("s_span"),
+        )
+    )

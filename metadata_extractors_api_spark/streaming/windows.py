@@ -25,6 +25,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from metadata_extractors_api_spark.registry import register
 
@@ -412,3 +413,86 @@ def stream_incremental_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(sink)
+
+
+@register(
+    "stream_cdc_merge",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    last AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT user_id, event_type AS last_op, ts AS last_ts, value AS last_value
+    FROM last
+    WHERE event_type <> 'error'
+    """,
+)
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cdc_merge_apply: last-writer-wins upsert state
+    maintained per key with applyInPandasWithState while the change
+    stream drains. Each key's state is the (ts, event_id, op, value) of
+    the winning change so far -- (ts, event_id) gives the same total
+    order as the batch window, so replays and micro-batch boundaries
+    cannot flip a race. The update-mode sink records one winner per key
+    per micro-batch; the final winner is the (ts, event_id)-max row per
+    key, and delete-wins keys ('error') drop at the end exactly like
+    the batch form -- the oracle IS cdc_merge_apply's. At scale this is
+    the continuously-maintained materialized upsert view; state size is
+    one row per live key."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        if state.exists:
+            ts_us, eid, op, val = state.get
+        else:
+            ts_us, eid, op, val = -1, -1, "", float("nan")
+        for pdf in pdfs:
+            for r_ts, r_eid, r_op, r_val in zip(
+                pdf["ts_us"], pdf["event_id"], pdf["event_type"], pdf["value"]
+            ):
+                if (r_ts, r_eid) > (ts_us, eid):
+                    ts_us, eid, op, val = int(r_ts), int(r_eid), r_op, float(r_val)
+        state.update((ts_us, eid, op, val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ts_us": [ts_us],
+                "event_id": [eid],
+                "last_op": [op],
+                "last_value": [val],
+            }
+        )
+
+    ev = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, ts_us bigint, event_id bigint, "
+            "last_op string, last_value double"
+        ),
+        stateStructType="ts_us bigint, event_id bigint, op string, value double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    updates = _run_to_table(out, spark, "update")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("last_op") != "error"))
+        .select(
+            "user_id",
+            "last_op",
+            F.timestamp_micros("ts_us").alias("last_ts"),
+            "last_value",
+        )
+    )
