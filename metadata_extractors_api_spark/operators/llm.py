@@ -618,6 +618,32 @@ PREFIX_RATIO = PREFIX_T / (1 + PREFIX_T)
 _JACCARD_EX_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
+def _shingle_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exploded distinct-shingle relation (doc_id, shingle),
+    materialized ONCE per (session, sf_dir) via localCheckpoint and
+    shared by every corpus-wide pairing operator (prefix Jaccard,
+    containment, the LSH recall audit): each of them consumes it 3-4
+    times (sizes, document frequencies, both verify sides), so without
+    the shared materialization every consumer re-explodes the corpus
+    per use."""
+    key = (id(spark), sf_dir)
+    ex = _JACCARD_EX_MEMO.get(key)
+    if ex is None:
+        d = load(spark, sf_dir, "documents", parallelize=True)
+        ex = (
+            d.select("doc_id", tokens_col().alias("_toks"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(shingles_col(toks=F.col("_toks")))
+                ).alias("shingle"),
+            )
+            .localCheckpoint()
+        )
+        _JACCARD_EX_MEMO[key] = ex
+    return ex
+
+
 @register(
     "dedup_jaccard_prefix",
     oracle=f"""
@@ -678,25 +704,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, and the frequency ordering itself is the skew guard
     (boilerplate shingles have high df, so they never enter a
     prefix)."""
-    d = load(spark, sf_dir, "documents", parallelize=True)
-    key = (id(spark), sf_dir)
-    ex = _JACCARD_EX_MEMO.get(key)
-    if ex is None:
-        ex = (
-            d.select("doc_id", tokens_col().alias("_toks"))
-            .select(
-                "doc_id",
-                F.explode(
-                    F.array_distinct(shingles_col(toks=F.col("_toks")))
-                ).alias("shingle"),
-            )
-            # reused by four consumers (sizes, dfreq, both verify
-            # sides): materialize once instead of re-exploding the
-            # corpus each time, and memoize per (session, sf_dir) so
-            # repeated invocations share one materialization
-            .localCheckpoint()
-        )
-        _JACCARD_EX_MEMO[key] = ex
+    ex = _shingle_rel(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id")
@@ -1969,13 +1977,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both phases are equi-joins on shingle/doc keys with
     map-side-combinable counts; the df relation doubles as the skew
     census (same observability as dedup_minhash_bucket_stats)."""
-    d = load(spark, sf_dir, "documents", parallelize=True)
-    ex = d.select("doc_id", tokens_col().alias("_toks")).select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles_col(toks=F.col("_toks")))).alias(
-            "shingle"
-        ),
-    )
+    ex = _shingle_rel(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     df_rel = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = ex.join(df_rel.filter(F.col("df") <= 50), "shingle").select(
@@ -2061,21 +2063,7 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixture = the sample here) while the LSH side is the production
     path; the pair-set comparison is an equi-join on (doc_a, doc_b)
     and the ratio is exact integer arithmetic."""
-    d = load(spark, sf_dir, "documents", parallelize=True)
-    key = (id(spark), sf_dir)
-    ex = _JACCARD_EX_MEMO.get(key)
-    if ex is None:
-        ex = (
-            d.select("doc_id", tokens_col().alias("_toks"))
-            .select(
-                "doc_id",
-                F.explode(
-                    F.array_distinct(shingles_col(toks=F.col("_toks")))
-                ).alias("shingle"),
-            )
-            .localCheckpoint()
-        )
-        _JACCARD_EX_MEMO[key] = ex
+    ex = _shingle_rel(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     xinter = (

@@ -344,24 +344,26 @@ def agg_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = kp.groupBy(
         (F.col("p") / _BLOOM_WORD).cast("bigint").alias("w")
     ).agg(F.bit_or(mask).alias("bits"))
-    pp = (
-        o.select("o_orderkey", "o_custkey")
+    # Probe per DISTINCT key, not per fact row: the md5 double-hash and
+    # the 4-way position explode run over the key dimension (|customers|)
+    # and the per-key verdict broadcasts back onto the fact -- the same
+    # rewrite that makes runtime filters cheap on a 100 TB fact, where
+    # hashing every row would itself be a full-fact map pass.
+    pk = (
+        o.select(F.col("o_custkey").alias("pkey"))
+        .distinct()
         .withColumns(
-            {
-                "h1": _h32(F.col("o_custkey"), "b1"),
-                "h2": _h32(F.col("o_custkey"), "b2"),
-            }
+            {"h1": _h32(F.col("pkey"), "b1"), "h2": _h32(F.col("pkey"), "b2")}
         )
         .crossJoin(F.broadcast(probes))
-        .select("o_orderkey", "o_custkey", pos.alias("p"))
+        .select("pkey", pos.alias("p"))
     )
-    hit = pp.join(
+    hit = pk.join(
         F.broadcast(words),
         (F.col("p") / _BLOOM_WORD).cast("bigint") == F.col("w"),
         "left",
     ).select(
-        "o_orderkey",
-        "o_custkey",
+        "pkey",
         F.when(
             F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(mask) != 0),
             F.lit(1),
@@ -369,24 +371,28 @@ def agg_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("bit_set"),
     )
-    verdict = hit.groupBy("o_orderkey", "o_custkey").agg(
+    verdict = hit.groupBy("pkey").agg(
         (F.min("bit_set") == 1).alias("bloom_pass")
     )
     truth = verdict.join(
         F.broadcast(keys.withColumn("is_true", F.lit(1))),
-        F.col("o_custkey") == F.col("k"),
+        F.col("pkey") == F.col("k"),
         "left",
-    )
+    ).select("pkey", "bloom_pass", "is_true")
     bits_total = words.agg(
         F.sum(F.bit_count("bits")).cast("bigint").alias("bits_set")
     )
-    audit = truth.agg(
-        F.count(F.lit(1)).alias("n_probe"),
-        F.count_if(F.col("bloom_pass")).alias("n_pass"),
-        F.count_if(F.col("is_true").isNotNull()).alias("n_true"),
-        F.count_if(F.col("bloom_pass") & F.col("is_true").isNull()).alias(
-            "n_false_pos"
-        ),
+    audit = (
+        o.select("o_custkey")
+        .join(F.broadcast(truth), F.col("o_custkey") == F.col("pkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.count_if(F.col("bloom_pass")).alias("n_pass"),
+            F.count_if(F.col("is_true").isNotNull()).alias("n_true"),
+            F.count_if(F.col("bloom_pass") & F.col("is_true").isNull()).alias(
+                "n_false_pos"
+            ),
+        )
     )
     return audit.crossJoin(F.broadcast(bits_total))
 

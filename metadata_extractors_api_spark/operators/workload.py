@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from metadata_extractors_api_spark.catalog import load
 from metadata_extractors_api_spark.operators.relational import money, rate
@@ -685,4 +686,118 @@ def tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(rev), 2).cast("double").alias("revenue"),
         )
         .orderBy("p_brand")
+    )
+
+
+@register(
+    "tpch_q2_min_cost",
+    oracle="""
+    WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cost_cents
+      FROM lineitem l GROUP BY 1, 2),
+    best AS (
+      SELECT l_partkey, l_suppkey, cost_cents,
+             ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                ORDER BY cost_cents, l_suppkey) AS rn
+      FROM cost)
+    SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, b.cost_cents
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    WHERE b.rn = 1 AND p.p_size BETWEEN 10 AND 20
+    ORDER BY b.cost_cents, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part, adapted: the
+    fixture has no partsupp, so per-(part, supplier) cost aggregates
+    from lineitem). The signature pattern is the per-group argmin over
+    a grouped relation -- one shuffle on l_partkey serves BOTH the
+    (part, supplier) rollup and the argmin window, because the window
+    key is a prefix of the aggregation key; the dimension joins happen
+    AFTER the argmin collapses the relation to one row per part, so
+    only winners join (broadcast). Cost is exact integer cents."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_size").between(10, 20))
+    s = load(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "cost_cents"
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("cost_cents", "l_suppkey")
+    best = (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal", "cost_cents")
+        .orderBy("cost_cents", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q22_antijoin",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT SUM(c_acctbal) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0),
+    rich AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+      FROM customer c CROSS JOIN avg_bal
+      WHERE c.c_acctbal > avg_bal.a),
+    inactive AS (
+      SELECT r.* FROM rich r
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = r.c_custkey
+                          AND o.o_orderstatus = 'P'))
+    SELECT n.n_name,
+           COUNT(*) AS n_cust,
+           CAST(ROUND(SUM(CAST(i.c_acctbal AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS total_bal
+    FROM inactive i JOIN nation n ON n.n_nationkey = i.c_nationkey
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def tpch_q22_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (high-balance customers with no PENDING order -- the no-orders form is empty on the fixture's dense order coverage, so the anti-join target is the status slice): a
+    scalar aggregate broadcast into the filter, then an ANTI join
+    against the fact. Scale: the anti join is the one growing exchange
+    and Spark runs it as a broadcast/shuffled hash anti depending on
+    the filtered side's AQE-observed size; the scalar average is a
+    1-row broadcast, never a recomputation per row. The average is one
+    IEEE division of an exact sum (stable across engines); balances
+    aggregate as exact DECIMAL."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
+    n = load(spark, sf_dir, "nation")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum("c_acctbal") / F.count(F.lit(1))).alias("a")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    )
+    inactive = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        inactive.join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+        .orderBy("n_name")
     )
