@@ -1997,8 +1997,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 2)
         .select("doc_a", "doc_b")
     )
-    a = ex.withColumnsRenamed({"doc_id": "doc_a"})
-    b = ex.withColumnsRenamed({"doc_id": "b_doc", "shingle": "shingle_b"})
+    # Verify phase reads only the candidates' shingles: both sides of
+    # the intersection join are semi-pruned to candidate doc ids (the
+    # candidate relation is pair-count-sized, so the prunes broadcast),
+    # which keeps the (doc, shingle) shuffle proportional to the
+    # candidate set instead of the corpus.
+    a = ex.withColumnsRenamed({"doc_id": "doc_a"}).join(
+        F.broadcast(cand.select("doc_a").distinct()), "doc_a", "left_semi"
+    )
+    b = ex.withColumnsRenamed({"doc_id": "b_doc", "shingle": "shingle_b"}).join(
+        F.broadcast(cand.select(F.col("doc_b").alias("b_doc")).distinct()),
+        "b_doc",
+        "left_semi",
+    )
     inter = (
         cand.join(a, "doc_a")
         .join(
