@@ -363,3 +363,71 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.min("start_day").alias("first_day"),
     )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds),
+    grid AS (
+      SELECT h.bucket, e.event_type
+      FROM hours h
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) e),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+                 AS sum_value
+      FROM events GROUP BY 1, 2)
+    SELECT g.bucket, g.event_type,
+           COALESCE(a.n, 0) AS n,
+           COALESCE(a.sum_value, 0.0) AS sum_value,
+           (a.n IS NULL) AS gap_filled
+    FROM grid g
+    LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = g.event_type
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly rollup with gap filling: every (hour, event_type)
+    cell of the observed time range appears, zero-filled and FLAGGED
+    when no events landed there -- the time_bucket_gapfill capability
+    continuous dashboards and downstream diff/lag computations need
+    (a lag over a sparse rollup silently spans gaps; over this dense
+    grid it means what it says). Scale: the sparse rollup is the only
+    corpus-sized aggregation; the dense grid is hours x event-types --
+    a DIMENSION (sequence() on a 1-row bounds aggregate, exploded) --
+    so the outer join broadcasts the grid side or, at extreme ranges,
+    shuffles grid-sized, never corpus-sized, data. No per-row Python,
+    no driver-side calendar loop."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "event_type",
+        F.col("value").cast("decimal(14,2)").alias("v"),
+    )
+    agg = ev.groupBy("bucket", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 2).cast("double").alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    etypes = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(etypes))
+    return grid.join(F.broadcast(agg), ["bucket", "event_type"], "left").select(
+        "bucket",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        F.col("n").isNull().alias("gap_filled"),
+    )
