@@ -995,3 +995,65 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@register(
+    "agg_hll_intersection",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM a) AS n_click,
+           (SELECT COUNT(*) FROM b) AS n_purchase,
+           (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS n_both,
+           TRUE AS within_tol
+    """,
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra set intersection: |A∩B| estimated by
+    inclusion-exclusion over three HLL sketches (est(A) + est(B) -
+    est(A∪B)), where the union sketch is a MERGE of the two per-set
+    sketches -- never a re-scan. This is the audience-overlap query
+    every analytics platform answers from stored per-segment sketches;
+    at 100 TB the three sketches are kilobytes and the intersection of
+    any segment pair is computable without touching raw data again.
+    Sketch internals are engine-specific, so the checked contract is
+    accuracy: exact counts plus a Spark-computed within_tol
+    (inclusion-exclusion error bounded by 5% of |A|+|B|; lgConfigK=14
+    gives ~0.8% rsd per estimate); the oracle emits the same exact
+    counts plus literal TRUE."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    ska = a.agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk_a"))
+    skb = b.agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk_b"))
+    sk = ska.crossJoin(skb).select(
+        F.hll_sketch_estimate("sk_a").alias("est_a"),
+        F.hll_sketch_estimate("sk_b").alias("est_b"),
+        F.hll_sketch_estimate(
+            F.hll_union("sk_a", "sk_b")
+        ).alias("est_u"),
+    )
+    exact = (
+        a.distinct()
+        .withColumn("_ina", F.lit(1))
+        .join(b.distinct().withColumn("_inb", F.lit(1)), "user_id", "full")
+        .agg(
+            F.count_if(F.col("_ina").isNotNull()).alias("n_click"),
+            F.count_if(F.col("_inb").isNotNull()).alias("n_purchase"),
+            F.count_if(
+                F.col("_ina").isNotNull() & F.col("_inb").isNotNull()
+            ).alias("n_both"),
+        )
+    )
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_click",
+        "n_purchase",
+        "n_both",
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_u"))
+                - F.col("n_both")
+            )
+            <= (F.col("n_click") + F.col("n_purchase")) * F.lit(0.05)
+        ).alias("within_tol"),
+    )
