@@ -723,9 +723,19 @@ def tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_size").between(10, 20))
     s = load(spark, sf_dir, "supplier")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
-            "cost_cents"
+    # Repartition on l_partkey ALONE before the rollup: hash-clustering
+    # by the part key satisfies both the (part, supplier) aggregation
+    # (same pair -> same partition) and the argmin window's
+    # partitioning requirement, so the plan carries ONE exchange where
+    # the naive compound-key groupBy pays a second window re-shuffle
+    # (asserted in tests/test_scale_plans.py).
+    cost = (
+        li.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "cost_cents"
+            )
         )
     )
     w = Window.partitionBy("l_partkey").orderBy("cost_cents", "l_suppkey")

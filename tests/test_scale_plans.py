@@ -227,3 +227,23 @@ def test_cdc_merge_single_shuffle(spark, sf_dir):
 def test_profile_table_single_scan(spark, sf_dir):
     plan = _plan(mdx.QUERIES["profile_table"](spark, sf_dir))
     assert plan.count("FileScan") == 1
+
+
+def test_gapfill_grid_is_broadcast(spark, sf_dir):
+    # The dense grid and the sparse rollup join without shuffling
+    # corpus-sized data: grid side is dimension-sized and broadcast.
+    plan = _plan(mdx.QUERIES["timeseries_gapfill"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_argmin_shares_partkey_shuffle(spark, sf_dir):
+    # One hashpartitioning exchange on l_partkey serves both the
+    # (part, supplier) rollup and the argmin window; dims join after.
+    plan = _plan(mdx.QUERIES["tpch_q2_min_cost"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(l_partkey") == 1
+
+
+def test_q22_anti_join_present(spark, sf_dir):
+    plan = _plan(mdx.QUERIES["tpch_q22_antijoin"](spark, sf_dir))
+    assert "LeftAnti" in plan
