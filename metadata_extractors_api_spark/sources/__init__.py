@@ -13,3 +13,4 @@ from metadata_extractors_api_spark.sources import binary_files  # noqa: E402,F40
 from metadata_extractors_api_spark.sources import registry_json  # noqa: E402,F401
 from metadata_extractors_api_spark.sources import custom_source  # noqa: E402,F401
 from metadata_extractors_api_spark.sources import stream_source  # noqa: E402,F401
+from metadata_extractors_api_spark.sources import custom_sink  # noqa: E402,F401
