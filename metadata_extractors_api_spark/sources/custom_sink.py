@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -136,4 +137,130 @@ def sink_custom_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qty_cents"),
         F.lit(len(shards)).cast("bigint").alias("n_shards"),
         (F.count(F.lit(1)) == F.lit(manifest["rows"])).alias("manifest_ok"),
+    )
+
+
+class AuditStreamSinkDataSource(DataSource):
+    """format('mdx_audit_stream_sink'): per-micro-batch committed shards."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "mdx_audit_stream_sink"
+
+    def streamWriter(self, schema, overwrite: bool):
+        return AuditStreamSinkWriter(
+            self.options["path"], [f.name for f in schema]
+        )
+
+
+class AuditStreamSinkWriter(DataSourceStreamWriter):
+    """Streaming two-phase sink: write() streams each partition of each
+    micro-batch to a shard; commit(messages, batchId) publishes that
+    batch's manifest. A batch replayed after failure overwrites its own
+    manifest (idempotent publish keyed by batchId), which is how an
+    exactly-once streaming sink composes with checkpointed offsets."""
+
+    def __init__(self, path: str, cols: list[str]):
+        self.path = path
+        self.cols = cols
+
+    def write(self, iterator) -> WriterCommitMessage:
+        os.makedirs(self.path, exist_ok=True)
+        name = f"shard-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(self.cols, row))) + "\n")
+                n += 1
+        msg = WriterCommitMessage()
+        msg.file = name
+        msg.rows = n
+        return msg
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = {
+            "batch": batchId,
+            "files": sorted(m.file for m in messages),
+            "rows": sum(m.rows for m in messages),
+        }
+        with open(
+            os.path.join(self.path, f"_MANIFEST-{batchId}.json"), "w"
+        ) as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.file))
+            except OSError:
+                pass
+
+
+@register(
+    "stream_custom_sink",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events file stream through the custom STREAMING
+    Python DataSource sink (per-micro-batch two-phase commit), then
+    audit the union of all committed manifests by reading every
+    published shard back distributedly and aggregating per event type.
+    Exactly-once evidence is content-level: the byte-level readback
+    must reproduce the per-type counts and exact integer value
+    checksums of the source table -- duplicated or lost micro-batches
+    cannot hash-match. Completes the custom-DataSource surface: batch
+    reader (scan_custom_source), stream reader (stream_custom_source),
+    batch writer (sink_custom_writer), stream writer (this)."""
+    from metadata_extractors_api_spark.streaming.windows import (
+        _events_stream,
+        _nanos_conf,
+    )
+
+    if id(spark) not in _SINK_REGISTERED:
+        spark.dataSource.register(AuditSinkDataSource)
+        _SINK_REGISTERED.add(id(spark))
+    key = ("stream", id(spark))
+    if key not in _SINK_REGISTERED:
+        spark.dataSource.register(AuditStreamSinkDataSource)
+        _SINK_REGISTERED.add(key)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"mdx_audit_ssink_{uuid.uuid4().hex}"
+    )
+    ev = _events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        with _nanos_conf(spark):
+            q = (
+                ev.writeStream.format("mdx_audit_stream_sink")
+                .option("path", out_dir)
+                .option(
+                    "checkpointLocation", tempfile.mkdtemp(prefix="mdx_ckpt_")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shards = []
+    for f in sorted(os.listdir(out_dir)):
+        if f.startswith("_MANIFEST-"):
+            with open(os.path.join(out_dir, f)) as fh:
+                shards += [
+                    os.path.join(out_dir, s) for s in json.load(fh)["files"]
+                ]
+    back = spark.read.json([s for s in shards if os.path.getsize(s) > 0])
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
     )
