@@ -395,3 +395,59 @@ def extract_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_cli, _RUN_SCHEMA
     )
     return py.unionByName(cli)
+
+
+from metadata_extractors_api_spark.registry import ORACLE as _ORACLE_REG
+
+# The validation oracle wraps extract_run's oracle verbatim: the
+# validated relation IS the executed extraction output, in SQL as in
+# Spark (a WITH inside a parenthesized subquery is legal ANSI).
+ORACLE_RUN_SQL = _ORACLE_REG["extract_run"]
+
+
+@register(
+    "extract_validate_outputs",
+    oracle=f"""
+    WITH runs AS (SELECT * FROM ({ORACLE_RUN_SQL}) t)
+    SELECT file_id, method,
+           COUNT(*) AS n_points,
+           CAST(SUM(CASE WHEN value IS NOT NULL AND value >= 0
+                          AND point BETWEEN 0 AND 4
+                          AND channel IN ('Ewe', 'I', 'cycle')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           COUNT(*) = CAST(SUM(CASE WHEN value IS NOT NULL AND value >= 0
+                          AND point BETWEEN 0 AND 4
+                          AND channel IN ('Ewe', 'I', 'cycle')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AND COUNT(*) = 15 AS valid
+    FROM runs
+    GROUP BY file_id, method
+    """,
+)
+def extract_validate_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output validation — the reference's explicitly-unimplemented
+    plan item (README.md:88-91, 'validate extracted metadata against
+    JSONSchema'), realized Spark-first: every extracted row from the
+    REAL execution path (extract_run) is checked against the declared
+    output contract (typed channel vocabulary, point range, non-null
+    non-negative values) and rolled up per file with a per-file
+    completeness check (channels x points = 15 rows -- a missing or
+    duplicated point fails the file even when every present row is
+    individually valid). Scale: validation is a column predicate over
+    the extraction output stream plus one map-side-combinable rollup
+    on the extraction's own (file, method) key -- no second pass over
+    inputs, no driver-side checks."""
+    runs = extract_run(spark, sf_dir)
+    ok = (
+        F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & F.col("point").between(0, 4)
+        & F.col("channel").isin("Ewe", "I", "cycle")
+    )
+    n_valid = F.sum(ok.cast("int")).cast("bigint")
+    n_points = F.count(F.lit(1))
+    return runs.groupBy("file_id", "method").agg(
+        n_points.alias("n_points"),
+        n_valid.alias("n_valid"),
+        ((n_points == n_valid) & (n_points == F.lit(15))).alias("valid"),
+    )
