@@ -470,3 +470,53 @@ def zorder_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("l_suppkey") - F.min("l_suppkey")).alias("s_span"),
         )
     )
+
+
+# session-scoped memo of the partitioned fact layout for the DPP demo
+# (the write is setup, not the measured operation).
+_DPP_DIR_MEMO: dict[tuple[int, str], str] = {}
+
+
+@register(
+    "join_dpp",
+    oracle="""
+    SELECT l.l_returnflag, l.l_linestatus, COUNT(*) AS n
+    FROM lineitem l
+    JOIN (VALUES ('R', 'returned'), ('A', 'accepted'), ('N', 'neither'))
+         d(flag, label)
+      ON d.flag = l.l_returnflag
+    WHERE d.label = 'returned'
+    GROUP BY 1, 2
+    """,
+)
+def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact lands partitioned by
+    l_returnflag; the query joins it to a dimension whose FILTER (not
+    the fact's) selects the flag. Static pruning cannot help -- the
+    fact predicate only exists after the dim filter runs -- so Spark
+    injects a dynamicpruningexpression on the fact scan that reuses
+    the broadcast dim to prune partitions AT RUNTIME
+    (plan-asserted in tests/test_scale_plans.py). At 100 TB this is
+    the difference between scanning one date/tenant partition and
+    scanning the table whenever the predicate arrives through a join,
+    which is how real star-schema filters arrive. The partitioned
+    layout is session-memoized setup; the measured query is the join."""
+    key = (id(spark), sf_dir)
+    out = _DPP_DIR_MEMO.get(key)
+    if out is None:
+        out = os.path.join(tempfile.mkdtemp(prefix="mdx_dpp_"), "t")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linestatus", "l_returnflag"
+        )
+        li.write.partitionBy("l_returnflag").mode("overwrite").parquet(out)
+        _DPP_DIR_MEMO[key] = out
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), ("N", "neither")],
+        "flag string, label string",
+    ).filter(F.col("label") == "returned")
+    return (
+        fact.join(F.broadcast(dim), fact.l_returnflag == dim.flag)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -247,3 +247,11 @@ def test_q2_argmin_shares_partkey_shuffle(spark, sf_dir):
 def test_q22_anti_join_present(spark, sf_dir):
     plan = _plan(mdx.QUERIES["tpch_q22_antijoin"](spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    # The flag predicate lives on the DIM side, so only dynamic
+    # partition pruning can keep the fact scan from reading every
+    # partition: the scan must carry a dynamicpruningexpression.
+    plan = _plan(mdx.QUERIES["join_dpp"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
