@@ -313,3 +313,54 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (l_returnflag), ())
         """
     )
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text, CAST(length(text) AS INT) AS n
+      FROM documents WHERE length(text) >= 16),
+    idx AS (SELECT unnest(range(0, 200)) AS w)
+    SELECT doc_id,
+           CAST(w AS INT) AS w_idx,
+           CAST(list_reduce(
+             list_transform(range(1, 17),
+                            i -> ascii(text[CAST(w*8+i AS INT):CAST(w*8+i AS INT)])),
+             (a, b) -> a + b) AS BIGINT) AS energy
+    FROM f CROSS JOIN idx
+    WHERE w <= (n - 16) // 8
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-windowing plumbing: overlapping fixed-length windows
+    (length 16, hop 8 -- the STFT frame layout) over each payload,
+    with a per-window energy feature (exact integer sum of sample
+    codes, the RMS stand-in; real PCM decoders are stubbed per
+    environment, as with the image/video slots). Completes the
+    multimodal triple: image (multimodal_meta/resize/features), video
+    (multimodal_frames), audio (this). Scale shape: per-row window
+    explosion is bounded by payload length / hop; the feature is a
+    codegen'd HOF over the slice -- no UDF, no shuffle; on real audio
+    the same plan runs with a Pandas-UDF decode slot in front."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 16)
+        .select("doc_id", "text", F.length("text").cast("int").alias("n"))
+    )
+    wins = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("CAST((n - 16) / 8 AS INT)"))
+        ).alias("w_idx"),
+    )
+    return wins.select(
+        "doc_id",
+        F.col("w_idx").cast("int").alias("w_idx"),
+        F.expr(
+            "CAST(aggregate(transform(sequence(1, 16),"
+            " i -> ascii(substr(text, w_idx * 8 + i, 1))),"
+            " CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT)"
+        ).alias("energy"),
+    )
