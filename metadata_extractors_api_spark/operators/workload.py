@@ -811,3 +811,50 @@ def tpch_q22_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "latency_ship_percentiles",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate)
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(quantile_disc(days, 0.5) AS BIGINT) AS p50,
+           CAST(quantile_disc(days, 0.9) AS BIGINT) AS p90,
+           CAST(quantile_disc(days, 0.99) AS BIGINT) AS p99,
+           CAST(MAX(days) AS BIGINT) AS p_max
+    FROM lat GROUP BY 1
+    """,
+)
+def latency_ship_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational latency report: exact discrete percentiles of
+    order-to-ship days per priority class -- the SLA dashboard query.
+    Exact integer day differences make discrete percentiles
+    bit-comparable across engines (continuous interpolation would hit
+    cross-engine float averaging; discrete selection cannot). Scale:
+    the join shuffles once on the order key; percentiles aggregate on
+    the tiny priority dimension, and percentile_approx is the
+    documented swap-in when per-group cardinality outgrows exact
+    selection (agg_approx_percentile shows that contract)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                             "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").alias("days"),
+        )
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(percentile_approx(days, 0.5, 2147483647) AS BIGINT)").alias("p50"),
+        F.expr("CAST(percentile_approx(days, 0.9, 2147483647) AS BIGINT)").alias("p90"),
+        F.expr("CAST(percentile_approx(days, 0.99, 2147483647) AS BIGINT)").alias("p99"),
+        F.max("days").cast("bigint").alias("p_max"),
+    )
