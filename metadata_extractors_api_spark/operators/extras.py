@@ -154,3 +154,38 @@ def cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ALL").alias("l_returnflag"), "n"
     )
     return by_flag.unionByName(overall)
+
+
+@register(
+    "catalog_profile",
+    oracle="""
+    SELECT 'region' AS tbl, CAST(COUNT(*) AS BIGINT) AS n FROM region
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+)
+def catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-wide census: one row per registered table with its row
+    count -- the information_schema / SHOW TABLE EXTENDED surface an
+    engine exposes for monitoring and CBO-staleness checks. The result
+    is a UNION of per-table count aggregates (each a metadata-cheap
+    parquet count at any scale: footers carry row counts, so the scan
+    reads no data pages); nothing is collected driver-side."""
+    from metadata_extractors_api_spark.catalog import TABLES
+
+    out = None
+    for t in TABLES:
+        branch = (
+            load(spark, sf_dir, t)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(t).alias("tbl"), "n")
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

@@ -314,3 +314,39 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack(4, {stack}) AS (col_name, n_null, n_distinct, min_val, max_val)"
         )
     )
+
+
+@register(
+    "scan_parquet_corrupt",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT r_regionkey) AS BIGINT) AS n_keys
+    FROM region
+    """,
+)
+def scan_parquet_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-file tolerance for the binary-format path (the parquet
+    sibling of scan_csv_permissive/scan_jsonl_corrupt's row-level
+    salvage): a directory holding one good parquet file and one
+    truncated-garbage file reads to exactly the good file's rows under
+    ignoreCorruptFiles -- the quarantine policy a 100 TB lake needs
+    when an upstream writer dies mid-file, because one bad object must
+    cost its own rows, never the job. Tolerance is a PER-READ data
+    source option (not session conf), so it travels with the returned
+    plan instead of leaking mutated session state."""
+    base = tempfile.mkdtemp(prefix="mdx_corrupt_")
+    good_dir = os.path.join(base, "t")
+    src = load(spark, sf_dir, "region")
+    src.coalesce(1).write.mode("overwrite").parquet(good_dir)
+    # a parquet-named file that is not parquet: header bytes then junk
+    with open(os.path.join(good_dir, "part-junk.parquet"), "wb") as fh:
+        fh.write(b"PAR1" + b"\x00garbage\x00" * 64)
+    back = (
+        spark.read.schema("r_regionkey BIGINT, r_name STRING")
+        .option("ignoreCorruptFiles", "true")
+        .parquet(good_dir)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("r_regionkey").alias("n_keys"),
+    )

@@ -170,3 +170,32 @@ def pipe_cli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(run_pipe, "doc_id long, piped string")
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) + 1 AS INT)
+               AS n_words_udf
+    FROM documents
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 ``useArrow=True``):
+    the third rung of the Python-execution ladder -- row-pickled UDF
+    (never used here) < arrow-optimized scalar UDF (this: per-row
+    Python logic, Arrow-batched transfer) < pandas UDF (vectorized
+    compute, udf_scalar). The per-row function stays when the logic
+    genuinely cannot vectorize (branchy extractor code, C extensions
+    taking scalars); Arrow batching removes the serialization tax even
+    then. Word counting stands in for such logic, and the oracle
+    recomputes it relationally."""
+    from pyspark.sql.functions import udf
+
+    @udf("int", useArrow=True)
+    def n_words(text: str) -> int:
+        return len(text.split(" "))
+
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    return d.select("doc_id", n_words("text").alias("n_words_udf"))
