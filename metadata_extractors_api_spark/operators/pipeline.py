@@ -842,3 +842,104 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(PQ_TOPK)
     )
+
+
+@register(
+    "pipeline_e2e_curation",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS ntext
+      FROM documents),
+    dedup AS (
+      SELECT doc_id, lang, ntext,
+             ROW_NUMBER() OVER (PARTITION BY md5(ntext)
+                                ORDER BY doc_id) AS dup_rank
+      FROM norm),
+    kept AS (
+      SELECT doc_id, lang, ntext,
+             len(str_split(ntext, ' ')) AS n_tok
+      FROM dedup WHERE dup_rank = 1),
+    quality AS (
+      SELECT doc_id, lang, n_tok,
+             (n_tok BETWEEN 10 AND 1000) AS q_keep
+      FROM kept),
+    packed AS (
+      SELECT lang, doc_id, n_tok,
+             CAST((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) - 1) // 2048 AS BIGINT) AS bin
+      FROM quality WHERE q_keep)
+    SELECT d.lang,
+           COUNT(*) AS n_docs_in,
+           (SELECT COUNT(*) FROM kept k WHERE k.lang = d.lang)
+               AS n_after_dedup,
+           (SELECT COUNT(*) FROM quality q
+             WHERE q.lang = d.lang AND q.q_keep) AS n_after_quality,
+           (SELECT COUNT(DISTINCT bin) FROM packed p WHERE p.lang = d.lang)
+               AS n_bins
+    FROM documents d
+    GROUP BY d.lang
+    """,
+)
+def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan: normalize
+    -> exact-dedup on normalized content (min-doc_id keeper per md5
+    group) -> token-count quality gate -> greedy sequence packing into
+    2048-token bins per language -> per-language funnel report
+    (ingested, after dedup, after quality, packed bins). This is the
+    composition argument for the engine: each stage is an operator
+    that exists standalone (text_normalize, dedup_exact,
+    text_quality_filter, pack_sequences), and composing them stays ONE
+    Catalyst plan -- stages fuse where possible (normalize + hash in
+    one map), shuffles appear only at the dedup window (md5 key), the
+    packing window (lang), and the final rollup, and the optimizer
+    sees through the whole chain (no materialization barriers between
+    stages). At 100 TB the same composition runs unchanged; each
+    shuffle is on a well-distributed key."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    w_dup = Window.partitionBy(F.md5("ntext")).orderBy("doc_id")
+    kept = (
+        d.select("doc_id", "lang", norm.alias("ntext"))
+        .withColumn("dup_rank", F.row_number().over(w_dup))
+        .filter(F.col("dup_rank") == 1)
+        .withColumn("n_tok", F.size(F.split("ntext", " ")))
+    )
+    quality = kept.withColumn("q_keep", F.col("n_tok").between(10, 1000))
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        quality.filter("q_keep")
+        .withColumn("run_tok", F.sum("n_tok").over(w_pack))
+        .withColumn("bin", F.expr("(run_tok - 1) div 2048"))
+    )
+    funnel_in = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs_in"))
+    funnel_dedup = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_after_dedup")
+    )
+    funnel_quality = quality.filter("q_keep").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_after_quality")
+    )
+    funnel_bins = packed.groupBy("lang").agg(
+        F.count_distinct("bin").alias("n_bins")
+    )
+    return (
+        funnel_in.join(funnel_dedup, "lang", "left")
+        .join(funnel_quality, "lang", "left")
+        .join(funnel_bins, "lang", "left")
+        .select(
+            "lang",
+            "n_docs_in",
+            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
+            F.coalesce("n_after_quality", F.lit(0)).alias("n_after_quality"),
+            F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+        )
+    )
