@@ -57,6 +57,8 @@ HEADLINE = [
     "sim_ann_pq",
     "agg_bloom_prefilter",
     "tpch_q7_volume",
+    "pipeline_e2e_curation",
+    "join_dpp",
 ]
 
 RUNS = 5
