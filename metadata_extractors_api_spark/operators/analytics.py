@@ -1057,3 +1057,49 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= (F.col("n_click") + F.col("n_purchase")) * F.lit(0.05)
         ).alias("within_tol"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    WITH words AS (
+      SELECT event_type,
+             user_id // 64 AS w,
+             bit_or(1::BIGINT << CAST(user_id % 64 AS INT)) AS bits
+      FROM events GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users_bitmap,
+           (SELECT COUNT(DISTINCT user_id) FROM events e
+             WHERE e.event_type = words.event_type) AS n_users_exact
+    FROM words
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-exact distinct counting: each 64-id block of the user
+    domain becomes one int64 word, per-(group, word) bit_or folds
+    members in, and popcount-sum gives the EXACT distinct count from a
+    mergeable artifact -- the roaring-bitmap pattern every OLAP engine
+    uses when the ID domain is bounded or dictionary-encoded. Same
+    merge algebra as the HLL family (partial bitmaps union across
+    partitions, batches, datacenters) but exact, at the price of
+    domain-proportional size. The query emits both the bitmap-derived
+    and the direct distinct count; the oracle recomputes both, so the
+    bitmap path is equality-checked, not trusted. Scale: one shuffle
+    on (group, word) -- word count is domain/64, independent of row
+    count -- then a tiny per-group popcount rollup."""
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    words = ev.groupBy(
+        "event_type", F.expr("user_id div 64").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), cast(user_id % 64 as int))")
+        ).alias("bits")
+    )
+    bitmap = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users_bitmap")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact")
+    )
+    return bitmap.join(exact, "event_type")

@@ -431,3 +431,70 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
         F.col("n").isNull().alias("gap_filled"),
     )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_type, event_id, value,
+             MAX(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click_ts
+      FROM events),
+    attributed AS (
+      SELECT strftime(last_click_ts, '%H') AS click_hour,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM ordered
+      WHERE event_type = 'purchase'
+        AND last_click_ts IS NOT NULL
+        AND ts - last_click_ts <= INTERVAL 1 HOUR)
+    SELECT click_hour,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(value_cents) AS BIGINT) AS attributed_cents
+    FROM attributed
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRIOR click within a 1-hour window, rolled up by the hour
+    of the credited click -- the marketing-attribution composite that
+    stacks a per-key backward as-of match (conditional running MAX
+    over an ordered frame, the same one-shuffle construction as
+    join_asof, no pairwise join) under a conditional time-window
+    filter and an exact-cents rollup. The (ts, event_id) frame
+    ordering makes same-timestamp click/purchase races deterministic.
+    Scale: one shuffle on user_id for the window, one rollup on the
+    24-value hour dimension."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    attributed = (
+        ev.withColumn("last_click_ts", last_click)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_ts").isNotNull()
+            & (
+                F.col("ts").cast("long") - F.col("last_click_ts").cast("long")
+                <= 3600
+            )
+        )
+        .select(
+            F.date_format("last_click_ts", "HH").alias("click_hour"),
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+    )
+    return attributed.groupBy("click_hour").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("value_cents").cast("bigint").alias("attributed_cents"),
+    )
