@@ -1064,8 +1064,8 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
       SELECT event_type,
-             user_id // 64 AS w,
-             bit_or(1::BIGINT << CAST(user_id % 64 AS INT)) AS bits
+             user_id // 32 AS w,
+             bit_or(1::BIGINT << CAST(user_id % 32 AS INT)) AS bits
       FROM events GROUP BY 1, 2)
     SELECT event_type,
            CAST(SUM(bit_count(bits)) AS BIGINT) AS n_users_bitmap,
@@ -1076,8 +1076,9 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bitmap-exact distinct counting: each 64-id block of the user
-    domain becomes one int64 word, per-(group, word) bit_or folds
+    """Bitmap-exact distinct counting: each 32-id block of the user
+    domain becomes one word (32-bit masks keep every shift below the
+    int64 sign bit in both engines, as in the Bloom prefilter), per-(group, word) bit_or folds
     members in, and popcount-sum gives the EXACT distinct count from a
     mergeable artifact -- the roaring-bitmap pattern every OLAP engine
     uses when the ID domain is bounded or dictionary-encoded. Same
@@ -1086,14 +1087,14 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain-proportional size. The query emits both the bitmap-derived
     and the direct distinct count; the oracle recomputes both, so the
     bitmap path is equality-checked, not trusted. Scale: one shuffle
-    on (group, word) -- word count is domain/64, independent of row
+    on (group, word) -- word count is domain/32, independent of row
     count -- then a tiny per-group popcount rollup."""
     ev = load(spark, sf_dir, "events").select("event_type", "user_id")
     words = ev.groupBy(
-        "event_type", F.expr("user_id div 64").alias("w")
+        "event_type", F.expr("user_id div 32").alias("w")
     ).agg(
         F.bit_or(
-            F.expr("shiftleft(cast(1 as bigint), cast(user_id % 64 as int))")
+            F.expr("shiftleft(cast(1 as bigint), cast(user_id % 32 as int))")
         ).alias("bits")
     )
     bitmap = words.groupBy("event_type").agg(
