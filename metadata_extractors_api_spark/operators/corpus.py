@@ -498,3 +498,52 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum("value_cents").cast("bigint").alias("attributed_cents"),
     )
+
+
+@register(
+    "text_hash_embedding",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(unnest(str_split(text, ' '))), 1, 8))
+                  ::BIGINT % 64 AS INT) AS dim
+      FROM documents),
+    cells AS (
+      SELECT doc_id, dim, COUNT(*) AS cnt FROM occ GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS INT) AS nnz,
+           CAST(SUM(cnt) AS BIGINT) AS total,
+           CAST(SUM(dim * cnt) AS BIGINT) AS checksum
+    FROM cells GROUP BY doc_id
+    """,
+)
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick): every token maps to one of
+    64 dimensions by portable hash, per-doc counts form a fixed-width
+    sparse bag-of-words vector -- the vocabulary-free featurizer that
+    needs NO fitted dictionary, so it runs in one pass at any corpus
+    size and any vocabulary drift (the property that matters at 100 TB,
+    where a fitted vocabulary is itself a large distributed artifact).
+    Emitted as per-doc sparse-vector invariants (nnz, mass, an exact
+    dimension-weighted checksum) so the whole vectorization is
+    hash-checkable without comparing array layouts. Scale: explode +
+    one (doc, dim) count -- map-side combinable, bounded at 64 cells
+    per doc."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    occ = d.select(
+        "doc_id", F.explode(tokens_col()).alias("token")
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint")
+            % 64
+        )
+        .cast("int")
+        .alias("dim"),
+    )
+    cells = occ.groupBy("doc_id", "dim").agg(F.count(F.lit(1)).alias("cnt"))
+    return cells.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("nnz"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sum(F.col("dim") * F.col("cnt")).cast("bigint").alias("checksum"),
+    )

@@ -858,3 +858,82 @@ def latency_ship_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(percentile_approx(days, 0.99, 2147483647) AS BIGINT)").alias("p99"),
         F.max("days").cast("bigint").alias("p_max"),
     )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    item_supp AS (
+      SELECT l_partkey, COUNT(*) AS supp FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             COUNT(*) AS pair_supp
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT p.item_a, p.item_b, p.pair_supp,
+           sa.supp AS supp_a, sb.supp AS supp_b,
+           ROUND(p.pair_supp * 1.0 / sa.supp, 6) AS confidence,
+           ROUND((p.pair_supp * 1.0 * n.n) / (sa.supp * 1.0 * sb.supp), 6)
+               AS lift
+    FROM pairs p
+    JOIN item_supp sa ON sa.l_partkey = p.item_a
+    JOIN item_supp sb ON sb.l_partkey = p.item_b
+    CROSS JOIN n_orders n
+    """,
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the pair level (frequent
+    itemsets, support >= 3): which parts co-occur in the same order
+    more than independence predicts, with confidence and lift -- the
+    recommendation/affinity workload. Scale shape: the pair space is
+    generated by an equi-join on the basket key (bounded by
+    items-per-basket squared, never corpus²; the same per-key
+    quadratic bound as the LSH bucket join, with the same skew-guard
+    applicability for pathological baskets), supports are map-side-
+    combinable counts, and the final scoring joins are on the
+    item dimension. Confidence and lift are single IEEE divisions of
+    exact integers."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    item_supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
+    a = items.withColumnsRenamed({"l_partkey": "item_a"})
+    b = items.withColumnsRenamed({"l_partkey": "item_b"})
+    pairs = (
+        a.join(
+            b,
+            (a.l_orderkey == b.l_orderkey) & (F.col("item_a") < F.col("item_b")),
+        )
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_supp"))
+        .filter(F.col("pair_supp") >= 3)
+    )
+    sa = item_supp.withColumnsRenamed({"l_partkey": "item_a", "supp": "supp_a"})
+    sb = item_supp.withColumnsRenamed({"l_partkey": "item_b", "supp": "supp_b"})
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_supp",
+            "supp_a",
+            "supp_b",
+            F.round(F.col("pair_supp") / F.col("supp_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("pair_supp") * F.lit(1.0) * F.col("n"))
+                / (F.col("supp_a") * F.lit(1.0) * F.col("supp_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
