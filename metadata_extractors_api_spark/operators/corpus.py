@@ -547,3 +547,64 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("bigint").alias("total"),
         F.sum(F.col("dim") * F.col("cnt")).cast("bigint").alias("checksum"),
     )
+
+
+@register(
+    "cohort_revenue_ltv",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY 1),
+    purch AS (
+      SELECT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS offset_days,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN first f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'),
+    daily AS (
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+             offset_days,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM purch GROUP BY 1, 2)
+    SELECT cohort_day, offset_days, rev_cents,
+           CAST(SUM(rev_cents) OVER (PARTITION BY cohort_day
+                 ORDER BY offset_days
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+    FROM daily
+    """,
+)
+def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: purchase revenue per signup-day cohort by
+    day offset, with the cumulative LTV curve each cohort's payback
+    analysis reads off -- win_retention's revenue twin. Scale: the
+    first-seen relation aggregates on user_id and joins back
+    (user-dimension broadcast at fixture scale, co-partitioned shuffle
+    at fact scale); the LTV window runs over the (cohorts x offsets)
+    rollup, which is calendar-sized, not fact-sized. Exact integer
+    cents end to end."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias(
+                "offset_days"
+            ),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    daily = purch.groupBy("cohort_day", "offset_days").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("offset_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn(
+        "cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )

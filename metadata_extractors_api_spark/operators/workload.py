@@ -937,3 +937,63 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS monetary_cents
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT o_custkey, frequency, monetary_cents,
+             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+      FROM rfm)
+    SELECT r_score, f_score, m_score,
+           COUNT(*) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles per customer, rolled up into the 125-cell segment grid
+    with population and revenue mass -- the CRM workload that layers
+    global NTILE windows over per-key aggregates. Determinism: every
+    NTILE ordering carries the customer key as tiebreak (equal scores
+    would otherwise land in engine-dependent tiles); money is exact
+    integer cents. Scale note: a global NTILE is a single-partition
+    sort -- fine for customer-dimension cardinality (it is a DIM, not
+    the fact); for fact-sized inputs the percentile-threshold join
+    (agg_percentile's shape) replaces it, trading one sort for two
+    passes."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    r_w = Window.orderBy("last_order", "o_custkey")
+    f_w = Window.orderBy("frequency", "o_custkey")
+    m_w = Window.orderBy("monetary_cents", "o_custkey")
+    scored = rfm.select(
+        "o_custkey",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+    )
