@@ -608,3 +608,83 @@ def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.withColumn(
         "cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint")
     )
+
+
+@register(
+    "rolling_active_users",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    act AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    dau AS (SELECT d, COUNT(*) AS dau FROM act GROUP BY d)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           dau.dau,
+           (SELECT COUNT(DISTINCT a.user_id) FROM act a
+             WHERE a.d BETWEEN days.d - INTERVAL 6 DAY AND days.d)
+               AS wau,
+           ROUND(dau.dau * 1.0 /
+             (SELECT COUNT(DISTINCT a.user_id) FROM act a
+               WHERE a.d BETWEEN days.d - INTERVAL 6 DAY AND days.d), 6)
+               AS stickiness
+    FROM days JOIN dau ON dau.d = days.d
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling distinct counting (DAU / trailing-7-day WAU /
+    stickiness): COUNT(DISTINCT) does not compose over sliding
+    windows, so the engine composes it from MERGEABLE per-day bitmaps
+    -- each day aggregates its users into 32-bit-block words
+    (agg_bitmap_distinct's artifact), a RANGE window ORs the trailing
+    7 days per word (bit_or is associative, so partial windows merge
+    exactly), and popcount-sum yields the exact rolling distinct. The
+    oracle recomputes each day's window by brute-force correlated
+    distinct. Scale: per-day bitmap words are calendar x domain/32
+    rows -- the window runs over that compact artifact, never over raw
+    events; HLL sketches swap in verbatim when the domain is unbounded
+    (same merge algebra, agg_hll_union's contract)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    words = ev.groupBy(
+        "d", F.expr("user_id div 32").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), cast(user_id % 32 as int))")
+        ).alias("bits")
+    )
+    # Densify the (day x word) grid before windowing: a word block with
+    # no activity ON day d but activity within its trailing window has
+    # no row for d, and a row-anchored window would silently drop its
+    # members from that day's WAU. The grid is calendar x domain/32 --
+    # dimension-sized -- and missing cells carry empty bitmaps.
+    grid = words.select("d").distinct().crossJoin(
+        words.select("w").distinct()
+    )
+    dense = grid.join(words, ["d", "w"], "left").select(
+        "d", "w", F.coalesce("bits", F.lit(0).cast("bigint")).alias("bits")
+    )
+    day_idx = F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+    w7 = (
+        Window.partitionBy("w")
+        .orderBy(day_idx)
+        .rangeBetween(-6, 0)
+    )
+    rolled = dense.withColumn("bits7", F.bit_or("bits").over(w7))
+    wau = rolled.groupBy("d").agg(
+        F.sum(F.bit_count("bits7")).cast("bigint").alias("wau")
+    )
+    dau = words.groupBy("d").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("dau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") * F.lit(1.0) / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
