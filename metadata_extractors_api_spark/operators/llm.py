@@ -2109,3 +2109,58 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_both * 1000000 div greatest(n_exact, 1)"),
         )
     )
+
+
+@register(
+    "text_llm_score_stub",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('scoreseed' || CAST(doc_id AS VARCHAR)),
+                 1, 4))::BIGINT % 1000 AS BIGINT) AS model_score_e3,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_llm_score_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model-inference slot: the mapInPandas stage where a real
+    pipeline runs an LM quality/reward scorer on GPU executors. The
+    model is stubbed deterministically (hash-derived score -- this
+    container has no inference stack, same policy as the multimodal
+    decoders) but the PLUMBING is the real thing and is what this
+    operator tests: Arrow batches stream through the Python worker
+    with an explicit micro-batch size (the GPU batching knob --
+    spark.sql.execution.arrow.maxRecordsPerBatch governs it in
+    production), the UDF is a generator over batches so one partition
+    never materializes, and the output contract (doc_id, score,
+    evidence) is schema-fixed. Swap the stub for a tokenizer+model
+    call and nothing else changes -- that is the point of the slot."""
+    import pandas as pd
+
+    def score(batches):
+        import hashlib
+
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "model_score_e3": [
+                        int(
+                            hashlib.md5(
+                                f"scoreseed{i}".encode()
+                            ).hexdigest()[:4],
+                            16,
+                        )
+                        % 1000
+                        for i in pdf["doc_id"]
+                    ],
+                    "n_chars": [len(t) for t in pdf["text"]],
+                }
+            )
+            yield out
+
+    d = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "text"
+    )
+    return d.mapInPandas(
+        score, "doc_id bigint, model_score_e3 bigint, n_chars bigint"
+    )

@@ -350,3 +350,86 @@ def scan_parquet_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("r_regionkey").alias("n_keys"),
     )
+
+
+@register(
+    "snapshot_diff",
+    oracle="""
+    WITH today AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    yesterday AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0
+                  THEN round(o_totalprice - 1.0, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0),
+    d AS (
+      SELECT t.o_orderkey AS tk, y.o_orderkey AS yk,
+             CASE WHEN t.o_orderkey IS NOT NULL
+                   AND y.o_orderkey IS NOT NULL
+                   AND (t.o_orderstatus <> y.o_orderstatus
+                        OR t.o_totalprice <> y.o_totalprice)
+                  THEN 1 ELSE 0 END AS changed
+      FROM today t FULL OUTER JOIN yesterday y
+        ON t.o_orderkey = y.o_orderkey)
+    SELECT CAST(SUM(CASE WHEN yk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_added,
+           CAST(SUM(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(SUM(changed) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN tk IS NOT NULL AND yk IS NOT NULL
+                          AND changed = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unchanged
+    FROM d
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: the added / removed / changed /
+    unchanged audit between two table versions -- the data-diff every
+    warehouse runs after a load to prove the delta did what the
+    manifest claimed. Yesterday's snapshot is derived deterministically
+    (keys divisible by 97 absent, every 13th price perturbed) so the
+    expected report is oracle-computable; the diff itself is the
+    general mechanism: one full-outer join on the key with change
+    predicates over compared columns, aggregated into the audit row.
+    Scale: the join shuffles both snapshots once on the key; column
+    comparison is codegen'd; at 100 TB the same diff runs partition-
+    parallel and a content-hash column (table_checksum's digest) cuts
+    the compared width to one column per side."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    today = o
+    yesterday = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 13 == 0,
+            F.round(F.col("o_totalprice") - 1.0, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    t = today.withColumnsRenamed(
+        {"o_orderkey": "tk", "o_orderstatus": "ts_", "o_totalprice": "tp"}
+    )
+    y = yesterday.withColumnsRenamed(
+        {"o_orderkey": "yk", "o_orderstatus": "ys", "o_totalprice": "yp"}
+    )
+    d = t.join(y, t.tk == y.yk, "full")
+    changed = (
+        t.tk.isNotNull()
+        & y.yk.isNotNull()
+        & ((F.col("ts_") != F.col("ys")) | (F.col("tp") != F.col("yp")))
+    ).cast("int")
+    return d.agg(
+        F.sum(y.yk.isNull().cast("int")).cast("bigint").alias("n_added"),
+        F.sum(t.tk.isNull().cast("int")).cast("bigint").alias("n_removed"),
+        F.sum(changed).cast("bigint").alias("n_changed"),
+        F.sum(
+            (t.tk.isNotNull() & y.yk.isNotNull() & (changed == 0)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )
