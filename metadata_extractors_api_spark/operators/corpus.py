@@ -688,3 +688,48 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_error_rate_sla",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1)
+    SELECT h, n_events, n_errors,
+           ROUND(n_errors * 1.0 / n_events, 6) AS error_rate,
+           n_errors * 50 > n_events AS sla_breach
+    FROM hourly
+    """,
+)
+def events_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly error-rate SLA monitor: per-hour event and error counts,
+    the error rate, and a breach flag at the 2% threshold -- the SRE
+    rollup behind every alerting rule. The threshold compare is
+    cross-multiplied into exact integers (errors * 50 > events  <=>
+    rate > 0.02), so the FLAG -- the thing that pages someone -- never
+    depends on float rounding; the displayed rate is one IEEE
+    division. One map-side-combinable rollup; at scale this runs as
+    the streaming twin (stream_tumbling's window) with identical
+    arithmetic."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    )
+    hourly = ev.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    return hourly.select(
+        "h",
+        "n_events",
+        "n_errors",
+        F.round(F.col("n_errors") * F.lit(1.0) / F.col("n_events"), 6).alias(
+            "error_rate"
+        ),
+        (F.col("n_errors") * 50 > F.col("n_events")).alias("sla_breach"),
+    )

@@ -2164,3 +2164,51 @@ def text_llm_score_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         score, "doc_id bigint, model_score_e3 bigint, n_chars bigint"
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(tk[i:i+2], ' ')))) AS g
+      FROM toks),
+    first_seen AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM tri GROUP BY g),
+    flags AS (
+      SELECT t.doc_id,
+             CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END AS novel
+      FROM tri t JOIN first_seen f ON f.g = t.g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(novel) AS BIGINT) AS n_novel,
+           ROUND(SUM(novel) * 1.0 / COUNT(*), 6) AS novelty
+    FROM flags GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty against everything BEFORE it in the
+    corpus order: the fraction of a doc's distinct trigrams whose
+    first occurrence (min doc_id) is the doc itself. This is the
+    streaming-ingest dedup signal -- a crawl shard whose novelty
+    collapses is re-crawling known content, caught without any pair
+    enumeration. Scale: one groupBy on the trigram (first-seen is a
+    map-side-combinable MIN), one join back on the same key reusing
+    that shuffle's partitioning, one per-doc rollup; novelty of the
+    whole corpus costs two shuffles regardless of size, vs the
+    quadratic pair space the same signal would need via dedup."""
+    ex = _shingle_rel(spark, sf_dir)
+    first = ex.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    flags = ex.join(first, "shingle").select(
+        "doc_id", (F.col("first_doc") == F.col("doc_id")).cast("int").alias("novel")
+    )
+    return flags.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum("novel").cast("bigint").alias("n_novel"),
+        F.round(F.sum("novel") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "novelty"
+        ),
+    )

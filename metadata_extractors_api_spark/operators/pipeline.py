@@ -943,3 +943,69 @@ def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
         )
     )
+
+
+@register(
+    "kmeans_label_purity",
+    oracle=f"""
+    WITH {_km_chain()[0]},
+    joined AS (
+      SELECT a.vec_id, a.cluster, e.label
+      FROM {_km_chain()[2]} a JOIN embeddings e ON e.vec_id = a.vec_id),
+    cl AS (
+      SELECT cluster, label, COUNT(*) AS n FROM joined GROUP BY 1, 2),
+    best AS (
+      SELECT cluster, label AS majority_label, n AS n_majority
+      FROM (SELECT cluster, label, n,
+                   ROW_NUMBER() OVER (PARTITION BY cluster
+                                      ORDER BY n DESC, label) AS rn
+            FROM cl) WHERE rn = 1),
+    tot AS (SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_total FROM cl GROUP BY 1)
+    SELECT t.cluster, t.n_total, b.majority_label,
+           CAST(b.n_majority AS BIGINT) AS n_majority,
+           ROUND(b.n_majority * 1.0 / t.n_total, 6) AS purity
+    FROM tot t JOIN best b ON b.cluster = t.cluster
+    """,
+)
+def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit: per-cluster majority label and purity of
+    the trained k-means assignment against the embeddings' ground-truth
+    labels -- the unsupervised-quality check every embedding-clustering
+    deployment reports before the clusters are trusted for curation or
+    mixture decisions. The assignment chain is kmeans_train's (same
+    exact-int64 unrolled training, same oracle CTEs); purity is one
+    (cluster, label) rollup plus an argmax window with deterministic
+    tiebreak, and the final ratio is a single IEEE division. At scale
+    the labeled subset is typically a sample joined against the full
+    assignment -- the same join, dimension-sized on the label side."""
+    pts = _km_pts(spark, sf_dir)
+    assign = _km_assign(pts, _km_train(pts)).select("vec_id", "cluster")
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cl = (
+        assign.join(e, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), F.asc("label"))
+    best = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("majority_label"),
+            F.col("n").cast("bigint").alias("n_majority"),
+        )
+    )
+    tot = cl.groupBy("cluster").agg(F.sum("n").cast("bigint").alias("n_total"))
+    return (
+        tot.join(best, "cluster")
+        .select(
+            "cluster",
+            "n_total",
+            "majority_label",
+            "n_majority",
+            F.round(F.col("n_majority") * F.lit(1.0) / F.col("n_total"), 6).alias(
+                "purity"
+            ),
+        )
+    )
