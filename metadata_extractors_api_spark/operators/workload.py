@@ -997,3 +997,64 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
     )
+
+
+@register(
+    "orders_open_backlog",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS d_open,
+             CAST(MAX(l.l_shipdate) AS DATE) AS d_close
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+      HAVING CAST(MAX(l.l_shipdate) AS DATE) >= CAST(o.o_orderdate AS DATE)),
+    deltas AS (
+      SELECT d_open AS d, 1 AS delta FROM spans
+      UNION ALL
+      SELECT d_close + INTERVAL 1 DAY, -1 FROM spans),
+    daily AS (
+      SELECT CAST(d AS DATE) AS d, CAST(SUM(delta) AS BIGINT) AS delta
+      FROM deltas GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           delta AS net_change,
+           CAST(SUM(delta) OVER (ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap counting via the delta + prefix-sum trick: how
+    many orders are OPEN (placed, not yet fully shipped) on each day.
+    The naive form joins every day against every order span (days x
+    orders); the scale form converts each span to +1/-1 boundary
+    deltas, aggregates deltas per day, and takes one running sum over
+    the CALENDAR-sized rollup -- the same transformation that turns
+    concurrent-sessions, room-occupancy, and connection-count queries
+    from quadratic overlap joins into two shuffles. The running sum is
+    a single-partition window over calendar rows, exact integers
+    throughout."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d_open"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("d_close"))
+        .filter(F.col("d_close") >= F.col("d_open"))
+    )
+    deltas = spans.select(
+        F.col("d_open").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add("d_close", 1).alias("d"), F.lit(-1).alias("delta")
+        )
+    )
+    daily = deltas.groupBy("d").agg(
+        F.sum("delta").cast("bigint").alias("net_change")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "net_change",
+        F.sum("net_change").over(w).cast("bigint").alias("open_orders"),
+    )
