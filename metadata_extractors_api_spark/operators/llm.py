@@ -2212,3 +2212,70 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     )
+
+
+@register(
+    "sim_knn_label_audit",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS qid, a.label AS qlabel,
+             b.vec_id AS nid, b.label AS nlabel,
+             {_sql_dot('a.embedding', 'b.embedding')} AS dot
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 100),
+    nn AS (
+      SELECT qid, qlabel, nlabel
+      FROM (SELECT qid, qlabel, nlabel,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY dot DESC, nid) AS rn
+            FROM pairs) WHERE rn = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(CASE WHEN qlabel = nlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+           CAST(SUM(CASE WHEN qlabel = nlabel THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS agree_e6
+    FROM nn
+    """,
+)
+def sim_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit by 1-NN label agreement: for each probe
+    vector, find its nearest neighbor by exact scaled-int dot product
+    and check label agreement -- the recall-style sanity check that an
+    embedding space actually separates its classes before ANN indexes
+    or cluster-driven curation are built on it. Bounded to a 100-probe
+    evaluation slice, which is how the audit runs at 100 TB too: 1-NN
+    over the FULL corpus per probe is a broadcast of the probe slice
+    against one corpus pass (sim_topk's plan), never all-pairs; the
+    bounded slice keeps the oracle's brute-force form tractable.
+    Agreement ratio in exact integer millionths."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    probes = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    pairs = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            dot_scaled(F.col("qe"), F.col("embedding")).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("nid"))
+    nn = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return nn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum((F.col("qlabel") == F.col("nlabel")).cast("int"))
+        .cast("bigint")
+        .alias("n_agree"),
+        F.expr(
+            "CAST(sum(CAST(qlabel = nlabel AS INT)) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("agree_e6"),
+    )
