@@ -1104,3 +1104,60 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users_exact")
     )
     return bitmap.join(exact, "event_type")
+
+
+@register(
+    "trend_linear_slope",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) - epoch(TIMESTAMP '2024-01-01') AS BIGINT)
+                 // 3600 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY 1)
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 9)
+               AS slope_cents_per_hour
+    FROM m
+    """,
+)
+def trend_linear_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend: the OLS slope of event value over
+    time, from EXACT integer moments (n, Σx, Σy, Σxy, Σx²) with one
+    IEEE division at the end -- agg_corr's sibling, and the
+    drift-detection primitive monitoring pipelines fit per metric.
+    Hours-since-epoch-origin and integer cents keep every moment in
+    int64 (x <= 720 hours, y <= 1e4 cents, n <= fact size: Σxy bounded
+    far under 2^63 even at 100 TB per group). One map-side-combinable
+    aggregation; adding groups costs nothing."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(unix_timestamp(ts) - unix_timestamp("
+            "TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) div 3600"
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * F.lit(1.0)
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    return m.select(
+        "event_type", "n", F.round(slope, 9).alias("slope_cents_per_hour")
+    )
