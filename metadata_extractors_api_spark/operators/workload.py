@@ -1058,3 +1058,67 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_change",
         F.sum("net_change").over(w).cast("bigint").alias("open_orders"),
     )
+
+
+@register(
+    "part_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+    ranked AS (
+      SELECT l_partkey, cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+      FROM rev),
+    classed AS (
+      SELECT l_partkey, cents,
+             CASE WHEN run * 100 <= t.t * 80 THEN 'A'
+                  WHEN run * 100 <= t.t * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked CROSS JOIN tot t)
+    SELECT abc,
+           COUNT(*) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents
+    FROM classed GROUP BY 1 ORDER BY 1
+    """,
+)
+def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, classified
+    A/B/C at the cumulative 80% / 95% boundaries -- the inventory-
+    concentration analysis behind every 'top SKUs drive the business'
+    decision. The class boundaries compare in exact integers
+    (run*100 <= total*80, never a float share), revenue is exact
+    cents, and the (cents DESC, partkey) ordering makes the cumulative
+    walk engine-independent through ties. Scale: the ranking window is
+    a single-partition sort over the PART dimension (not the fact);
+    the fact is touched once by the revenue rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.withColumn("run", F.sum("cents").over(w).cast("bigint"))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.when(F.col("run") * 100 <= F.col("t") * 80, "A")
+        .when(F.col("run") * 100 <= F.col("t") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("class_cents"),
+        )
+        .orderBy("abc")
+    )
