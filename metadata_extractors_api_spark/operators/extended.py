@@ -364,3 +364,56 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(0 AS BIGINT), (a, b) -> a + b) AS BIGINT)"
         ).alias("energy"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) < 10
+                  THEN NULL
+                  ELSE CAST(json_extract_string(props, '$.k') AS INT) // 10
+             END AS kb,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    dim(kb, label) AS (VALUES
+      (NULL, 'unknown'), (1, 'b1'), (2, 'b2'), (3, 'b3'), (4, 'b4'),
+      (5, 'b5'), (6, 'b6'), (7, 'b7'), (8, 'b8'), (9, 'b9'))
+    SELECT d.label,
+           COUNT(*) AS n,
+           CAST(SUM(ev.cents) AS BIGINT) AS cents
+    FROM ev JOIN dim d ON ev.kb IS NOT DISTINCT FROM d.kb
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): the join
+    semantic plain equality silently breaks -- rows whose key is NULL
+    vanish from an equi-join, which is exactly wrong when NULL is a
+    meaningful category ('unknown' bucket) that must map to a dim row.
+    Here a derived nullable bucket joins a dimension whose NULL row
+    labels the unknowns; Spark's eqNullSafe compiles to the same
+    hash-join machinery as = (NULL hashes as a regular value), so the
+    null-safe form costs nothing at scale -- it is a correctness
+    choice, not a performance trade."""
+    ev = load(spark, sf_dir, "events").select(
+        F.when(
+            F.get_json_object("props", "$.k").cast("int") < 10, F.lit(None)
+        )
+        .otherwise(F.expr("CAST(get_json_object(props, '$.k') AS INT) div 10"))
+        .cast("int")
+        .alias("kb"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dim = spark.createDataFrame(
+        [(None, "unknown")] + [(i, f"b{i}") for i in range(1, 10)],
+        "kb int, label string",
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.kb.eqNullSafe(dim.kb))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )

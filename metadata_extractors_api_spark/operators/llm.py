@@ -2353,3 +2353,47 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang, n_chars,
+             md5(array_to_string(str_split(text, ' ')[1:6], ' ')) AS h
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, n_chars, h,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS group_size
+      FROM norm)
+    SELECT doc_id, lang, n_chars, CAST(group_size AS BIGINT) AS group_size
+    FROM ranked WHERE rn = 1 AND group_size > 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection: within each duplicate group
+    (here keyed by opening-phrase fingerprint -- the fixture corpus
+    has no byte-exact duplicates, so the 6-token prefix stands in for
+    whatever grouping the dedup stage emitted; the policy is
+    key-agnostic), keep the HIGHEST-QUALITY copy
+    (longest original text, doc_id tiebreak) instead of dedup_exact's
+    min-id convention -- the policy real curation wants, because the
+    shortest copy of a duplicated page is usually the most truncated
+    one. Emits only multi-copy groups (the interesting rows) with
+    their group size. One shuffle on the content hash serves both the
+    ranking and the group-size window (same key); quality ranking
+    composes with any score column -- swap n_chars for
+    text_llm_score_stub's model score and the plan is unchanged."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    h = F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 6)))
+    w = Window.partitionBy("h").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wg = Window.partitionBy("h")
+    return (
+        d.select("doc_id", "lang", "n_chars", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(wg).cast("bigint"))
+        .filter((F.col("rn") == 1) & (F.col("group_size") > 1))
+        .select("doc_id", "lang", "n_chars", "group_size")
+    )
