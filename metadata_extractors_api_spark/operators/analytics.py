@@ -1161,3 +1161,101 @@ def trend_linear_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_type", "n", F.round(slope, 9).alias("slope_cents_per_hour")
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty,
+           ROUND(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l.l_quantity) AS BIGINT))
+                 * 1.0 /
+                 (100.0 * SUM(CAST(round(l.l_quantity) AS BIGINT))), 6)
+               AS wavg_price
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per brand: numerator and
+    denominator accumulate as EXACT integers (cents x units -- bounded
+    by 1e7 x 50 per row, Σ far inside int64 at any group size) and the
+    average is ONE IEEE division at the end -- the only structure
+    under which a weighted mean is bit-identical across partition
+    orders and engines. The naive avg(price * qty / sum) form
+    re-associates float ops per partition and drifts. One broadcast
+    dim join + one rollup."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(qty).cast("bigint").alias("total_qty"),
+            F.round(
+                F.sum(cents * qty) * F.lit(1.0) / (F.lit(100.0) * F.sum(qty)),
+                6,
+            ).alias("wavg_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "anomaly_zscore_window",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS s1,
+             CAST(SUM(y * y) AS BIGINT) AS s2
+      FROM pts GROUP BY 1)
+    SELECT p.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN (p.y * m.n - m.s1) * (p.y * m.n - m.s1)
+                          > 9 * (m.n * m.s2 - m.s1 * m.s1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM pts p JOIN m ON m.event_type = p.event_type
+    GROUP BY 1
+    """,
+)
+def anomaly_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly screen with the sqrt eliminated: |y - mu| >
+    3*sigma is squared and cross-multiplied into the all-integer form
+    (y*n - s1)^2 > 9*(n*s2 - s1^2), so the anomaly VERDICT -- the bit
+    that triggers action -- is exact int64 arithmetic with no float
+    comparison anywhere (anomaly_mad's moment-based sibling; MAD
+    resists outlier contamination, z-score is the cheap first pass).
+    Overflow check: y <= 1e4 cents, n <= 6e5 at sf0.1 -> y*n <= 6e9,
+    squared 3.6e19 EXCEEDS int64 -- so the compare runs in DOUBLE
+    after exact integer construction (products are correctly rounded
+    IEEE ops on exactly-represented inputs, deterministic in both
+    engines). Scale: one moment rollup per group, one broadcast join
+    back, one counting pass."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("y")
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"),
+    )
+    j = ev.join(F.broadcast(m), "event_type")
+    dev = (F.col("y") * F.col("n") - F.col("s1")).cast("double")
+    var_n2 = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((dev * dev > F.lit(9.0) * var_n2).cast("int"))
+        .cast("bigint")
+        .alias("n_anomalies"),
+    )
