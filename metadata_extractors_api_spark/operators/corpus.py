@@ -810,3 +810,55 @@ def fill_forward_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_locf_cents"),
     )
+
+
+@register(
+    "events_burst_detection",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events),
+    counted AS (
+      SELECT event_type, event_id, sec,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY sec
+                            RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+                 AS burst
+      FROM pts)
+    SELECT event_type,
+           CAST(MAX(burst) AS BIGINT) AS peak_5min,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(MAX(burst) * 2592000.0 / (COUNT(*) * 300.0), 6)
+               AS peak_to_mean
+    FROM counted GROUP BY 1
+    """,
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: the maximum event count inside ANY trailing
+    5-minute window per type -- the peak-RPS statistic capacity
+    planning reads, computed exactly with a RANGE frame over event-time
+    seconds (every event anchors a window ending at itself; the true
+    sliding-window max over a 30-day stream falls out of one window
+    pass, no discretized bucketing error). peak_to_mean scales the
+    peak against the uniform-rate expectation over the fixture's
+    30-day span (2 592 000 s) in one IEEE division. Scale: one shuffle
+    on event_type; the RANGE frame is a sorted single pass per
+    partition -- the skewed-type guard is the same salting pattern as
+    any hot-key window."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("sec")
+        .rangeBetween(-300, 0)
+    )
+    counted = ev.withColumn("burst", F.count(F.lit(1)).over(w))
+    return counted.groupBy("event_type").agg(
+        F.max("burst").cast("bigint").alias("peak_5min"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(
+            F.max("burst") * F.lit(2592000.0) / (F.count(F.lit(1)) * F.lit(300.0)),
+            6,
+        ).alias("peak_to_mean"),
+    )

@@ -2397,3 +2397,57 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("group_size") > 1))
         .select("doc_id", "lang", "n_chars", "group_size")
     )
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+    doc_tok AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM occ GROUP BY 1),
+    cum_tok AS (
+      SELECT doc_id,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_so_far
+      FROM doc_tok),
+    first_seen AS (
+      SELECT token, MIN(doc_id) AS fd FROM occ GROUP BY token),
+    vocab_at AS (
+      SELECT c.doc_id, c.tokens_so_far,
+             (SELECT COUNT(*) FROM first_seen f WHERE f.fd <= c.doc_id)
+                 AS vocab_so_far
+      FROM cum_tok c)
+    SELECT doc_id, tokens_so_far, CAST(vocab_so_far AS BIGINT) AS vocab_so_far
+    FROM vocab_at
+    WHERE doc_id % 50 = 49
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law observable): cumulative
+    distinct tokens vs cumulative total tokens at doc checkpoints --
+    the corpus-statistics curve that tells a tokenizer-training or
+    dedup campaign whether the stream still yields novelty or has
+    saturated (flattening vocab growth = rising duplication). Exact
+    and join-based: token first-seen doc ids (one MIN aggregation)
+    broadcast against the checkpoint list; cumulative token mass is a
+    running sum over the doc dimension -- no per-checkpoint rescan of
+    the corpus. Checkpoints every 50 docs; at 100 TB the same plan
+    samples checkpoints logarithmically."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    occ = d.select("doc_id", F.explode(tokens_col()).alias("token"))
+    doc_tok = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = doc_tok.withColumn(
+        "tokens_so_far", F.sum("n_tok").over(w).cast("bigint")
+    ).filter(F.col("doc_id") % 50 == 49)
+    first_seen = occ.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    pairs = first_seen.crossJoin(F.broadcast(cum.select("doc_id"))).filter(
+        F.col("fd") <= F.col("doc_id")
+    )
+    vocab = pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_so_far")
+    )
+    return cum.select("doc_id", "tokens_so_far").join(vocab, "doc_id")
