@@ -1122,3 +1122,51 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+@register(
+    "orders_priority_mix_shift",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    tot AS (
+      SELECT month, CAST(SUM(n) AS BIGINT) AS mn FROM monthly GROUP BY 1),
+    share AS (
+      SELECT m.month, m.o_orderpriority, m.n,
+             ROUND(m.n * 1.0 / t.mn, 6) AS share
+      FROM monthly m JOIN tot t ON t.month = m.month)
+    SELECT month, o_orderpriority, n, share,
+           ROUND(share - LAG(share) OVER (PARTITION BY o_orderpriority
+                                          ORDER BY month), 6) AS share_delta
+    FROM share
+    """,
+)
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift monitor: each priority class's monthly share of orders
+    and its month-over-month delta -- the composition-drift report
+    that separates 'volume grew' from 'the mix changed' in any KPI
+    review. Share is count over a per-month total (broadcast-joined,
+    one IEEE division); the delta is a lag window over the
+    class's own monthly series. Scale: two rollups on
+    calendar-dimension keys and one window over months-x-classes
+    rows -- nothing fact-sized past the first aggregation."""
+    o = load(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_orderpriority",
+    )
+    monthly = o.groupBy("month", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = monthly.groupBy("month").agg(F.sum("n").cast("bigint").alias("mn"))
+    share = monthly.join(F.broadcast(tot), "month").select(
+        "month",
+        "o_orderpriority",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.col("mn"), 6).alias("share"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    return share.withColumn(
+        "share_delta", F.round(F.col("share") - F.lag("share").over(w), 6)
+    )
