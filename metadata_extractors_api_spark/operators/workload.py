@@ -1170,3 +1170,536 @@ def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return share.withColumn(
         "share_delta", F.round(F.col("share") - F.lag("share").over(w), 6)
     )
+
+
+@register(
+    "tpch_q4_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking), adapted: the fixture
+    has no commit/receipt dates, so "late" is l_shipdate more than 60
+    days after the order date. The signature pattern is the correlated
+    EXISTS -> LEFT SEMI join with a non-equi residual: one equi shuffle
+    on the order key carries the date comparison as the join residual,
+    then a 5-group aggregate. The quarter filter is pushed to the
+    orders scan; the lineitem side is pruned to two columns."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                          * CAST(l_discount AS DECIMAL(6,2))), 2) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the pure scan-aggregate
+    plan. Every predicate (date range, discount band, quantity cap) is
+    a parquet-pushable comparison on a scan column, so at cluster
+    scale this is a partition-pruned, row-group-skipped scan feeding a
+    partial/final sum with no shuffle of fact rows at all -- the
+    cheapest possible 100 TB query, and a pushdown regression canary.
+    Revenue is summed in DECIMAL for exact, order-independent totals."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(money("l_extendedprice") * rate("l_discount")), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "tpch_q9_profit",
+    oracle="""
+    SELECT n.n_name,
+           CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(6,2)))
+                          - CAST(p.p_retailprice AS DECIMAL(14,2))
+                            * CAST(0.5 AS DECIMAL(3,2))
+                            * CAST(l.l_quantity AS DECIMAL(6,2))), 2)
+                AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    ORDER BY n.n_name, o_year DESC
+    """,
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year),
+    adapted: no partsupp table, so supply cost is modeled as half the
+    part's retail price. Five-way join where every dimension
+    (supplier, nation, filtered part) broadcasts and only
+    lineitem-orders shuffles on the order key; profit arithmetic runs
+    entirely in DECIMAL so the group totals are exact and
+    order-independent. The LIKE filter prunes the part build side
+    before broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    o = load(spark, sf_dir, "orders")
+    profit = money("l_extendedprice") * (F.lit(1) - rate("l_discount")) - money(
+        "p_retailprice"
+    ) * F.lit(0.5).cast("decimal(3,2)") * F.col("l_quantity").cast("decimal(6,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+        .orderBy(F.asc("n_name"), F.desc("o_year"))
+    )
+
+
+@register(
+    "tpch_q11_stock_value",
+    oracle="""
+    WITH eu AS (
+      SELECT s.s_suppkey
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    val AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+      FROM lineitem l
+      WHERE l.l_suppkey IN (SELECT s_suppkey FROM eu)
+      GROUP BY 1),
+    tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS t FROM val)
+    SELECT v.l_partkey, v.value_cents
+    FROM val v CROSS JOIN tot
+    WHERE v.value_cents * 1000 > tot.t
+    ORDER BY v.value_cents DESC, v.l_partkey
+    """,
+)
+def tpch_q11_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock), adapted: per-part inventory
+    value aggregates price*quantity from lineitem for suppliers in one
+    region. The signature pattern is the global-scalar threshold: the
+    per-part aggregate is computed once, its grand total reduces to a
+    single row that broadcasts back as a cross join, and the filter
+    compares exact integer cents (value*1000 > total, i.e. >0.1%% of
+    total) -- no floating point anywhere, so the threshold cannot
+    flake at any scale. At 100 TB the supplier filter is a broadcast
+    semi-join and the only fact shuffle is the partkey aggregate.
+    Cents*1000 stays under int64 to ~1e15 total cents; past that,
+    promote to DECIMAL(38,0)."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint") * F.col(
+        "l_quantity"
+    ).cast("bigint")
+    val = li.groupBy("l_partkey").agg(
+        F.sum(cents).cast("bigint").alias("value_cents")
+    )
+    tot = val.agg(F.sum("value_cents").cast("bigint").alias("t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 1000 > F.col("t"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), F.asc("l_partkey"))
+    )
+
+
+@register(
+    "tpch_q12_latemode",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q12_latemode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split), adapted: the
+    fixture has no ship mode or commit/receipt dates, so the grouping
+    key is the return flag and "late" is shipping >60 days after the
+    order date. Signature pattern: conditional aggregation (a
+    CASE-guarded pair of sums in ONE pass) over an equi-join whose
+    residual is a non-equi date comparison. The year filter is pushed
+    to the lineitem scan; the join shuffles both sides on the order
+    key once."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY 1)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY 1
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): the two-level
+    aggregation. A LEFT OUTER join (customers with zero qualifying
+    orders must appear with count 0 -- COUNT of the null-extended key
+    gives exactly that) with the filter folded into the JOIN
+    CONDITION, not the WHERE clause, then a re-aggregation of counts
+    into a histogram. First aggregate shuffles on the customer key;
+    the second input is already tiny (distinct counts)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                            * (1 - CAST(l_discount AS DECIMAL(6,2)))), 2)
+                  AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1),
+    m AS (SELECT MAX(total_revenue) AS mr FROM rev)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    CROSS JOIN m
+    WHERE r.total_revenue = m.mr
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the view + scalar-max pattern. The
+    quarterly per-supplier revenue aggregate is computed once; its MAX
+    reduces to one row that broadcasts back so the filter runs
+    distributed (no driver round-trip, ties preserved). Revenue is an
+    exact DECIMAL sum rounded once to 2 places on both engines, so
+    the double equality against the max is bit-identical by
+    construction. One fact shuffle on the supplier key; the supplier
+    dim broadcasts."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(money("l_extendedprice") * (F.lit(1) - rate("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    m = rev.agg(F.max("total_revenue").alias("mr"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(m))
+        .filter(F.col("total_revenue") == F.col("mr"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: the
+    part-supplier pairs come from lineitem and the excluded suppliers
+    are those with negative balance (no comment column). Signature
+    pattern: NOT IN -> broadcast LEFT ANTI join on the fact before the
+    join to the filtered part dim (also broadcast after its three
+    pushed predicates), then COUNT(DISTINCT) per brand/type/size --
+    Spark expands that to a two-phase distinct aggregate, partials
+    first, so the shuffle carries distinct pairs, not raw rows."""
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+@register(
+    "tpch_q17_small_qty",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, SUM(l_quantity) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(14,2)))
+                           AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < 0.4 * pa.avg_qty
+    """,
+)
+def tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    per-group average, decorrelated the way Catalyst would -- the
+    per-part mean quantity is a separate aggregate joined back to the
+    fact. The mean relation is part-cardinality (dimension-sized at
+    any scale), so it broadcasts; the brand filter prunes the part
+    build side before its broadcast. Quantities are integral doubles,
+    so SUM/COUNT and the 0.4x threshold are bit-deterministic IEEE on
+    both engines; the revenue total itself is an exact DECIMAL sum."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(pa.withColumnRenamed("l_partkey", "pa_partkey")),
+            F.col("l_partkey") == F.col("pa_partkey"),
+        )
+        .filter(F.col("l_quantity") < 0.4 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(money("l_extendedprice")).cast("double") / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "tpch_q20_promo_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2)
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT sh.l_suppkey
+      FROM shipped sh JOIN part p ON p.p_partkey = sh.l_partkey
+      WHERE p.p_name LIKE 'small%' AND sh.qty > 50)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted: a supplier
+    qualifies if it shipped more than 50 units of any 'small%' part in
+    1997 (no partsupp availability to halve). Signature pattern: the
+    nested IN -> a year-filtered per-(supplier, part) aggregate,
+    semi-joined to the filtered part dim, then a LEFT SEMI from the
+    supplier dim to the distinct qualifying suppliers. Quantities are
+    integral, so the BIGINT sum and threshold are exact. One fact
+    shuffle on the compound key; everything else broadcasts."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    cand = (
+        shipped.join(F.broadcast(p), shipped.l_partkey == p.p_partkey)
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(cand, s.s_suppkey == cand.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q21_waiting",
+    oracle="""
+    WITH ol AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    po AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS nsupp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nlate,
+             MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      FROM ol GROUP BY 1)
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM po
+    JOIN supplier s ON s.s_suppkey = po.late_supp
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE po.nsupp > 1 AND po.nlate = 1 AND n.n_name = 'NATION_3'
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted:
+    "late" is shipping >60 days after the order date, and the unit
+    counted is waiting ORDERS per supplier. The spec's EXISTS +
+    NOT-EXISTS self-join pair is rewritten as ONE per-order aggregate
+    -- multi-supplier order (nsupp > 1) whose sole late supplier
+    (nlate = 1) is this one -- turning two extra fact shuffles into
+    none: the rewrite needs only the single orderkey aggregate it
+    already pays for. The oracle states the same rewrite, so both
+    engines compute identical semantics."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ol = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("int")
+        .alias("late"),
+    )
+    late_supp = F.when(F.col("late") == 1, F.col("l_suppkey"))
+    po = ol.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(late_supp).alias("nlate"),
+        F.max(late_supp).alias("late_supp"),
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        po.filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )

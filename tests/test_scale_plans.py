@@ -255,3 +255,41 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
     # partition: the scan must carry a dynamicpruningexpression.
     plan = _plan(mdx.QUERIES["join_dpp"](spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_tpch_q6_pushes_all_predicates(spark, sf_dir):
+    # Q6 is the pushdown canary: every predicate compares a scan column
+    # to a literal, so all four must reach the parquet scan as
+    # PushedFilters and the plan must contain NO join and NO exchange
+    # of fact rows beyond the scalar-aggregate partials.
+    plan = _plan(mdx.QUERIES["tpch_q6_forecast"](spark, sf_dir))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    assert "Join" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # unneeded columns pruned
+
+
+def test_tpch_q21_single_fact_shuffle(spark, sf_dir):
+    # The EXISTS + NOT-EXISTS pair is rewritten as one per-order
+    # aggregate: the plan must not contain a lineitem self-join -- the
+    # only fact-growing exchanges are the orderkey join/aggregate, and
+    # supplier/nation broadcast.
+    plan = _plan(mdx.QUERIES["tpch_q21_waiting"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # one scan of lineitem, not three (spec-literal q21 scans it 3x)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_tpch_q11_threshold_is_integer(spark, sf_dir):
+    # The >0.1%-of-total threshold must compare exact integer cents --
+    # no doubles anywhere in the schema.
+    df = mdx.QUERIES["tpch_q11_stock_value"](spark, sf_dir)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint",
+        "bigint",
+    ]
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

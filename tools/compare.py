@@ -12,9 +12,15 @@ from __future__ import annotations
 import argparse
 import datetime as dt
 import math
+import os
 import sys
 
 import duckdb
+
+# Runnable from any cwd: the package lives one level above this file.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def canon_cell(v) -> str:
