@@ -6,6 +6,7 @@ from metadata_extractors_api_spark.operators import extended  # noqa: F401
 from metadata_extractors_api_spark.operators import extras  # noqa: F401
 from metadata_extractors_api_spark.operators import llm  # noqa: F401
 from metadata_extractors_api_spark.operators import pipeline  # noqa: F401
+from metadata_extractors_api_spark.operators import quality  # noqa: F401
 from metadata_extractors_api_spark.operators import relational  # noqa: F401
 from metadata_extractors_api_spark.operators import robustness  # noqa: F401
 from metadata_extractors_api_spark.operators import scale  # noqa: F401

