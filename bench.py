@@ -59,6 +59,14 @@ HEADLINE = [
     "tpch_q7_volume",
     "pipeline_e2e_curation",
     "join_dpp",
+    # late round-3 additions: TPC-H suite completion (pushdown canary,
+    # outer-join double agg, aggregated EXISTS/NOT-EXISTS) + quality
+    "tpch_q6_forecast",
+    "tpch_q13_custdist",
+    "tpch_q21_waiting",
+    "revenue_gini",
+    "text_oov_rate",
+    "dq_referential_integrity",
 ]
 
 RUNS = 5

@@ -354,3 +354,87 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("oov_bucket")
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+    SELECT event_type, event_id, value,
+           quantile_disc(value, 0.5) OVER w AS med7,
+           quantile_disc(value, 0.9) OVER w AS p90_7
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT order statistics (7-row median and p90 per event
+    type) -- the robust smoother used where a rolling mean would chase
+    outliers. Spark has no windowed percentile, so the frame is
+    materialized as a collect_list over a bounded ROWS window, sorted,
+    and indexed at the type-1 DISCRETE quantile position ceil(q*n)
+    (1-based) -- bit-identical to DuckDB's quantile_disc because both
+    select an actual element (no interpolation arithmetic to disagree
+    on), and q*n never lands on an integer rounding ambiguity for the
+    frame sizes 1..7 used here.
+    Scale: the window partitions by event_type and the frame is
+    bounded (7 elements), so state per row is O(7) and partitions
+    parallelize; cost is sort-of-7 per row, all in codegen'd
+    expressions."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+
+    def disc(a, q):  # type-1 quantile: sorted[ceil(q*n)], 1-based
+        idx = F.greatest(F.ceil(F.size(a) * F.lit(q)), F.lit(1))
+        return F.element_at(a, idx.cast("int"))
+
+    return ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        disc(arr, 0.5).alias("med7"),
+        disc(arr, 0.9).alias("p90_7"),
+    )
+
+
+@register(
+    "orders_repeat_interval",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_days
+      FROM orders)
+    SELECT CAST(gap_days AS BIGINT) AS gap_days,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM g WHERE gap_days IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the corpus-wide distribution of days
+    between a customer's consecutive orders (the input to churn windows
+    and reorder forecasting). One LAG over a per-customer window
+    (parallel across customers), an integer day difference, and a
+    histogram aggregate on the gap -- gap cardinality is bounded by
+    the calendar, so the final groupBy is tiny no matter how large
+    orders grows."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy(F.col("gap_days").cast("bigint").alias("gap_days"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("gap_days")
+    )

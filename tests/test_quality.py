@@ -94,3 +94,26 @@ def test_oov_rate_with_full_vocab_is_zero(spark, sf_dir):
     rows = mdx.QUERIES["text_oov_rate"](spark, sf_dir).collect()
     assert all(0.0 <= r["oov_bucket"] <= 1.0 for r in rows)
     assert sum(r["n_docs"] for r in rows) > 0
+
+
+def test_rolling_median_order_statistics_invariants(spark, sf_dir):
+    # med7 and p90_7 are order statistics of the SAME frame, so
+    # med7 <= p90_7 everywhere, and both must be actual elements
+    # drawn from the partition's value domain (discrete quantile,
+    # no interpolation): every med7 value appears as some row value.
+    df = mdx.QUERIES["win_rolling_median"](spark, sf_dir)
+    assert df.filter(F.col("med7") > F.col("p90_7")).count() == 0
+    vals = df.select(F.col("value").alias("v")).distinct()
+    orphans = (
+        df.select(F.col("med7").alias("v"))
+        .distinct()
+        .join(vals, "v", "left_anti")
+        .count()
+    )
+    assert orphans == 0
+
+
+def test_repeat_interval_gaps_nonnegative(spark, sf_dir):
+    rows = mdx.QUERIES["orders_repeat_interval"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["gap_days"] >= 0 for r in rows)
