@@ -281,6 +281,9 @@ def test_tpch_q21_single_fact_shuffle(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     # one scan of lineitem, not three (spec-literal q21 scans it 3x)
     assert plan.count("lineitem.parquet") == 1
+    # the distinct counts are two-level aggregates, not a
+    # multi-distinct Expand (which triples the aggregated rows)
+    assert "Expand" not in plan
 
 
 def test_tpch_q11_threshold_is_integer(spark, sf_dir):
