@@ -438,3 +438,121 @@ def orders_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("gap_days")
     )
+
+
+@register(
+    "events_markov_transition",
+    oracle="""
+    WITH tr AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events)
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY src), 6)
+               AS p
+    FROM tr WHERE dst IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams:
+    P(next event type | current) -- the behavioral model behind
+    next-action prediction and anomalous-session scoring. One LEAD per
+    user (parallel window), a (src, dst) count aggregate, then row
+    normalization via a window over the TINY transition matrix
+    (|event types|^2 rows), not the fact. The division is a single
+    IEEE op on two exact counts, ordered identically in the oracle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    counts = tr.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot_w = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(tot_w), 6).alias("p"),
+    ).orderBy("src", "dst")
+
+
+@register(
+    "orders_weekday_seasonality",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%w') AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: order count and exact DECIMAL revenue
+    per weekday (0 = Sunday on both engines: Spark's dayofweek is
+    1-based Sunday-first, DuckDB's %w is 0-based Sunday-first, so the
+    -1 shift aligns them). The grouping key has 7 values -- partial
+    aggregation collapses everything map-side and the exchange carries
+    at most 7 rows per task at any scale."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("dow")
+    )
+
+
+@register(
+    "embedding_norm_audit",
+    oracle="""
+    WITH nn AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(embedding, (x,i) ->
+               CAST(floor(CAST(x AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+                          * 1e12) AS BIGINT))) AS BIGINT) AS nsq
+      FROM embeddings)
+    SELECT CAST(floor(sqrt(nsq / 1e12) * 10) AS BIGINT) AS norm_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(nsq) AS BIGINT) AS min_nsq,
+           CAST(MAX(nsq) AS BIGINT) AS max_nsq
+    FROM nn GROUP BY 1 ORDER BY 1
+    """,
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health audit: the distribution of vector L2 norms,
+    bucketed to 0.1 -- the first check before any cosine pipeline
+    (near-zero or wildly varying norms mean a broken encoder or an
+    unnormalized mix of models). Squared norms are computed in the
+    engine's standard scaled-int64 form (exact, order-independent);
+    the single sqrt happens on the exact integer, so both engines
+    bucket identically. One codegen map pass + a tiny aggregate."""
+    from metadata_extractors_api_spark.operators.llm import dot_scaled
+
+    e = load(spark, sf_dir, "embeddings")
+    nn = e.select(
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("nsq")
+    )
+    return (
+        nn.groupBy(
+            F.floor(F.sqrt(F.col("nsq") / F.lit(1e12)) * 10)
+            .cast("bigint")
+            .alias("norm_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("nsq").cast("bigint").alias("min_nsq"),
+            F.max("nsq").cast("bigint").alias("max_nsq"),
+        )
+        .orderBy("norm_decile")
+    )
