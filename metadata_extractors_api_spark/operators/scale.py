@@ -520,3 +520,41 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write -> re-read -> aggregate: the columnar-format coverage
+    beyond parquet (ORC is Spark-native and common in Hive-lineage
+    lakes). The oracle aggregates the ORIGINAL source, so the check
+    proves byte-faithful roundtrip through the ORC writer/reader --
+    any loss, duplication, or type coercion in the sink breaks the
+    exact integer-cents totals. Scale: format choice changes the
+    scan/sink codec only; the plan (pushdown, pruning, partial
+    aggregation) is identical to the parquet path."""
+    out = os.path.join(tempfile.mkdtemp(prefix="mdx_orc_"), "t")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -199,3 +199,62 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents", parallelize=True)
     return d.select("doc_id", n_words("text").alias("n_words_udf"))
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(l_quantity AS BIGINT) AS line_cents
+    FROM lineitem
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (Spark 4): the zero-copy rung of the Python ladder --
+    the worker hands pyarrow RecordBatches straight to the function, no
+    pandas conversion at all. The right surface when the Python side is
+    itself Arrow-native (pyarrow.compute kernels, Arrow-backed ML
+    featurizers, Arrow Flight shipping). Here a pyarrow.compute kernel
+    derives exact integer cents (round half-away matching SQL ROUND)
+    and an int64 product, and the relational oracle recomputes both --
+    proving the Arrow batch path is value-faithful, not just typed
+    correctly. Scale: per-batch vectorized C++ kernels, no Python
+    per-row cost."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def cents(batches):
+        for b in batches:
+            price = b.column(b.schema.get_field_index("l_extendedprice"))
+            qty = b.column(b.schema.get_field_index("l_quantity"))
+            pcents = pc.cast(
+                pc.round(
+                    pc.multiply(price, pa.scalar(100.0)),
+                    options=pc.RoundOptions(
+                        ndigits=0, round_mode="half_towards_infinity"
+                    ),
+                ),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("l_orderkey")),
+                    pc.cast(
+                        b.column(b.schema.get_field_index("l_linenumber")),
+                        pa.int64(),
+                    ),
+                    pcents,
+                    pc.multiply(pcents, pc.cast(qty, pa.int64())),
+                ],
+                ["l_orderkey", "l_linenumber", "price_cents", "line_cents"],
+            )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"
+    )
+    return li.mapInArrow(
+        cents,
+        "l_orderkey long, l_linenumber long, price_cents long, line_cents long",
+    )
