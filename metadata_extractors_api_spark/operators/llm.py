@@ -2465,3 +2465,64 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("vocab_so_far")
     )
     return cum.select("doc_id", "tokens_so_far").join(vocab, "doc_id")
+
+
+@register(
+    "sim_topk_batch",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe,
+             {_sql_dot('embedding', 'embedding')} AS qn
+      FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(({_sql_dot('e.embedding', 'q.qe')} / 1e12)
+                   / (sqrt({_sql_dot('e.embedding', 'e.embedding')} / 1e12)
+                      * sqrt(q.qn / 1e12)), 6) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid),
+    r AS (
+      SELECT qid, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rk
+      FROM scored)
+    SELECT qid, vec_id, score, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 3
+    ORDER BY qid, rk
+    """,
+)
+def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched similarity serving: top-3 neighbors for a BATCH of query
+    vectors in one corpus pass -- the shape of production retrieval
+    (you never serve one query per scan). The query batch broadcasts;
+    the corpus is scanned once and every (query, vector) score is
+    computed in the same scaled-int64 arithmetic as sim_topk; per-query
+    ranking is a window partitioned by query id, so parallelism is
+    min(|batch|, cores) in the ranking stage and full in the scoring
+    stage. At 100 TB the same plan serves any batch size that fits a
+    broadcast; larger batches shard the batch dimension."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("qn"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_from_scaled(
+                dot_scaled(F.col("embedding"), F.col("qe")),
+                dot_scaled(F.col("embedding"), F.col("embedding")),
+                F.col("qn"),
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("qid", "rk")
+    )

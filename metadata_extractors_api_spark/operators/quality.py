@@ -556,3 +556,86 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("norm_decile")
     )
+
+
+@register(
+    "events_hourly_autocorr",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    lagged AS (
+      SELECT event_type, n AS x,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY h) AS y,
+             CASE WHEN date_diff('hour',
+                     LAG(h) OVER (PARTITION BY event_type ORDER BY h), h) = 1
+                  THEN 1 ELSE 0 END AS consec
+      FROM hourly),
+    pairs AS (SELECT event_type, x, y FROM lagged
+              WHERE y IS NOT NULL AND consec = 1),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY 1)
+    SELECT event_type, cnt AS n_pairs,
+           ROUND((CAST(cnt AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(cnt AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(cnt AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS lag1_autocorr
+    FROM m ORDER BY event_type
+    """,
+)
+def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series per event
+    type -- the periodicity/trend screen run before forecasting or
+    anomaly thresholds. The series is the (tiny) hourly rollup, so the
+    LAG window runs over calendar-sized data; only CONSECUTIVE hours
+    pair (a gap breaks the lag, rather than silently pairing across
+    it). Correlation uses the engine's exact-integer-moments form
+    (counts are integers, all six sums are exact bigints) with one
+    fixed double expression at the end -- bit-stable at any
+    parallelism, same as agg_corr."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        F.col("n").alias("x"),
+        F.lag("n").over(w).alias("y"),
+        (
+            (
+                F.unix_timestamp("h")
+                - F.unix_timestamp(F.lag("h").over(w))
+            )
+            == 3600
+        ).alias("consec"),
+    )
+    pairs = lagged.filter(F.col("y").isNotNull() & F.col("consec"))
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.select(
+        "event_type",
+        F.col("cnt").alias("n_pairs"),
+        F.round(
+            (d("cnt") * F.col("sxy") - d("sx") * F.col("sy"))
+            / (
+                F.sqrt(d("cnt") * F.col("sxx") - d("sx") * F.col("sx"))
+                * F.sqrt(d("cnt") * F.col("syy") - d("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("lag1_autocorr"),
+    ).orderBy("event_type")
