@@ -639,3 +639,109 @@ def events_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lag1_autocorr"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, date_trunc('month', MIN(ts)) AS first_m
+      FROM events GROUP BY 1),
+    mu AS (
+      SELECT DISTINCT date_trunc('month', ts) AS m, user_id FROM events)
+    SELECT strftime(mu.m, '%Y-%m') AS month,
+           CAST(SUM(CASE WHEN mu.m = fs.first_m THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN mu.m = fs.first_m THEN 0 ELSE 1 END)
+                AS BIGINT) AS returning_users
+    FROM mu JOIN fs USING (user_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: monthly active users split into first-ever
+    (new) vs returning -- the decomposition behind every "is growth
+    acquisition or retention" question. Two aggregates over the same
+    user_id shuffle (first-seen month per user; distinct active
+    (month, user) pairs) joined on the user key, then a tiny monthly
+    rollup. At scale both aggregates partial-combine and the join is
+    user-cardinality, never event-cardinality."""
+    ev = load(spark, sf_dir, "events")
+    fs = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("first_m")
+    )
+    mu = ev.select(
+        F.date_trunc("month", "ts").alias("m"), "user_id"
+    ).distinct()
+    is_new = F.col("m") == F.col("first_m")
+    return (
+        mu.join(fs, "user_id")
+        .groupBy(F.date_format("m", "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(F.when(is_new, 1).otherwise(0))
+            .cast("bigint")
+            .alias("new_users"),
+            F.sum(F.when(is_new, 0).otherwise(1))
+            .cast("bigint")
+            .alias("returning_users"),
+        )
+        .orderBy("month")
+    )
+
+
+@register(
+    "brand_supplier_hhi",
+    oracle="""
+    WITH bs AS (
+      SELECT p.p_brand, l.l_suppkey,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS HUGEINT) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT p_brand,
+             SUM(cents * cents) AS sum_sq,
+             SUM(cents) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM bs GROUP BY 1)
+    SELECT p_brand, n_suppliers,
+           ROUND(CAST(sum_sq AS DOUBLE)
+                 / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi
+    FROM agg ORDER BY p_brand
+    """,
+)
+def brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration screen: the Herfindahl-Hirschman index of
+    supplier revenue share within each brand (1/n = perfectly spread,
+    1.0 = single-sourced -- the procurement-risk flag). HHI =
+    sum(cents_i^2) / (sum(cents_i))^2 is computed entirely in exact
+    integers -- squares run in DECIMAL(38,0) because cents^2 overflows
+    int64 at ~$90M per (brand, supplier) -- with ONE double division at
+    the end, so shares are never floating-point-summed. Two partial-
+    aggregable rollups on (brand, supplier) then brand; the part dim
+    broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    bs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    agg = bs.groupBy("p_brand").agg(
+        F.sum(F.col("cents") * F.col("cents")).alias("sum_sq"),
+        F.sum("cents").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    return agg.select(
+        "p_brand",
+        "n_suppliers",
+        F.round(
+            F.col("sum_sq").cast("double")
+            / (F.col("tot").cast("double") * F.col("tot").cast("double")),
+            6,
+        ).alias("hhi"),
+    ).orderBy("p_brand")
