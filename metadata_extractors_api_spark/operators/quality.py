@@ -745,3 +745,70 @@ def brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hhi"),
     ).orderBy("p_brand")
+
+
+@register(
+    "ivm_merge_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def ivm_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a materialized aggregate is
+    updated by MERGING the existing state with the delta batch's
+    partial state -- never recomputing from the base table. Here the
+    'snapshot' (80%% of orders) and the 'delta' (the other 20%%,
+    split deterministically by key) each produce the same mergeable
+    state (count, exact cents sum, min/max date); a full-outer join +
+    combine (sum+sum, least/greatest, coalesced counts) yields the
+    maintained view, and the ORACLE aggregates the whole table
+    directly -- proving merge(state(A), state(B)) == state(A ∪ B).
+    This algebra is what keeps a 100 TB rollup fresh at delta cost:
+    only ever aggregate the new partition, merge states of rollup
+    cardinality. (Same mergeability contract the HLL/bitmap sketch
+    ops satisfy for approximate state.)"""
+    o = load(spark, sf_dir, "orders")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+
+    snap = state(o.filter(F.col("o_orderkey") % 5 != 0)).select(
+        "o_orderpriority",
+        F.col("n").alias("n_a"),
+        F.col("total_cents").alias("c_a"),
+        F.col("first_date").alias("f_a"),
+        F.col("last_date").alias("l_a"),
+    )
+    delta = state(o.filter(F.col("o_orderkey") % 5 == 0)).select(
+        "o_orderpriority",
+        F.col("n").alias("n_b"),
+        F.col("total_cents").alias("c_b"),
+        F.col("first_date").alias("f_b"),
+        F.col("last_date").alias("l_b"),
+    )
+    merged = snap.join(delta, "o_orderpriority", "full_outer")
+    zero = F.lit(0).cast("bigint")
+    return merged.select(
+        "o_orderpriority",
+        (F.coalesce("n_a", zero) + F.coalesce("n_b", zero)).alias("n"),
+        (F.coalesce("c_a", zero) + F.coalesce("c_b", zero)).alias(
+            "total_cents"
+        ),
+        F.date_format(F.least("f_a", "f_b"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.greatest("l_a", "l_b"), "yyyy-MM-dd").alias(
+            "last_date"
+        ),
+    ).orderBy("o_orderpriority")
