@@ -558,3 +558,57 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "sink_backfill_dynamic",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_backfill_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partition backfill: the production pattern for fixing
+    one day/partition of a 100 TB table without touching the rest.
+    The initial load deliberately corrupts the 'P' partition (prices
+    zeroed); the backfill rewrites ONLY that partition using DYNAMIC
+    partition overwrite (overwrite replaces exactly the partitions
+    present in the incoming batch, not the whole table). The read-back
+    aggregate must equal the clean source (oracle) -- which proves both
+    that the backfill fixed 'P' AND that the other partitions were not
+    clobbered (static overwrite mode would have deleted them). The
+    conf is scoped and restored."""
+    out = os.path.join(tempfile.mkdtemp(prefix="mdx_backfill_"), "t")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    is_p = F.col("o_orderstatus") == "P"
+    corrupted = o.withColumn(
+        "o_totalprice", F.when(is_p, F.lit(0.0)).otherwise(F.col("o_totalprice"))
+    )
+    corrupted.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        o.filter(is_p).write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(out)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
