@@ -282,3 +282,77 @@ def win_time_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_min,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse the semi-structured props column
+    ONCE into the binary variant encoding and extract typed fields
+    with try_variant_get -- the open-schema path that replaces
+    per-query JSON string re-parsing (and is the engine-native answer
+    to schema drift: unknown fields stay queryable without migration).
+    At scale the parse happens in the scan projection, and aggregates
+    run over extracted longs, not strings. Oracle extracts the same
+    field relationally via DuckDB's JSON operators."""
+    ev = load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).cast("bigint").alias("k_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(k).cast("bigint").alias("k_min"),
+            F.max(k).cast("bigint").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "fn_collation_ci",
+    oracle="""
+    WITH names AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END
+                 AS name
+      FROM part)
+    SELECT CAST(COUNT(DISTINCT name) AS BIGINT) AS n_case_sensitive,
+           CAST(COUNT(DISTINCT lower(name)) AS BIGINT) AS n_case_insensitive
+    FROM names
+    """,
+)
+def fn_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: case-insensitive comparison as a COLUMN
+    PROPERTY (collate(..., 'UTF8_LCASE')) instead of lower()-wrapping
+    every expression. The fixture synthesizes mixed case
+    deterministically (even part keys uppercased), then counts
+    distinct names under binary vs case-insensitive collation; the
+    oracle models the collation with lower(). At scale collation-aware
+    grouping avoids materializing a second normalized column and keeps
+    the comparison in codegen."""
+    p = load(spark, sf_dir, "part")
+    names = p.select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper("p_name")
+        )
+        .otherwise(F.col("p_name"))
+        .alias("name")
+    )
+    return names.agg(
+        F.countDistinct("name").cast("bigint").alias("n_case_sensitive"),
+        F.countDistinct(F.collate("name", "UTF8_LCASE"))
+        .cast("bigint")
+        .alias("n_case_insensitive"),
+    )
