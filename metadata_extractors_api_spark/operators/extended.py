@@ -417,3 +417,92 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("cents"),
         )
     )
+
+
+@register(
+    "sql_recursive_tree",
+    oracle="""
+    WITH RECURSIVE d(k, depth) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT s.s_suppkey, d.depth + 1
+      FROM supplier s JOIN d ON CAST(floor((s.s_suppkey - 1) / 2) AS BIGINT) = d.k
+      WHERE s.s_suppkey <> 0)
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM d JOIN supplier s ON s.s_suppkey = d.k
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def sql_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): traverse the implicit
+    binary-heap hierarchy over suppliers (parent(k) = (k-1)/2 -- a
+    deterministic tree with no extra fixture) and report per-depth
+    node counts and exact balance totals. Recursion in Spark executes
+    as iterated joins with AQE between steps; depth is O(log n), so a
+    100 TB dimension hierarchy is ~40 iterations of dimension-sized
+    joins, not a driver loop. DuckDB runs the IDENTICAL statement."""
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH RECURSIVE d(k, depth) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT s.s_suppkey, d.depth + 1
+          FROM supplier s JOIN d
+            ON CAST(floor((s.s_suppkey - 1) / 2) AS BIGINT) = d.k
+          WHERE s.s_suppkey <> 0)
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS bal_cents
+        FROM d JOIN supplier s ON s.s_suppkey = d.k
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+@register(
+    "subq_lateral_topn",
+    oracle="""
+    SELECT r.r_name, l.n_name, l.bal_cents
+    FROM region r, LATERAL (
+      SELECT n.n_name,
+             CAST(SUM(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS bal_cents
+      FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY bal_cents DESC, n.n_name
+      LIMIT 2) l
+    ORDER BY r.r_name, l.bal_cents DESC, l.n_name
+    """,
+)
+def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL subquery: per-region top-2 nations by exact supplier
+    balance -- the correlated top-n-per-group written the way an
+    analyst writes it, with the correlation (r.r_regionkey) inside the
+    lateral body. Catalyst decorrelates this to the same
+    aggregate-then-rank plan a window formulation produces; the query
+    exists to pin that the LATERAL surface itself works and stays
+    driver-loop-free. DuckDB runs the IDENTICAL statement."""
+    load(spark, sf_dir, "region").createOrReplaceTempView("region")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT r.r_name, l.n_name, l.bal_cents
+        FROM region r, LATERAL (
+          SELECT n.n_name,
+                 CAST(SUM(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                     AS bal_cents
+          FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY bal_cents DESC, n.n_name
+          LIMIT 2) l
+        ORDER BY r.r_name, l.bal_cents DESC, l.n_name
+        """
+    )
