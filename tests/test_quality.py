@@ -117,3 +117,55 @@ def test_repeat_interval_gaps_nonnegative(spark, sf_dir):
     rows = mdx.QUERIES["orders_repeat_interval"](spark, sf_dir).collect()
     assert len(rows) > 0
     assert all(r["gap_days"] >= 0 for r in rows)
+
+
+def test_ivm_merge_equals_full_recompute(spark, sf_dir):
+    # merge(state(snapshot), state(delta)) must equal state(all) --
+    # compared against a direct full aggregate, not just the oracle.
+    from metadata_extractors_api_spark.catalog import load
+
+    merged = {
+        r["o_orderpriority"]: (r["n"], r["total_cents"])
+        for r in mdx.QUERIES["ivm_merge_agg"](spark, sf_dir).collect()
+    }
+    full = {
+        r["o_orderpriority"]: (r["n"], r["total_cents"])
+        for r in load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .collect()
+    }
+    assert merged == full
+
+
+def test_markov_transition_rows_sum_to_one(spark, sf_dir):
+    rows = mdx.QUERIES["events_markov_transition"](spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], 0.0)
+        by_src[r["src"]] += r["p"]
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, (src, total)
+
+
+def test_new_plus_returning_equals_actives(spark, sf_dir):
+    from metadata_extractors_api_spark.catalog import load
+
+    rows = mdx.QUERIES["events_new_vs_returning"](spark, sf_dir).collect()
+    ev = load(spark, sf_dir, "events")
+    actives = {
+        r["month"]: r["mau"]
+        for r in ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(F.countDistinct("user_id").alias("mau"))
+        .collect()
+    }
+    for r in rows:
+        assert r["new_users"] + r["returning_users"] == actives[r["month"]]
+    # every user is new exactly once
+    total_new = sum(r["new_users"] for r in rows)
+    assert total_new == ev.select("user_id").distinct().count()
