@@ -812,3 +812,71 @@ def ivm_merge_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_date"
         ),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "agg_bitmap_native",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_users
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_bitmap_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE bitmap aggregate functions (bitmap_bucket_number /
+    bitmap_bit_position / bitmap_construct_agg / bitmap_count) doing
+    exact distinct counting -- the built-in counterpart to the
+    engine's hand-rolled mergeable bitmaps (agg_bitmap_distinct). The
+    value space is sharded into 32768-bit buckets first, a bitmap is
+    constructed per (group, bucket), and the per-bucket exact counts
+    sum to the distinct count because buckets partition the id space.
+    Bitmaps are mergeable state: the same two-level shape maintains a
+    100 TB distinct-count rollup incrementally. Oracle: plain
+    COUNT(DISTINCT)."""
+    ev = load(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type",
+        F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))"
+        ).alias("nd")
+    )
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum("nd").cast("bigint").alias("nd_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    SELECT p_partkey,
+           'example.com' AS host,
+           '/parts/' || replace(p_name, ' ', '-') AS path,
+           CAST(p_partkey AS VARCHAR) AS id_param
+    FROM part ORDER BY p_partkey
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface: build deterministic URLs from the part dim,
+    then round-trip them through Spark's parse_url (HOST / PATH /
+    QUERY-parameter extraction) -- the crawl-pipeline primitive behind
+    domain mix, path routing, and tracking-param hygiene. DuckDB has no
+    parse_url, so the oracle states the EXPECTED decomposition
+    relationally; any parsing drift (encoding, query splitting) breaks
+    the match. All codegen string ops, no UDFs."""
+    p = load(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://example.com/parts/"),
+        F.regexp_replace("p_name", " ", "-"),
+        F.lit("?id="),
+        F.col("p_partkey"),
+    )
+    return p.select(
+        "p_partkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
+    ).orderBy("p_partkey")
