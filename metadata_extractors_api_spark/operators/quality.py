@@ -880,3 +880,52 @@ def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("id")).alias("id_param"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH sampled AS (
+      SELECT l_orderkey FROM lineitem WHERE l_orderkey % 100 = 0),
+    est AS (
+      SELECT CAST(COUNT(*) * 100 AS BIGINT) AS est_rows
+      FROM sampled s JOIN orders o ON o.o_orderkey = s.l_orderkey),
+    act AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT est.est_rows, act.actual_rows,
+           ROUND(CAST(est.est_rows AS DOUBLE)
+                 / CAST(act.actual_rows AS DOUBLE), 4) AS ratio
+    FROM est CROSS JOIN act
+    """,
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-based join-cardinality estimation: join a deterministic
+    1% key-sample of the fact to the dimension-of-the-join and scale
+    the count by the sampling rate -- the planner-style estimate you
+    run BEFORE committing a 100 TB join to a shuffle strategy (and the
+    cheap pre-check for join-key health: a ratio far from 1 on a
+    supposedly uniform key means skew or orphans). The sample is
+    key-deterministic (orderkey % 100), so both engines compute the
+    IDENTICAL estimate and the oracle carries the exact same three
+    numbers; the actual count is computed alongside for the audit.
+    Cost: the estimate side scans 1% of keys after pushdown."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    est = (
+        li.filter(F.col("l_orderkey") % 100 == 0)
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg((F.count(F.lit(1)) * 100).cast("bigint").alias("est_rows"))
+    )
+    act = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("actual_rows")
+    )
+    return est.crossJoin(act).select(
+        "est_rows",
+        "actual_rows",
+        F.round(
+            F.col("est_rows").cast("double")
+            / F.col("actual_rows").cast("double"),
+            4,
+        ).alias("ratio"),
+    )
