@@ -929,3 +929,69 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ratio"),
     )
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM hourly GROUP BY 1),
+    c AS (
+      SELECT hourly.event_type, h,
+             SUM(hourly.x * tot.m - tot.s)
+                 OVER (PARTITION BY hourly.event_type ORDER BY h) AS cusum_m
+      FROM hourly JOIN tot USING (event_type)),
+    mx AS (
+      SELECT event_type, h, cusum_m,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum_m) DESC, h) AS rk
+      FROM c)
+    SELECT event_type,
+           CAST(cusum_m AS BIGINT) AS peak_cusum_m,
+           strftime(h, '%Y-%m-%d %H') AS peak_hour
+    FROM mx WHERE rk = 1
+    ORDER BY event_type
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point screen: for each event type, the cumulative
+    sum of deviations from the series mean peaks at the most likely
+    change point -- the sequential-analysis primitive behind drift
+    alarms. Exactness trick: instead of x_t - mean (a float), accumulate
+    m*x_t - S (counts scaled by the series length), which is the same
+    curve scaled by m in EXACT integers -- no floating-point
+    accumulation to drift between engines or partitionings. The series
+    is the hourly rollup (calendar-sized), the cumsum window partitions
+    by event type, and the peak is a per-type rank -- everything after
+    the first aggregate is tiny."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    wc = Window.partitionBy("event_type").orderBy("h")
+    c = hourly.join(F.broadcast(tot), "event_type").withColumn(
+        "cusum_m", F.sum(F.col("x") * F.col("m") - F.col("s")).over(wc)
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs("cusum_m").desc(), F.asc("h")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("cusum_m").cast("bigint").alias("peak_cusum_m"),
+            F.date_format("h", "yyyy-MM-dd HH").alias("peak_hour"),
+        )
+        .orderBy("event_type")
+    )
