@@ -995,3 +995,63 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "orders_life_table",
+    oracle="""
+    WITH g AS (
+      SELECT date_diff('day',
+               LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS t
+      FROM orders),
+    hist AS (
+      SELECT CAST(t AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS d
+      FROM g WHERE t IS NOT NULL GROUP BY 1),
+    lt AS (
+      SELECT t, d,
+             CAST(SUM(d) OVER (ORDER BY t DESC) AS BIGINT) AS n_at_risk
+      FROM hist)
+    SELECT t, d, n_at_risk,
+           ROUND(CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6) AS hazard
+    FROM lt ORDER BY t
+    """,
+)
+def orders_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival-analysis life table over repeat-purchase gaps: for each
+    waiting time t, the number of customers who reordered at exactly t
+    (d) and the number still 'at risk' (gaps >= t, a REVERSE cumulative
+    sum over the gap histogram), plus the discrete hazard d/n -- the
+    exact-integer inputs a Kaplan-Meier curve multiplies up (the
+    product itself is left to the consumer; chained float products
+    are not hash-stable, count tables are). The reverse cumsum runs
+    over the calendar-bounded histogram, not the fact table, so the
+    single-partition window touches at most a few thousand rows at
+    any corpus size."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "t"
+        )
+    ).filter(F.col("t").isNotNull())
+    hist = gaps.groupBy(F.col("t").cast("bigint").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    wr = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.withColumn("n_at_risk", F.sum("d").over(wr).cast("bigint"))
+        .select(
+            "t",
+            "d",
+            "n_at_risk",
+            F.round(
+                F.col("d").cast("double") / F.col("n_at_risk").cast("double"),
+                6,
+            ).alias("hazard"),
+        )
+        .orderBy("t")
+    )
