@@ -496,3 +496,50 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_value",
         )
     )
+
+
+@register(
+    "stream_topk_windowed",
+    oracle="""
+    WITH wc AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT window_start, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rk
+      FROM wc)
+    SELECT strftime(window_start, '%Y-%m-%d %H') AS window_start,
+           event_type, n, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 2
+    ORDER BY 1, rk
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: hourly tumbling counts per event type maintain
+    incrementally in the stream (watermarked state), and the top-2
+    ranking runs on the SERVING side over the materialized window
+    results -- the standard split, because ranking is not an
+    incremental aggregate (a late event can reorder a window, so the
+    rank belongs to read time, not state-update time). The serving
+    rank partitions by window (parallel, window-count-sized); the
+    oracle computes the same windows + rank in batch."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    out = agg.select(F.col("w.start").alias("ws"), "event_type", "n")
+    final = _run_to_table(out, spark, "complete")
+    rk_w = Window.partitionBy("ws").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        final.withColumn("rk", F.row_number().over(rk_w).cast("bigint"))
+        .filter(F.col("rk") <= 2)
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH").alias("window_start"),
+            "event_type",
+            "n",
+            "rk",
+        )
+        .orderBy("window_start", "rk")
+    )
