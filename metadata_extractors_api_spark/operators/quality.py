@@ -1055,3 +1055,71 @@ def orders_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@register(
+    "corpus_yield_curve",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(floor(len(list_distinct(str_split(text, ' '))) * 10.0
+                        / len(str_split(text, ' '))) AS BIGINT) AS div_bucket
+      FROM documents),
+    b AS (
+      SELECT div_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS toks
+      FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM b)
+    SELECT b.div_bucket, b.n_docs, b.toks,
+           CAST(SUM(b.toks) OVER (ORDER BY b.div_bucket DESC) AS BIGINT)
+               AS cum_toks,
+           ROUND(CAST(SUM(b.toks) OVER (ORDER BY b.div_bucket DESC) AS DOUBLE)
+                 / CAST(t.total AS DOUBLE), 6) AS cum_share
+    FROM b CROSS JOIN t
+    ORDER BY b.div_bucket DESC
+    """,
+)
+def corpus_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation yield curve: if you keep only documents above each
+    quality threshold (here lexical-diversity deciles: distinct tokens
+    / total tokens), how many tokens survive? The cumulative-share
+    column, read top bucket down, is the size-vs-quality tradeoff a
+    data lead prices before fixing a filter threshold. Per-doc signals
+    are one codegen map pass; the curve itself is a cumulative window
+    over at most 11 bucket rows. Exact integer token counts; one
+    terminal share division."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.select(
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.floor(
+            F.size(F.array_distinct(toks)) * 10.0 / F.size(toks)
+        )
+        .cast("bigint")
+        .alias("div_bucket"),
+    )
+    b = d.groupBy("div_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("toks"),
+    )
+    t = b.agg(F.sum("toks").cast("bigint").alias("total"))
+    wc = Window.orderBy(F.desc("div_bucket")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .withColumn("cum_toks", F.sum("toks").over(wc).cast("bigint"))
+        .select(
+            "div_bucket",
+            "n_docs",
+            "toks",
+            "cum_toks",
+            F.round(
+                F.col("cum_toks").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy(F.desc("div_bucket"))
+    )
