@@ -1123,3 +1123,84 @@ def corpus_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("div_bucket"))
     )
+
+
+def _global_cumsum(
+    df: DataFrame, value_col: str, key_col: str, weight_col: str
+) -> DataFrame:
+    """Scalable global prefix sum: inclusive cumulative ``weight_col``
+    in (value, key) order, without a single-partition window -- the
+    same two-phase shape as ``_global_rank`` (range repartition, local
+    window cumsum per partition, partition-count-sized offset table of
+    weight totals). Adds ``cw`` (inclusive cumulative weight) and
+    ``tw`` (grand total)."""
+    ranged = df.repartitionByRange(F.col(value_col), F.col(key_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(value_col, key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_lcw", F.sum(weight_col).over(local_w))
+    sizes = local.groupBy("_pid").agg(F.sum(weight_col).alias("_w"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_w").over(off_w), F.lit(0)).alias("_off"),
+        F.sum("_w").over(Window.partitionBy()).alias("tw"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("cw", F.col("_off") + F.col("_lcw"))
+        .drop("_pid", "_lcw", "_off")
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH v AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem),
+    c AS (
+      SELECT cents, w,
+             SUM(w) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS cw,
+             SUM(w) OVER () AS tw
+      FROM v)
+    SELECT CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM c WHERE cw * 2 >= tw
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (price weighted by quantity): the first
+    value whose inclusive cumulative weight reaches half the total --
+    computed with ``_global_cumsum``, the scalable prefix-sum
+    generalization of the two-phase rank, so the data-sized cumsum
+    never serializes through one partition. The threshold compare is
+    cw*2 >= tw in exact integers (quantities are integral, prices in
+    cents) -- no midpoint division, no floats anywhere. The oracle
+    states the same definition with a plain window."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    keyed = li.withColumn(
+        "k",
+        F.concat_ws(
+            "-", F.col("l_orderkey"), F.col("l_linenumber")
+        ),
+    )
+    c = _global_cumsum(keyed, "cents", "k", "w")
+    return (
+        c.filter(F.col("cw") * 2 >= F.col("tw"))
+        .agg(
+            F.min("cents").cast("bigint").alias("weighted_median_cents"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
+    )

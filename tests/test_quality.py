@@ -169,3 +169,29 @@ def test_new_plus_returning_equals_actives(spark, sf_dir):
     # every user is new exactly once
     total_new = sum(r["new_users"] for r in rows)
     assert total_new == ev.select("user_id").distinct().count()
+
+
+def test_global_cumsum_matches_single_window(spark, sf_dir):
+    from metadata_extractors_api_spark.catalog import load
+    from metadata_extractors_api_spark.operators.quality import _global_cumsum
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.concat_ws("-", "l_orderkey", "l_linenumber").alias("k"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+            F.col("l_quantity").cast("bigint").alias("w"),
+        )
+    )
+    # join on (v, k): k alone repeats in the fixture (l_linenumber is
+    # not a per-order counter), but (v, k) is unique, which is also
+    # what makes the cumsum's sort order total.
+    two = _global_cumsum(li, "v", "k", "w").select("k", "v", "cw", "tw")
+    ref_w = Window.orderBy("v", "k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = li.select("k", "v", F.sum("w").over(ref_w).alias("cw_ref"))
+    joined = two.join(ref, ["k", "v"])
+    assert joined.filter(F.col("cw") != F.col("cw_ref")).count() == 0
+    total = li.agg(F.sum("w")).first()[0]
+    assert two.select(F.max("tw")).first()[0] == total
