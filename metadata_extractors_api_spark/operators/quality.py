@@ -1204,3 +1204,46 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+@register(
+    "observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_discounted
+    FROM lineitem
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's Observation API: named metrics piggyback on a query's
+    EXISTING pass over the data (df.observe + accumulators) instead of
+    costing a second scan -- how production pipelines emit row counts,
+    quality tallies, and reconciliation sums from the same job that
+    does the work. Here the observed job is a plain pass over lineitem
+    (noop sink); the observed metrics become the result row, and the
+    oracle recomputes them relationally -- so the check proves the
+    observation channel itself is value-faithful. All three metrics
+    are exact integers."""
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem")
+    obs = Observation("mdx_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_cents"], m["n_discounted"])],
+        "n_rows bigint, total_cents bigint, n_discounted bigint",
+    )
