@@ -1247,3 +1247,69 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["total_cents"], m["n_discounted"])],
         "n_rows bigint, total_cents bigint, n_discounted bigint",
     )
+
+
+@register(
+    "join_hint_shuffle_hash",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit physical join-strategy control: the SHUFFLE_HASH hint
+    forces a ShuffledHashJoin where the planner would default to
+    broadcast or sort-merge -- the knob you reach for at scale when
+    one side fits a task's memory after partitioning but not a
+    broadcast, and sorting 100 TB for SMJ would dominate the job. The
+    hint changes ONLY the physical operator; the oracle confirms the
+    result is identical to the unhinted logical join. (Plan shape is
+    pinned in tests/test_scale_plans.py.)"""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "ps_pandas_api",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark (pyspark.pandas): the same groupby-agg
+    written as a pandas program but EXECUTED as distributed Spark
+    plans -- the migration path for pandas-fluent users of the
+    reference. The flow stays lazy end to end (no toPandas
+    materialization); to_spark() hands back the DataFrame plan and the
+    oracle checks the values match the relational form exactly (cents
+    kept integral through the pandas layer)."""
+    import pyspark.pandas as ps
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    pdf = li.pandas_api()
+    out = (
+        pdf.groupby("l_returnflag")
+        .agg(n=("cents", "count"), cents=("cents", "sum"))
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("cents").cast("bigint").alias("cents"),
+    ).orderBy("l_returnflag")

@@ -296,3 +296,9 @@ def test_tpch_q11_threshold_is_integer(spark, sf_dir):
     ]
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_dir):
+    plan = _plan(mdx.QUERIES["join_hint_shuffle_hash"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
