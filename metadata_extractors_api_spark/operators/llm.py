@@ -2526,3 +2526,47 @@ def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("qid", "rk")
     )
+
+
+@register(
+    "multimodal_dedup",
+    oracle="""
+    SELECT md5(text) AS payload_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(octet_length(encode(text))) AS BIGINT) AS payload_bytes
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    ORDER BY n_copies DESC, payload_hash
+    """,
+)
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over OPAQUE BINARY payloads (images/audio as
+    ingested): content-hash the bytes themselves -- no decode needed,
+    which is why this is always stage one of a multimodal dedup
+    pipeline (perceptual/embedding near-dup only runs on the survivors
+    of byte-exact collapse). The payload column is real binary (the
+    same encode the multimodal decode slots consume); hashing shuffles
+    digests, never payloads, so the exchange carries ~16 bytes per
+    object regardless of object size -- the property that matters when
+    the objects are megapixel images. min-id keeper, duplicate groups
+    only."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return (
+        d.select(
+            F.md5("payload").alias("payload_hash"),
+            "doc_id",
+            F.octet_length("payload").cast("bigint").alias("nb"),
+        )
+        .groupBy("payload_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.min("nb").cast("bigint").alias("payload_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy(F.desc("n_copies"), F.asc("payload_hash"))
+    )
