@@ -67,6 +67,8 @@ HEADLINE = [
     "revenue_gini",
     "text_oov_rate",
     "dq_referential_integrity",
+    "agg_weighted_median",
+    "multimodal_dedup",
 ]
 
 RUNS = 5

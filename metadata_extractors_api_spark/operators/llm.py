@@ -2570,3 +2570,88 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 1)
         .orderBy(F.desc("n_copies"), F.asc("payload_hash"))
     )
+
+
+def _ann_delta_oracle() -> str:
+    """Oracle for sim_ann_lsh_delta: indexed slice probes the Hamming
+    ball, the fresh-buffer slice (vec_id % 10 >= 8) is scanned in full,
+    exact cosine ranks the union -- same PLANES literals as the Spark
+    side."""
+    bucket = " + ".join(
+        f"(CASE WHEN {_sql_plane_dot('embedding', PLANES[j])} >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_PLANES)
+    )
+    return f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             ({bucket}) AS bucket,
+             {_sql_dot('embedding', 'embedding')} AS nn
+      FROM embeddings),
+    q AS (SELECT embedding AS qe, bucket AS qbucket, nn AS qn
+          FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.label,
+           round(({_sql_dot('b.embedding', 'qe')} / 1e12)
+                 / (sqrt(b.nn / 1e12) * sqrt(qn / 1e12)), 6) AS score
+    FROM b, q
+    WHERE (b.vec_id % 10 < 8
+           AND bit_count(xor(b.bucket, q.qbucket)) <= {ANN_PROBE_RADIUS})
+       OR b.vec_id % 10 >= 8
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_ann_lsh_delta", oracle=_ann_delta_oracle())
+def sim_ann_lsh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving with a FRESH BUFFER: the architecture every vector
+    store runs -- a materialized index answers for the bulk corpus
+    while newly-arrived vectors (here: vec_id %% 10 >= 8, the 20%%
+    'not yet indexed' slice) are brute-forced from an unindexed buffer,
+    and the union is ranked exactly. The indexed side stays a
+    partition-pruned Hamming-ball scan; the buffer side is a full scan
+    of ONLY the buffer -- so recall never drops while the index lags
+    ingestion, and index rebuilds can run on whatever cadence
+    compaction allows. Same exact scaled-int cosine on both arms."""
+    idx = _ann_lsh_index(spark, sf_dir)
+    idx_df = _ann_memo(
+        (id(spark), sf_dir, "lsh_df"), lambda: spark.read.parquet(idx)
+    )
+    q_row = _ann_memo(
+        (id(spark), sf_dir, "lsh_q"),
+        lambda: load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(
+            "embedding",
+            _lsh_bucket_col().alias("bucket"),
+            dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
+        )
+        .collect()[0],
+    )
+    probe = _hamming_ball(q_row["bucket"], ANN_PROBE_RADIUS, N_PLANES)
+    qe = F.array(*[F.lit(float(v)) for v in q_row["embedding"]])
+
+    def score(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            "label",
+            cosine_from_scaled(
+                dot_scaled(F.col("embedding"), qe),
+                dot_scaled(F.col("embedding"), F.col("embedding")),
+                F.lit(q_row["nn"]),
+            ).alias("score"),
+        )
+
+    indexed = score(
+        idx_df.filter(F.col("bucket").isin(probe)).filter(
+            F.col("vec_id") % 10 < 8
+        )
+    )
+    buffer = score(
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 >= 8)
+    )
+    return (
+        indexed.unionByName(buffer)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
