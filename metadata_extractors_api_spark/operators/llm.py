@@ -2655,3 +2655,67 @@ def sim_ann_lsh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def _minhash_estimator_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN a.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(N_PERM)
+    )
+    return f"""{_minhash_pairs_ctes()},
+    est AS (
+      SELECT p.doc_a, p.doc_b, p.jaccard,
+             CAST(({agree}) AS BIGINT) AS agree
+      FROM mh_pairs p
+      JOIN sig a ON a.doc_id = p.doc_a
+      JOIN sig b ON b.doc_id = p.doc_b)
+    SELECT doc_a, doc_b, agree,
+           round(agree / {N_PERM}.0, 6) AS est_jaccard,
+           jaccard,
+           round(agree / {N_PERM}.0 - jaccard, 6) AS err
+    FROM est
+    """
+
+
+@register("dedup_minhash_estimator_audit", oracle=_minhash_estimator_oracle())
+def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every verified near-dup pair, compare
+    the minhash ESTIMATE of Jaccard (signature agreement / 64) against
+    the exact value the verify phase computed -- the measurement that
+    tells you whether 64 permutations are enough before you scale the
+    corpus 100x (estimator std error ~ sqrt(j(1-j)/64) ~ 0.06 at
+    j=0.5; a systematic drift means a broken hash family, not noise).
+    Costs one signature join over the PAIR relation (pair-count-sized,
+    not corpus-sized); signatures and pairs both reuse the pipeline's
+    memoized stages."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    pairs = dedup_minhash(spark, sf_dir)
+    sig = minhash_signatures(d)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(N_PERM)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(N_PERM)],
+    )
+    agree = sum(
+        (
+            F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+            for j in range(N_PERM)
+        ),
+        F.lit(0),
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.cast("bigint").alias("agree"),
+            F.round(agree / F.lit(float(N_PERM)), 6).alias("est_jaccard"),
+            "jaccard",
+            F.round(agree / F.lit(float(N_PERM)) - F.col("jaccard"), 6).alias(
+                "err"
+            ),
+        )
+    )
