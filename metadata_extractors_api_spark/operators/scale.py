@@ -612,3 +612,35 @@ def sink_backfill_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "sink_text_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(MIN(length(text)) AS BIGINT) AS min_len,
+           CAST(MAX(length(text)) AS BIGINT) AS max_len
+    FROM documents
+    """,
+)
+def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text sink/source roundtrip: the corpus written as raw
+    line-per-document text (the interchange format half the text-
+    pipeline world still ships) and read back through the text source.
+    The oracle aggregates the ORIGINAL documents, so any line
+    splitting/merging or encoding mangling in the roundtrip breaks the
+    exact line count and character totals. Documents are single-line
+    in the fixture, which is the contract this format requires --
+    that constraint (and escaping newlines before writing) is the real
+    operational caveat this query documents."""
+    out = os.path.join(tempfile.mkdtemp(prefix="mdx_text_"), "t")
+    d = load(spark, sf_dir, "documents").select("text")
+    d.write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.min(F.length("value")).cast("bigint").alias("min_len"),
+        F.max(F.length("value")).cast("bigint").alias("max_len"),
+    )
