@@ -1313,3 +1313,60 @@ def ps_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("cents").cast("bigint").alias("cents"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "orders_yoy_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS rev_cents
+      FROM orders GROUP BY 1),
+    l AS (
+      SELECT month, rev_cents,
+             LAG(rev_cents, 12) OVER (ORDER BY month) AS prev_year_cents
+      FROM m)
+    SELECT month, rev_cents, prev_year_cents,
+           ROUND(CAST(rev_cents AS DOUBLE)
+                 / CAST(prev_year_cents AS DOUBLE) - 1, 6) AS yoy_growth
+    FROM l WHERE prev_year_cents IS NOT NULL
+    ORDER BY month
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per month: exact integer-cents monthly
+    revenue, a 12-step LAG over the month series, one terminal ratio.
+    The YoY form is the seasonality-free growth number every revenue
+    review opens with (month-over-month confounds seasonality; the
+    12-lag compares like months). The window runs over the
+    calendar-sized monthly rollup; the fixture's contiguous months
+    make lag-12 equal same-month-last-year (the general form joins on
+    month-minus-a-year instead)."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("month")
+    return (
+        m.withColumn("prev_year_cents", F.lag("rev_cents", 12).over(w))
+        .filter(F.col("prev_year_cents").isNotNull())
+        .select(
+            "month",
+            "rev_cents",
+            "prev_year_cents",
+            F.round(
+                F.col("rev_cents").cast("double")
+                / F.col("prev_year_cents").cast("double")
+                - 1,
+                6,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("month")
+    )
