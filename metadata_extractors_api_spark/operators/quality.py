@@ -1370,3 +1370,55 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "dq_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM lineitem
+      WHERE l_extendedprice > 0),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT c.digit, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+    FROM c CROSS JOIN t
+    ORDER BY c.digit
+    """,
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen: the first-significant-digit distribution
+    of monetary amounts -- the classic fabricated-data / unit-mixup
+    detector (organically-generated amounts lean log-uniform, ~30.1%
+    leading 1s; synthetic uniform generators, price floors, or a
+    currency mixed in at the wrong scale all bend the curve). Exact
+    integer-cents digit extraction, exact counts, one terminal share
+    division; the judgment against log10(1+1/d) stays with the
+    consumer because those reference constants are irrational. One
+    scan, 9-row aggregate."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    d = li.select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("digit")
+    )
