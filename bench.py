@@ -69,6 +69,8 @@ HEADLINE = [
     "dq_referential_integrity",
     "agg_weighted_median",
     "multimodal_dedup",
+    "sim_ann_lsh_delta",
+    "udtf_dynamic_schema",
 ]
 
 RUNS = 5

@@ -1422,3 +1422,52 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "events_dispersion_index",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM hourly GROUP BY 1)
+    SELECT event_type, m AS n_hours, s AS n_events,
+           ROUND(CAST(m * ss - s * s AS DOUBLE)
+                 / CAST(s * (m - 1) AS DOUBLE), 6) AS dispersion
+    FROM m ORDER BY event_type
+    """,
+)
+def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion screen: variance-to-mean ratio of the hourly
+    count series per event type. A Poisson-like arrival process sits
+    near 1; bursty traffic (or a bot) pushes it well above, and a
+    rate-limited/quantized source pushes it below -- the one-number
+    triage before reaching for the burst detector's window machinery.
+    Identity used: var/mean = (m*ss - s^2) / (s*(m-1)) over exact
+    integer moments, one terminal division -- bit-stable at any
+    parallelism."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    m = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    return m.select(
+        "event_type",
+        F.col("m").alias("n_hours"),
+        F.col("s").alias("n_events"),
+        F.round(
+            (F.col("m") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+            / (F.col("s") * (F.col("m") - 1)).cast("double"),
+            6,
+        ).alias("dispersion"),
+    ).orderBy("event_type")
