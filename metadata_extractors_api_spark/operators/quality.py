@@ -1471,3 +1471,84 @@ def events_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dispersion"),
     ).orderBy("event_type")
+
+
+@register(
+    "agg_corr_matrix",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(l_quantity AS HUGEINT) AS x,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS y,
+             CAST(round(l_discount * 100) AS HUGEINT) AS z
+      FROM lineitem),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(z*z) AS szz,
+             SUM(x*y) AS sxy, SUM(x*z) AS sxz, SUM(y*z) AS syz
+      FROM v)
+    SELECT pair,
+           ROUND(CAST(num AS DOUBLE)
+                 / (sqrt(CAST(da AS DOUBLE)) * sqrt(CAST(db AS DOUBLE))),
+                 6) AS corr
+    FROM (
+      SELECT 'quantity~price' AS pair, n*sxy - sx*sy AS num,
+             n*sxx - sx*sx AS da, n*syy - sy*sy AS db FROM m
+      UNION ALL
+      SELECT 'quantity~discount', n*sxz - sx*sz,
+             n*sxx - sx*sx, n*szz - sz*sz FROM m
+      UNION ALL
+      SELECT 'price~discount', n*syz - sy*sz,
+             n*syy - sy*sy, n*szz - sz*sz FROM m)
+    ORDER BY pair
+    """,
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass correlation MATRIX: every pairwise Pearson correlation
+    among quantity, price, and discount from a SINGLE aggregate that
+    accumulates all ten exact integer moments at once -- the scalable
+    form (k columns cost one scan and k(k+1)/2 moment sums, vs k^2/2
+    separate corr() scans), and the bit-reproducible form (Spark's
+    streaming-covariance corr() is partitioning-dependent; moments are
+    not). Squared-cents sums overflow int64 (~6e19 at sf0.1), so
+    moments run in DECIMAL(38,0)/HUGEINT; each correlation is one
+    fixed double expression at the end."""
+    li = load(spark, sf_dir, "lineitem")
+    big = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = li.select(
+        big(F.col("l_quantity")).alias("x"),
+        big(F.round(F.col("l_extendedprice") * 100)).alias("y"),
+        big(F.round(F.col("l_discount") * 100)).alias("z"),
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    )
+
+    def row(pair, s_ab, s_a, s_b, s_aa, s_bb):
+        num = F.col("n") * F.col(s_ab) - F.col(s_a) * F.col(s_b)
+        da = F.col("n") * F.col(s_aa) - F.col(s_a) * F.col(s_a)
+        db = F.col("n") * F.col(s_bb) - F.col(s_b) * F.col(s_b)
+        return m.select(
+            F.lit(pair).alias("pair"),
+            F.round(
+                num.cast("double")
+                / (F.sqrt(da.cast("double")) * F.sqrt(db.cast("double"))),
+                6,
+            ).alias("corr"),
+        )
+
+    out = (
+        row("quantity~price", "sxy", "sx", "sy", "sxx", "syy")
+        .unionAll(row("quantity~discount", "sxz", "sx", "sz", "sxx", "szz"))
+        .unionAll(row("price~discount", "syz", "sy", "sz", "syy", "szz"))
+    )
+    return out.orderBy("pair")
