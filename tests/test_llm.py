@@ -453,3 +453,15 @@ def test_ann_delta_recall_at_least_plain_lsh(spark, sf_dir):
     assert len(hybrid & truth) >= len(plain & truth) - 2  # indexed arm
     # excludes buffer ids, so allow the swap; net recall must not drop
     assert len(hybrid & truth) >= 1
+
+
+def test_containment_df_prefilter_quarantines_boilerplate(
+    spark, tmp_path_factory
+):
+    """10k identical docs: every shingle's document frequency blows past
+    the df<=50 prefilter, so the bounded bucket expansion collects
+    NOTHING (the prefilter runs before any collect_list -- per-shingle
+    state stays O(cap) even here) and the query completes with zero
+    pairs instead of a 10k-wide array explosion."""
+    sf = _boilerplate_dir(spark, tmp_path_factory)
+    assert mdx.QUERIES["dedup_containment"](spark, sf).count() == 0
