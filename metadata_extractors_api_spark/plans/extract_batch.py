@@ -451,3 +451,71 @@ def extract_validate_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_valid.alias("n_valid"),
         ((n_points == n_valid) & (n_points == F.lit(15))).alias("valid"),
     )
+
+
+@register(
+    "extract_dead_letter",
+    oracle=f"""
+    WITH files AS (SELECT * FROM {reg.files_values_sql()}),
+         filetypes AS (SELECT * FROM {reg.filetypes_values_sql()}),
+    orphans AS (
+      SELECT f.file_id, f.path, 'no_extractor' AS reason
+      FROM files f
+      LEFT JOIN filetypes ft ON f.filetype_id = ft.id
+      WHERE ft.id IS NULL OR ft.registered_extractors[1] IS NULL),
+    runs AS (SELECT * FROM ({ORACLE_RUN_SQL}) t),
+    invalid AS (
+      SELECT r.file_id, CAST(NULL AS VARCHAR) AS path,
+             'invalid_output' AS reason
+      FROM runs r
+      GROUP BY r.file_id
+      HAVING COUNT(*) <> 15
+          OR SUM(CASE WHEN r.value IS NOT NULL AND r.value >= 0
+                       AND r.point BETWEEN 0 AND 4
+                       AND r.channel IN ('Ewe', 'I', 'cycle')
+                      THEN 1 ELSE 0 END) <> COUNT(*))
+    SELECT file_id, path, reason FROM orphans
+    UNION ALL
+    SELECT file_id, path, reason FROM invalid
+    ORDER BY reason, file_id
+    """,
+)
+def extract_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The extraction pipeline's DEAD-LETTER relation: every input that
+    cannot flow through -- files whose filetype has no registered
+    extractor (the case the reference raises an exception on,
+    __init__.py:241-258; set-oriented engines QUARANTINE instead of
+    aborting the batch) and files whose executed output fails the
+    validation contract -- each with a machine-readable reason. The
+    triage queue an operator drains after every 100 TB run; the happy
+    path never pays for it because both arms reuse the pipeline's
+    existing relations (dispatch complement + validation rollup)."""
+    files = reg.files_df(spark)
+    dispatched = extract_batch(spark, files)
+    orphans = (
+        dispatched.filter(F.col("extractor_id").isNull())
+        .select("file_id", "path", F.lit("no_extractor").alias("reason"))
+    )
+    runs = extract_run(spark, sf_dir)
+    ok = (
+        F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & F.col("point").between(0, 4)
+        & F.col("channel").isin("Ewe", "I", "cycle")
+    )
+    invalid = (
+        runs.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(ok.cast("int")).alias("n_valid"),
+        )
+        .filter(
+            (F.col("n_points") != 15) | (F.col("n_valid") != F.col("n_points"))
+        )
+        .select(
+            "file_id",
+            F.lit(None).cast("string").alias("path"),
+            F.lit("invalid_output").alias("reason"),
+        )
+    )
+    return orphans.unionByName(invalid).orderBy("reason", "file_id")
