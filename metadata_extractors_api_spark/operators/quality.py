@@ -1552,3 +1552,44 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("price~discount", "syz", "sy", "sz", "syy", "szz"))
     )
     return out.orderBy("pair")
+
+
+@register(
+    "win_max_drawdown",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, value,
+             MAX(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS runmax
+      FROM events)
+    SELECT user_id,
+           ROUND(MAX(runmax - value), 6) AS max_drawdown,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user series: the largest peak-to-trough
+    drop of the value signal -- the running-extreme composite behind
+    risk reports and engagement-decay alerts (a running max window,
+    one subtraction, one max aggregate). Windows partition per user
+    (parallel at any scale) and every operation is a comparison or a
+    single subtraction of identical operands on both engines, so no
+    accumulation drift is possible despite double inputs."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "value",
+        F.max("value").over(w).alias("runmax"),
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.round(F.max(F.col("runmax") - F.col("value")), 6).alias(
+                "max_drawdown"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
