@@ -1009,3 +1009,54 @@ def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_family_sizes",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_ctes().strip().removeprefix("WITH ")},
+    nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM mh_pairs
+        UNION ALL SELECT doc_b FROM mh_pairs)),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+      UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+    walk(u, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v),
+    comp AS (
+      SELECT u AS doc_id, MIN(lbl) AS component_id
+      FROM walk GROUP BY u),
+    fam AS (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS family_size
+      FROM comp GROUP BY 1)
+    SELECT family_size,
+           CAST(COUNT(*) AS BIGINT) AS n_families,
+           CAST(SUM(family_size - 1) AS BIGINT) AS removable_docs
+    FROM fam GROUP BY 1 ORDER BY 1
+    """,
+)
+def dedup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size distribution: after transitive closure,
+    how large are the near-dup groups, and how many documents would
+    keep-one-per-family remove? THE headline numbers of any dedup run
+    (pair counts overstate impact; family sizes state it exactly:
+    removable = sum(size-1)). Reuses the component labels
+    (dedup_components) and adds two tiny aggregates -- the histogram
+    is family-count-sized."""
+    comp = dedup_components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("family_size")
+    )
+    return (
+        sizes.groupBy("family_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_families"),
+            F.sum(F.col("family_size") - 1).cast("bigint").alias(
+                "removable_docs"
+            ),
+        )
+        .orderBy("family_size")
+    )
