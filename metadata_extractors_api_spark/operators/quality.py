@@ -1593,3 +1593,114 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_user_lifespan",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             date_diff('day', MIN(ts), MAX(ts)) AS span_days
+      FROM events GROUP BY 1)
+    SELECT CAST(floor(span_days / 7.0) AS BIGINT) AS week_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(span_days) AS BIGINT) AS min_days,
+           CAST(MAX(span_days) AS BIGINT) AS max_days
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_user_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifespan distribution: days between each user's first and
+    last event, bucketed by week -- the observed-lifetime histogram
+    that anchors LTV and retention models (and exposes single-visit
+    users as the zero bucket). One user-keyed aggregate (two timestamp
+    extremes -- map-side-combinable), then a calendar-bounded
+    histogram."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("span_days")
+    )
+    return (
+        u.groupBy(
+            F.floor(F.col("span_days") / 7).cast("bigint").alias("week_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("span_days").cast("bigint").alias("min_days"),
+            F.max("span_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("week_bucket")
+    )
+
+
+@register(
+    "dq_catalog_coverage",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'part' AS dimension,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM part) AS n_total,
+             CAST((SELECT COUNT(*) FROM part p
+                   WHERE EXISTS (SELECT 1 FROM lineitem l
+                                 WHERE l.l_partkey = p.p_partkey))
+                  AS BIGINT) AS n_used
+      UNION ALL
+      SELECT 'customer',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+             CAST((SELECT COUNT(*) FROM customer c
+                   WHERE EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey))
+                  AS BIGINT)
+      UNION ALL
+      SELECT 'supplier',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier),
+             CAST((SELECT COUNT(*) FROM supplier s
+                   WHERE EXISTS (SELECT 1 FROM lineitem l
+                                 WHERE l.l_suppkey = s.s_suppkey))
+                  AS BIGINT)
+    ) ORDER BY dimension
+    """,
+)
+def dq_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-coverage audit: the mirror image of referential
+    integrity -- not "do facts point at real dimensions" but "which
+    dimension entries does the business actually use" (dead SKUs,
+    dormant customers, idle suppliers). Each dimension is a LEFT SEMI
+    count against its fact; the fact side reads one key column and the
+    semi-join stops at first match. Coverage ratios are left to the
+    consumer; the counts are the exact artifact."""
+
+    def cov(dim: DataFrame, fact: DataFrame, cond, name: str) -> DataFrame:
+        total = dim.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        used = dim.join(fact, cond, "left_semi").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_used")
+        )
+        return total.crossJoin(used).select(
+            F.lit(name).alias("dimension"), "n_total", "n_used"
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    rows = [
+        cov(
+            load(spark, sf_dir, "part"),
+            li.select("l_partkey"),
+            F.col("p_partkey") == F.col("l_partkey"),
+            "part",
+        ),
+        cov(
+            load(spark, sf_dir, "customer"),
+            o.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "customer",
+        ),
+        cov(
+            load(spark, sf_dir, "supplier"),
+            li.select("l_suppkey"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "supplier",
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("dimension")
