@@ -2719,3 +2719,40 @@ def dedup_minhash_estimator_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=f"""{_minhash_pairs_ctes()}
+    SELECT t.thr,
+           CAST(SUM(CASE WHEN p.jaccard >= t.thr THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs
+    FROM (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS thr) t
+    CROSS JOIN mh_pairs p
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity curve: surviving near-dup pair counts at
+    each candidate Jaccard cutoff -- the how-sharp-is-the-knee report
+    read before fixing a dedup threshold (a flat curve means the
+    choice barely matters; a cliff means it decides corpus size). The
+    verified pair relation is computed once (exact Jaccard per pair,
+    reusing the pipeline's memoized stages); the sweep is a broadcast
+    5-row threshold dim crossed against pair-count-sized data."""
+    pairs = dedup_minhash(spark, sf_dir)
+    thr = spark.createDataFrame(
+        [(0.5,), (0.6,), (0.7,), (0.8,), (0.9,)], "thr double"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                F.when(F.col("jaccard") >= F.col("thr"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+        .orderBy("thr")
+    )
