@@ -1,0 +1,453 @@
+"""Training-data assembly operators: the batch shapes that sit BETWEEN
+a curated corpus and an LLM pretraining run — sequence packing, seeded
+global shuffle, exact stratified sampling, snapshot diffing, join-key
+skew triage, and incremental (delta-vs-index) near-dedup.
+
+Everything here follows the package's scale rules: candidate spaces
+are bounded by construction (never O(n^2)), global order is computed
+with the range-repartitioned two-phase prefix sum (`_global_cumsum`,
+no single-partition window), top-k-per-group rides Spark 3.5+'s
+WindowGroupLimit partial pushdown, and all cross-engine-compared
+arithmetic is exact-integer or one terminal IEEE division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.operators.llm import (
+    MAX_LSH_BUCKET,
+    _cap_buckets,
+    _minhash_band_buckets,
+    _minhash_cte_prefix,
+    minhash_signatures,
+    shingles_col,
+    tokens_col,
+)
+from metadata_extractors_api_spark.operators.quality import _global_cumsum
+from metadata_extractors_api_spark.registry import register
+
+#: context-window length (tokens) for concat-and-chunk packing.
+PACK_CHUNK = 512
+
+#: documents per stratum kept by the exact stratified sample.
+STRATUM_K = 50
+
+#: delta gate for incremental dedup: doc_id % DELTA_MOD == 0 is "new".
+DELTA_MOD = 10
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_concat_chunks",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cw
+      FROM d),
+    e AS (
+      SELECT doc_id,
+             (cw - n_tok) // {PACK_CHUNK} AS fc,
+             (cw - 1) // {PACK_CHUNK} AS lc
+      FROM c),
+    x AS (
+      SELECT doc_id, fc, unnest(range(fc, lc + 1)) AS chunk_id FROM e)
+    SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN chunk_id = fc THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_starts
+    FROM x GROUP BY chunk_id
+    """,
+)
+def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    batch layout): documents are concatenated in deterministic doc_id
+    order and sliced into fixed ``PACK_CHUNK``-token context windows;
+    the report gives, per window, how many documents it touches and how
+    many begin inside it — the packing-efficiency numbers (docs/window,
+    boundary-crossing rate) read before fixing a context length.
+
+    Scale shape: token offsets come from ``_global_cumsum`` (range
+    repartition + per-partition window + broadcast offset table), so no
+    stage ever serializes the corpus through one partition — this IS
+    the scalable form of ROW_NUMBER-over-everything. Each document then
+    explodes into the ~n_tok/chunk windows it spans (total explode
+    volume = total_tokens/chunk + n_docs, linear), and the per-window
+    rollup is one map-side-combinable groupBy."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col()).cast("bigint").alias("n_tok")
+    )
+    c = _global_cumsum(d, "doc_id", "doc_id", "n_tok")
+    spans = c.select(
+        "doc_id",
+        F.floor((F.col("cw") - F.col("n_tok")) / F.lit(PACK_CHUNK))
+        .cast("bigint")
+        .alias("fc"),
+        F.floor((F.col("cw") - 1) / F.lit(PACK_CHUNK)).cast("bigint").alias("lc"),
+    )
+    exploded = spans.select(
+        "doc_id", "fc", F.explode(F.sequence("fc", "lc")).alias("chunk_id")
+    )
+    return exploded.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("chunk_id") == F.col("fc")).cast("int"))
+        .cast("bigint")
+        .alias("n_starts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# seeded global shuffle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shuffle_deterministic",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS position,
+           doc_id
+    FROM documents
+    """,
+)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle: the training-order
+    permutation. Every engine and every rerun agrees on the order
+    because the sort key is md5(seed || doc_id) — no RNG state, no
+    partition-count dependence; resharding the cluster cannot change
+    the epoch order (the property that makes training runs resumable
+    and ablations comparable).
+
+    Scale shape: the global position is assigned by ``_global_cumsum``
+    with unit weights (range-repartition on the hash key — which is
+    uniform by construction, so the ranges are balance-perfect — local
+    window count, broadcast partition-offset table). No single-
+    partition ROW_NUMBER anywhere."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string"))).alias("k"),
+        F.lit(1).alias("one"),
+    )
+    c = _global_cumsum(d, "k", "doc_id", "one")
+    return c.select(F.col("cw").cast("bigint").alias("position"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# exact stratified sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_stratified_exact",
+    oracle=f"""
+    SELECT lang, sample_rank, doc_id FROM (
+      SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('s7:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) AS sample_rank
+      FROM documents)
+    WHERE sample_rank <= {STRATUM_K}
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample (k=50 per language):
+    the eval-set / human-review draw where "roughly k" is not
+    acceptable and the draw must be reproducible. The order within a
+    stratum is a seeded hash, so membership is stable under corpus
+    growth except where new docs genuinely displace the tail.
+
+    Scale shape: a rank-filtered window is NOT a full per-stratum sort
+    in Spark 3.5+ — the ``row_number() <= k`` filter compiles to
+    WindowGroupLimit(Partial) BEFORE the exchange, so each map task
+    forwards at most k rows per stratum and the shuffle carries
+    O(k x partitions x strata), not the corpus (asserted in
+    tests/test_training.py). A hot stratum therefore costs k rows per
+    upstream task, never its full row count, and the final per-stratum
+    sort ranks <= k x partitions survivors."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    keyed = d.select(
+        "lang",
+        "doc_id",
+        F.md5(F.concat(F.lit("s7:"), F.col("doc_id").cast("string"))).alias("k"),
+    )
+    w = Window.partitionBy("lang").orderBy("k", "doc_id")
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= STRATUM_K)
+        .select("lang", "sample_rank", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# snapshot diff
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    snap_a AS (SELECT k, cents FROM base WHERE k % 7 <> 0),
+    snap_b AS (
+      SELECT k,
+             cents + CASE WHEN k % 11 = 0 THEN 100 ELSE 0 END AS cents
+      FROM base WHERE k % 5 <> 0),
+    d AS (
+      SELECT CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.cents = b.cents THEN 'unchanged'
+                  ELSE 'changed' END AS change_type
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.k = b.k)
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM d GROUP BY change_type
+    """,
+)
+def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the data-versioning primitive): classify every
+    key of two table snapshots as added / removed / changed / unchanged
+    and report the class sizes — the audit run before promoting a new
+    corpus or dimension snapshot. Snapshots are derived from ``orders``
+    by deterministic key gates (so the oracle sees identical inputs);
+    "changed" rows get an exact-cents perturbation.
+
+    Scale shape: ONE full outer join, shuffled on the key both sides
+    (co-partitioned; at warehouse scale both snapshots would be
+    bucketed on the key and the exchange disappears), then a
+    map-side-combinable count per class. Values are compared in exact
+    integer cents; a wide table would compare a column digest instead
+    — same plan, one column."""
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    snap_a = base.filter(F.col("k") % 7 != 0)
+    snap_b = base.filter(F.col("k") % 5 != 0).select(
+        "k",
+        (
+            F.col("cents")
+            + F.when(F.col("k") % 11 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+    d = snap_a.alias("a").join(
+        snap_b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer"
+    )
+    cls = (
+        F.when(F.col("a.k").isNull(), F.lit("added"))
+        .when(F.col("b.k").isNull(), F.lit("removed"))
+        .when(F.col("a.cents") == F.col("b.cents"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        d.select(cls.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew triage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_diagnose_keys",
+    oracle="""
+    SELECT key_name, n_rows, n_keys, max_rows_per_key,
+           round(max_rows_per_key * n_keys * 1.0 / n_rows, 6) AS hot_key_ratio
+    FROM (
+      SELECT 'events.user_id' AS key_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_rows,
+             (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+                 AS n_keys,
+             (SELECT CAST(MAX(c) AS BIGINT) FROM
+               (SELECT COUNT(*) AS c FROM events GROUP BY user_id))
+                 AS max_rows_per_key
+      UNION ALL
+      SELECT 'lineitem.l_orderkey',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem),
+             (SELECT CAST(MAX(c) AS BIGINT) FROM
+               (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey))
+      UNION ALL
+      SELECT 'lineitem.l_partkey',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem),
+             (SELECT CAST(MAX(c) AS BIGINT) FROM
+               (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey))
+      UNION ALL
+      SELECT 'lineitem.l_suppkey',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem),
+             (SELECT CAST(MAX(c) AS BIGINT) FROM
+               (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey))
+    ) ORDER BY key_name
+    """,
+)
+def skew_diagnose_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew census: for every join key of the workload, the
+    row count, distinct-key count, and hottest-key row count — the
+    report that decides, BEFORE a 100 TB shuffle, whether a join needs
+    salting or AQE skew handling. ``hot_key_ratio`` is hottest-key rows
+    over the uniform expectation (n_rows / n_keys): ~1 means flat, >>1
+    means the hottest key is that many times over-loaded.
+
+    Scale shape: each census is groupBy(key).count() (partial-agg
+    combinable, the shuffle carries one row per distinct key) followed
+    by a single-row rollup; the four censuses union into the report.
+    This is the census the LSH bucket guard (dedup_minhash_bucket_
+    stats) already applies to its own join keys, generalized to the
+    relational workload."""
+
+    def census(df: DataFrame, key: str, name: str) -> DataFrame:
+        counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        return counts.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_rows_per_key"),
+        ).select(
+            F.lit(name).alias("key_name"),
+            "n_rows",
+            "n_keys",
+            "max_rows_per_key",
+            F.round(
+                F.col("max_rows_per_key") * F.col("n_keys") / F.col("n_rows"), 6
+            ).alias("hot_key_ratio"),
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    out = census(ev, "user_id", "events.user_id")
+    for key in ("l_orderkey", "l_partkey", "l_suppkey"):
+        out = out.unionByName(census(li, key, f"lineitem.{key}"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# incremental (delta-vs-index) near-dedup
+# ---------------------------------------------------------------------------
+
+
+def _incremental_minhash_oracle() -> str:
+    """Delta-vs-index minhash dedup as one DuckDB statement generated
+    from the same constants as the Spark side (shared CTE prefix with
+    dedup_minhash)."""
+    return f"""{_minhash_cte_prefix()},
+    buckets AS (
+      SELECT doc_id, band, bh FROM (
+        SELECT doc_id, band, bh,
+               count(*) OVER (PARTITION BY band, bh) AS bn
+        FROM rawb)
+      WHERE bn <= {MAX_LSH_BUCKET}),
+    cand AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                      greatest(a.doc_id, b.doc_id) AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bh = b.bh
+       AND a.doc_id <> b.doc_id AND b.doc_id % {DELTA_MOD} = 0),
+    exsh AS (SELECT doc_id, unnest(shingle_list) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN exsh x ON x.doc_id = c.doc_a
+      JOIN exsh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b)
+    SELECT i.doc_a, i.doc_b,
+           round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard,
+           CASE WHEN i.doc_a % {DELTA_MOD} = 0 AND i.doc_b % {DELTA_MOD} = 0
+                THEN 'delta-delta' ELSE 'delta-index' END AS pair_class
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.5
+    """
+
+
+@register("dedup_incremental_minhash", oracle=_incremental_minhash_oracle())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental minhash dedup — the PRODUCTION dedup shape: a small
+    delta of new documents (doc_id % 10 == 0 here; an ingest batch in
+    production) is checked against the already-indexed corpus AND
+    itself, without ever re-pairing the index against the index. The
+    LSH band join keeps one side delta-only, so candidate volume is
+    O(delta collisions), not O(corpus collisions): re-running dedup on
+    a 100 TB corpus for a 0.1 TB ingest costs ~0.1% of the full run.
+    Emits the same verified exact-Jaccard pairs as dedup_minhash plus a
+    pair_class column (delta-index vs delta-delta) — the split that
+    decides which side of a duplicate pair gets dropped (new dup of an
+    indexed doc: drop the new one; intra-batch dup: keep one).
+
+    In production the index side's (band, bh) buckets are a persisted
+    table bucketed on the band hash (written once per corpus epoch);
+    here both sides derive from the fixture corpus so the oracle can
+    replay the identical pipeline. The over-cap bucket quarantine
+    (MAX_LSH_BUCKET) applies before pairing exactly as in
+    dedup_minhash."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    buckets = _cap_buckets(_minhash_band_buckets(minhash_signatures(d)), "band", "bh")
+    delta = buckets.filter(F.col("doc_id") % DELTA_MOD == 0)
+    cand = (
+        buckets.alias("a")
+        .join(
+            delta.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shset = (
+        d.join(ids, "doc_id", "left_semi")
+        .select("doc_id", tokens_col().alias("_toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(shingles_col(toks=F.col("_toks"))).alias("sh"),
+        )
+    )
+    jac = (
+        cand.join(shset.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
+        .join(shset.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.5).select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        F.when(
+            (F.col("doc_a") % DELTA_MOD == 0) & (F.col("doc_b") % DELTA_MOD == 0),
+            F.lit("delta-delta"),
+        )
+        .otherwise(F.lit("delta-index"))
+        .alias("pair_class"),
+    )

@@ -1,0 +1,124 @@
+"""Tests for operators/training.py: packing conservation, permutation
+properties, stratified-sample exactness + the WindowGroupLimit partial
+pushdown, snapshot-diff classification, skew-census sanity, and
+incremental-dedup containment in the full dedup result."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import metadata_extractors_api_spark as mdx
+from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.operators.training import (
+    DELTA_MOD,
+    PACK_CHUNK,
+    STRATUM_K,
+)
+
+
+def test_pack_chunks_conserves_tokens_and_docs(spark, sf_dir):
+    out = mdx.QUERIES["pack_concat_chunks"](spark, sf_dir).cache()
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    total_tok = docs.select(
+        F.sum(F.size(F.split("text", " "))).cast("bigint")
+    ).first()[0]
+    # Every doc starts in exactly one chunk.
+    assert out.select(F.sum("n_starts")).first()[0] == n_docs
+    # Chunk ids are the contiguous range covering all tokens.
+    n_chunks = (total_tok + PACK_CHUNK - 1) // PACK_CHUNK
+    assert out.count() == n_chunks
+    ids = [r[0] for r in out.select("chunk_id").orderBy("chunk_id").collect()]
+    assert ids == list(range(n_chunks))
+    # Each chunk touches at least one doc.
+    assert out.filter(F.col("n_docs") < 1).count() == 0
+
+
+def test_shuffle_deterministic_is_a_permutation(spark, sf_dir):
+    out = mdx.QUERIES["shuffle_deterministic"](spark, sf_dir).cache()
+    n = load(spark, sf_dir, "documents").count()
+    assert out.count() == n
+    # Positions are exactly 1..n with no collisions.
+    agg = out.agg(
+        F.min("position").alias("lo"),
+        F.max("position").alias("hi"),
+        F.countDistinct("position").alias("d"),
+    ).first()
+    assert (agg["lo"], agg["hi"], agg["d"]) == (1, n, n)
+    # Rerun is bit-identical (seeded, no RNG state).
+    again = mdx.QUERIES["shuffle_deterministic"](spark, sf_dir)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_stratified_sample_exact_k(spark, sf_dir):
+    out = mdx.QUERIES["sample_stratified_exact"](spark, sf_dir).cache()
+    docs = load(spark, sf_dir, "documents")
+    per_lang = {r["lang"]: r["n"] for r in
+                docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in per_lang.items():
+        assert got.get(lang, 0) == min(n, STRATUM_K)
+    # Ranks are 1..k dense per stratum.
+    assert out.filter(F.col("sample_rank") > STRATUM_K).count() == 0
+
+
+def test_stratified_sample_pushes_window_group_limit(spark, sf_dir):
+    plan = (
+        mdx.QUERIES["sample_stratified_exact"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Spark 3.5+ WindowGroupLimit: the rank filter prunes to k rows per
+    # (partition, stratum) BEFORE the exchange — the property that makes
+    # the plan skew-proof at scale.
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_snapshot_diff_classes_are_exhaustive(spark, sf_dir):
+    out = {r["change_type"]: r["n_rows"]
+           for r in mdx.QUERIES["table_snapshot_diff"](spark, sf_dir).collect()}
+    n = load(spark, sf_dir, "orders").count()
+    assert set(out) == {"added", "removed", "changed", "unchanged"}
+    # added = in B only (k%7==0, k%5!=0); removed = in A only; the four
+    # classes tile the union of the two snapshots.
+    base = load(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    in_a = base.filter(F.col("k") % 7 != 0)
+    in_b = base.filter(F.col("k") % 5 != 0)
+    union_n = in_a.unionByName(in_b).distinct().count()
+    assert sum(out.values()) == union_n
+    assert out["added"] == in_b.exceptAll(in_a.intersect(in_b)).count()
+    assert n >= union_n
+
+
+def test_skew_census_shapes(spark, sf_dir):
+    rows = {r["key_name"]: r
+            for r in mdx.QUERIES["skew_diagnose_keys"](spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")
+    r = rows["lineitem.l_orderkey"]
+    assert r["n_rows"] == li.count()
+    assert r["max_rows_per_key"] >= 1
+    assert r["hot_key_ratio"] >= 1.0  # max >= mean always
+    # l_orderkey is the finest key of the three lineitem keys.
+    assert rows["lineitem.l_orderkey"]["n_keys"] >= rows["lineitem.l_suppkey"]["n_keys"]
+
+
+def test_incremental_minhash_is_the_delta_slice_of_full_dedup(spark, sf_dir):
+    inc = mdx.QUERIES["dedup_incremental_minhash"](spark, sf_dir).cache()
+    full = mdx.QUERIES["dedup_minhash"](spark, sf_dir)
+    # Every incremental pair involves a delta doc.
+    bad = inc.filter(
+        (F.col("doc_a") % DELTA_MOD != 0) & (F.col("doc_b") % DELTA_MOD != 0)
+    )
+    assert bad.count() == 0
+    # And equals exactly the delta-involving slice of the full run
+    # (same buckets, same cap, same verification).
+    full_delta = full.filter(
+        (F.col("doc_a") % DELTA_MOD == 0) | (F.col("doc_b") % DELTA_MOD == 0)
+    ).select("doc_a", "doc_b")
+    sym = inc.select("doc_a", "doc_b").exceptAll(full_delta).unionAll(
+        full_delta.exceptAll(inc.select("doc_a", "doc_b"))
+    )
+    assert sym.count() == 0
