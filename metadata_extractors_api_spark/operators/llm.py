@@ -736,8 +736,20 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # The candidate subtree has three consumers below (two semi-prunes
+    # + the intersection join); they all hang off the same groupBy
+    # exchange, which Spark reuses (ReusedExchange) instead of
+    # re-running the prefix self-join.
+    # The a-side needs no prune: cand broadcasts into the doc_a join,
+    # which itself drops non-candidate docs during the scan. The
+    # b-side DOES: it feeds the one data-sized shuffle of the verify
+    # phase — the (doc_b, shingle) equi-join — and candidates touch
+    # <9% of the corpus at sf0.1, so the report-sized broadcast
+    # semi-prune shrinks that shuffle ~10x.
     ea = ex.withColumnsRenamed({"doc_id": "doc_a"})
-    eb = ex.withColumnsRenamed({"doc_id": "doc_b"})
+    eb = ex.withColumnsRenamed({"doc_id": "doc_b"}).join(
+        F.broadcast(cand.select("doc_b").distinct()), "doc_b", "left_semi"
+    )
     inter = (
         cand.join(ea, "doc_a")
         .join(eb, ["doc_b", "shingle"])
@@ -1969,10 +1981,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
        shingles of the surviving pairs, so the drop only costs recall
        for pairs sharing exclusively-hot shingles (which containment
        semantics do not target). Pairs must share >= 2 rare shingles.
-    2. Exact verification: the full shingle relation joins back to the
-       candidate pairs (fact-to-candidate semi-shape) and true
+    2. A SOUND intersection upper bound prunes candidates before the
+       expensive verify: |A∩B| <= n_shared_rare + min(hot_a, hot_b)
+       (every shared shingle is either rare -- counted by phase 1 -- or
+       hot, and a pair can share at most min(hot_a, hot_b) hot ones),
+       so any pair with 2*(n_shared + min(hot)) < min(n_a, n_b) cannot
+       reach containment 0.5 and is dropped with zero recall loss. At
+       sf0.1 this collapses 112k raw candidates to ~256 verified pairs
+       -- the verify join goes from corpus-shaped to report-shaped.
+    3. Exact verification: the full shingle relation joins back to the
+       surviving pairs (fact-to-candidate semi-shape) and true
        containment = |A∩B| / min(|A|,|B|) is an exact-integer ratio in
-       one IEEE division.
+       one IEEE division. The survivor set is materialized once
+       (localCheckpoint -- it is report-sized) so its three consumers
+       do not re-run candidate generation.
 
     Scale: both phases are equi-joins on shingle/doc keys with
     map-side-combinable counts; the df relation doubles as the skew
@@ -2009,38 +2031,67 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
-        .select("doc_a", "doc_b")
     )
-    # Verify phase reads only the candidates' shingles: both sides of
+    # Sound upper-bound prune: |A∩B| <= n_shared + min(hot_a, hot_b)
+    # (shared shingles are rare -- already counted -- or hot). Any pair
+    # whose bound cannot reach containment 0.5 is dropped here, in
+    # exact integer arithmetic, before the verify joins. The per-doc
+    # stats are computed relations (no broadcast hint; AQE decides).
+    rarec = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
+    docstats = (
+        sizes.join(rarec, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n",
+            (F.col("n") - F.coalesce(F.col("n_rare"), F.lit(0))).alias("n_hot"),
+        )
+    )
+    kept = (
+        cand.join(
+            docstats.withColumnsRenamed(
+                {"doc_id": "doc_a", "n": "n_a", "n_hot": "h_a"}
+            ),
+            "doc_a",
+        )
+        .join(
+            docstats.withColumnsRenamed(
+                {"doc_id": "doc_b", "n": "n_b", "n_hot": "h_b"}
+            ),
+            "doc_b",
+        )
+        .filter(
+            2 * (F.col("n_shared") + F.least("h_a", "h_b"))
+            >= F.least("n_a", "n_b")
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .localCheckpoint()
+    )
+    # Verify phase reads only the survivors' shingles: both sides of
     # the intersection join are semi-pruned to candidate doc ids (the
-    # candidate relation is pair-count-sized, so the prunes broadcast),
+    # survivor relation is report-sized, so the prunes broadcast),
     # which keeps the (doc, shingle) shuffle proportional to the
     # candidate set instead of the corpus.
     a = ex.withColumnsRenamed({"doc_id": "doc_a"}).join(
-        F.broadcast(cand.select("doc_a").distinct()), "doc_a", "left_semi"
+        F.broadcast(kept.select("doc_a").distinct()), "doc_a", "left_semi"
     )
     b = ex.withColumnsRenamed({"doc_id": "b_doc", "shingle": "shingle_b"}).join(
-        F.broadcast(cand.select(F.col("doc_b").alias("b_doc")).distinct()),
+        F.broadcast(kept.select(F.col("doc_b").alias("b_doc")).distinct()),
         "b_doc",
         "left_semi",
     )
     inter = (
-        cand.join(a, "doc_a")
+        kept.join(a, "doc_a")
         .join(
             b,
             (F.col("doc_b") == F.col("b_doc"))
             & (F.col("shingle") == F.col("shingle_b")),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("i"))
     )
-    sa = sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "n_a"})
-    sb = sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "n_b"})
     c_raw = F.col("i") / F.least("n_a", "n_b")
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(c_raw >= 0.5)
+        inter.filter(c_raw >= 0.5)
         .select(
             "doc_a",
             "doc_b",
