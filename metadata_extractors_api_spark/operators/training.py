@@ -22,6 +22,9 @@ from metadata_extractors_api_spark.operators.llm import (
     _cap_buckets,
     _minhash_band_buckets,
     _minhash_cte_prefix,
+    _sql_dot,
+    cosine_from_scaled,
+    dot_scaled,
     minhash_signatures,
     shingles_col,
     tokens_col,
@@ -450,4 +453,224 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("delta-index"))
         .alias("pair_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qe,
+             {_sql_dot('embedding', 'embedding')} AS qn
+      FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label AS neg_label,
+             round(({_sql_dot('e.embedding', 'q.qe')} / 1e12)
+                   / (sqrt({_sql_dot('e.embedding', 'e.embedding')} / 1e12)
+                      * sqrt(q.qn / 1e12)), 6) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.qlabel),
+    r AS (
+      SELECT qid, vec_id, neg_label, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, vec_id) AS rk
+      FROM scored)
+    SELECT qid, vec_id, neg_label, score, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 5
+    ORDER BY qid, rk
+    """,
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector in a batch, the 5 most-similar vectors with a DIFFERENT
+    label — the near-misses that make an embedding model learn
+    boundaries (random negatives are trivially easy; the hard ones are
+    the high-cosine wrong-label neighbors this query surfaces).
+
+    Same scale shape as sim_topk_batch (one corpus pass, broadcast
+    query batch, scaled-int64 dot products, per-query window ranking);
+    the label inequality is a scan-time filter, and the Spark 3.5+
+    WindowGroupLimit pushdown keeps the per-query rank from ever
+    sorting more than k rows per map task."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("qn"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            cosine_from_scaled(
+                dot_scaled(F.col("embedding"), F.col("qe")),
+                dot_scaled(F.col("embedding"), F.col("embedding")),
+                F.col("qn"),
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .orderBy("qid", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# market-basket affinity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_basket_affinity",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM li GROUP BY 1),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM li),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS co_count
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT part_a, part_b, co_count,
+           CAST((co_count * n.n_orders * 1000000)
+                // (ca.cnt * cb.cnt) AS BIGINT) AS lift_e6
+    FROM pairs
+    CROSS JOIN n
+    JOIN pc ca ON ca.l_partkey = part_a
+    JOIN pc cb ON cb.l_partkey = part_b
+    """,
+)
+def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs that co-occur in >= 2 orders
+    with their lift (observed co-rate over the independence
+    expectation, in exact integer millionths) — the co-purchase signal
+    behind recommendations and store layout.
+
+    Scale shape: the pair space is generated per order via self-join
+    on l_orderkey, so its size is sum over orders of C(basket, 2) —
+    bounded by basket size (single digits), NEVER |parts|^2; the
+    co-count groupBy is map-side combinable; the per-part frequency
+    relation is dimension-sized and broadcasts into the lift join; and
+    lift itself is one exact integer expression (co * n_orders * 1e6
+    div (cnt_a * cnt_b)), so the report hash-matches any engine."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co_count"))
+        .filter(F.col("co_count") >= 2)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(pc.withColumnsRenamed({"l_partkey": "part_a", "cnt": "ca"})),
+            "part_a",
+        )
+        .join(
+            F.broadcast(pc.withColumnsRenamed({"l_partkey": "part_b", "cnt": "cb"})),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "co_count",
+            F.expr("(co_count * n_orders * 1000000) div (ca * cb)")
+            .cast("bigint")
+            .alias("lift_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus data card
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_domain_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT source, doc_id,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_uniq
+      FROM documents),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_uniq) AS BIGINT) AS total_uniq
+      FROM tok GROUP BY source),
+    t AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens FROM s)
+    SELECT source, n_docs, total_tokens,
+           CAST((total_tokens * 1000000) // (t.corpus_tokens) AS BIGINT)
+               AS token_share_e6,
+           CAST((total_uniq * 1000000) // (total_tokens) AS BIGINT)
+               AS ttr_e6
+    FROM s CROSS JOIN t
+    """,
+)
+def corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source "data card": document count, token volume, share
+    of the corpus token budget, and mean type-token ratio proxy per
+    source — the table a mixture designer reads before setting
+    per-domain sampling weights (mix_sources_weighted consumes exactly
+    these shares).
+
+    Scale shape: ONE corpus scan computes per-doc token counts inside
+    the projection (no explode — size() over the split array), one
+    map-side-combinable groupBy(source) rolls them up to the
+    domain-count-sized report, and the corpus total broadcasts back as
+    a single-row cross join. All ratios are exact integer millionths."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.size(tokens_col()).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(tokens_col())).cast("bigint").alias("n_uniq"),
+    )
+    s = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_uniq").cast("bigint").alias("total_uniq"),
+    )
+    t = s.agg(F.sum("total_tokens").cast("bigint").alias("corpus_tokens"))
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.expr("(total_tokens * 1000000) div corpus_tokens")
+        .cast("bigint")
+        .alias("token_share_e6"),
+        F.expr("(total_uniq * 1000000) div total_tokens")
+        .cast("bigint")
+        .alias("ttr_e6"),
     )

@@ -122,3 +122,38 @@ def test_incremental_minhash_is_the_delta_slice_of_full_dedup(spark, sf_dir):
         full_delta.exceptAll(inc.select("doc_a", "doc_b"))
     )
     assert sym.count() == 0
+
+
+def test_hard_negatives_exclude_query_label(spark, sf_dir):
+    out = mdx.QUERIES["sample_hard_negatives"](spark, sf_dir).cache()
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    joined = out.join(emb, "qid")
+    assert joined.filter(F.col("neg_label") == F.col("qlabel")).count() == 0
+    # Exactly 5 per query, ranks dense.
+    per_q = out.groupBy("qid").agg(F.count("*").alias("n"), F.max("rk").alias("m"))
+    assert per_q.filter((F.col("n") != 5) | (F.col("m") != 5)).count() == 0
+
+
+def test_basket_affinity_pair_space_is_per_order(spark, sf_dir):
+    out = mdx.QUERIES["orders_basket_affinity"](spark, sf_dir).cache()
+    # Every reported pair truly co-occurs >= 2 times, ordered (a < b).
+    assert out.filter(F.col("part_a") >= F.col("part_b")).count() == 0
+    assert out.filter(F.col("co_count") < 2).count() == 0
+    # Lift of the hottest pair is positive and exact-integer.
+    assert out.agg(F.min("lift_e6")).first()[0] > 0
+
+
+def test_domain_stats_shares_sum_to_one(spark, sf_dir):
+    out = mdx.QUERIES["corpus_domain_stats"](spark, sf_dir).cache()
+    n_src = load(spark, sf_dir, "documents").select("source").distinct().count()
+    assert out.count() == n_src
+    total_share = out.agg(F.sum("token_share_e6")).first()[0]
+    # Integer floor division loses < 1 millionth per source.
+    assert 1_000_000 - n_src <= total_share <= 1_000_000
+    tot = out.agg(F.sum("total_tokens")).first()[0]
+    ref = load(spark, sf_dir, "documents").select(
+        F.sum(F.size(F.split("text", " ")))
+    ).first()[0]
+    assert tot == ref
