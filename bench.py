@@ -71,6 +71,15 @@ HEADLINE = [
     "multimodal_dedup",
     "sim_ann_lsh_delta",
     "udtf_dynamic_schema",
+    # round-4 additions: training-data assembly (packing, seeded
+    # shuffle, exact stratified sampling, incremental dedup,
+    # hard-negative mining, basket lift)
+    "pack_concat_chunks",
+    "shuffle_deterministic",
+    "sample_stratified_exact",
+    "dedup_incremental_minhash",
+    "sample_hard_negatives",
+    "orders_basket_affinity",
 ]
 
 RUNS = 5

