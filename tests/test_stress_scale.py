@@ -69,3 +69,66 @@ def test_global_rank_is_exact_permutation_5m(spark):
     assert mx == 5_000_000
     assert nd == 5_000_000
     assert n == 5_000_000
+
+
+def test_seeded_shuffle_is_exact_permutation_10m(spark):
+    # The seeded training-order shuffle (md5 key + two-phase prefix
+    # sum, operators/training.py) must assign positions 1..n exactly
+    # once each at 10M rows (2000x the sf0.1 corpus) -- asserted with
+    # distributed aggregates; nothing collected but three numbers.
+    from metadata_extractors_api_spark.operators.quality import _global_cumsum
+
+    n = 10_000_000
+    d = spark.range(0, n, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.concat(F.lit("42:"), F.col("id").cast("string"))).alias("k"),
+        F.lit(1).alias("one"),
+    )
+    pos = _global_cumsum(d, "k", "doc_id", "one").select(
+        F.col("cw").cast("bigint").alias("position")
+    )
+    agg = pos.agg(
+        F.min("position").alias("lo"),
+        F.max("position").alias("hi"),
+        F.countDistinct("position").alias("d"),
+    ).first()
+    assert (agg["lo"], agg["hi"], agg["d"]) == (1, n, n)
+
+
+def test_pack_chunk_offsets_conserve_tokens_5m(spark):
+    # Concat-and-chunk packing at 5M synthetic docs (1000x the sf0.1
+    # corpus): global token offsets from the two-phase prefix sum must
+    # tile the token stream exactly -- every doc starts in exactly one
+    # chunk, chunk ids are dense 0..ceil(total/C)-1, and the explode
+    # volume stays linear (total_tokens/C + n_docs).
+    from metadata_extractors_api_spark.operators.quality import _global_cumsum
+
+    n, C = 5_000_000, 512
+    d = spark.range(0, n, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 2654435761) % 200 + 1).cast("bigint").alias("n_tok"),
+    )
+    total = d.agg(F.sum("n_tok")).first()[0]
+    c = _global_cumsum(d, "doc_id", "doc_id", "n_tok")
+    spans = c.select(
+        F.floor((F.col("cw") - F.col("n_tok")) / F.lit(C)).cast("bigint").alias("fc"),
+        F.floor((F.col("cw") - 1) / F.lit(C)).cast("bigint").alias("lc"),
+    )
+    chunks = (
+        spans.select(F.explode(F.sequence("fc", "lc")).alias("chunk_id"), "fc")
+        .groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("chunk_id") == F.col("fc")).cast("int")).alias("n_starts"),
+        )
+    )
+    agg = chunks.agg(
+        F.sum("n_starts").alias("starts"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.min("chunk_id").alias("lo"),
+        F.max("chunk_id").alias("hi"),
+    ).first()
+    expect_chunks = (total + C - 1) // C
+    assert agg["starts"] == n
+    assert agg["n_chunks"] == expect_chunks
+    assert (agg["lo"], agg["hi"]) == (0, expect_chunks - 1)
