@@ -694,3 +694,122 @@ def corpus_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ttr_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval chunking (sliding windows with overlap)
+# ---------------------------------------------------------------------------
+
+#: retrieval chunk width / stride in tokens (overlap = width - stride).
+CHUNK_W = 16
+CHUNK_S = 12
+
+
+@register(
+    "chunk_overlap_windows",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, str_split(text, ' ') AS tk,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    x AS (
+      SELECT doc_id, n_tok, tk,
+             unnest(range(0, (n_tok - 1) // {CHUNK_S} + 1)) AS chunk_idx
+      FROM d)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {CHUNK_S} AS BIGINT) AS start_tok,
+           CAST(least(chunk_idx * {CHUNK_S} + {CHUNK_W}, n_tok)
+                - chunk_idx * {CHUNK_S} AS BIGINT) AS chunk_len,
+           tk[CAST(chunk_idx * {CHUNK_S} AS BIGINT) + 1] AS first_token
+    FROM x
+    """,
+)
+def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window retrieval chunking: every document becomes
+    overlapping {CHUNK_W}-token windows at stride {CHUNK_S} (overlap =
+    width - stride), the layout a RAG index embeds — overlap keeps
+    answers that straddle a boundary findable. Emits one row per chunk
+    with its exact token span and first token (proving token
+    addressing, not just arithmetic).
+
+    Scale shape: pure per-document arithmetic — no shuffle at all.
+    The chunk explode is sequence() over ceil(n_tok/stride) elements
+    (linear in corpus tokens), computed inside one codegen'd map pass;
+    a real pipeline would slice the token array per row the same way
+    (F.slice) and hand each chunk to the embedder via mapInPandas."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        tokens_col().alias("tk"),
+        F.size(tokens_col()).cast("bigint").alias("n_tok"),
+    )
+    x = d.select(
+        "doc_id",
+        "n_tok",
+        "tk",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"),
+                F.floor((F.col("n_tok") - 1) / F.lit(CHUNK_S)).cast("bigint"),
+            )
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_S
+    return x.select(
+        "doc_id",
+        "chunk_idx",
+        start.cast("bigint").alias("start_tok"),
+        (F.least(start + CHUNK_W, F.col("n_tok")) - start)
+        .cast("bigint")
+        .alias("chunk_len"),
+        F.element_at("tk", (start + 1).cast("int")).alias("first_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalization-then-hash dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_normalized",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS ntext
+      FROM documents)
+    SELECT md5(ntext) AS norm_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM norm GROUP BY md5(ntext)
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-hash dedup (the C4-style "fuzzy exact"
+    stage): lowercase, strip punctuation to spaces, collapse runs of
+    whitespace, THEN digest — catching re-ingested documents that
+    differ only in casing/punctuation/whitespace, which byte-exact
+    dedup (dedup_exact) misses. Runs between exact and minhash dedup
+    in a curation funnel: each stage's survivors feed the next.
+
+    Scale shape: identical to dedup_exact — the normalization is a
+    codegen'd string expression in the scan projection, and the one
+    shuffle carries (digest, doc_id), never documents; skew-proof by
+    construction (a digest IS uniformly distributed)."""
+    d = load(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select("doc_id", F.md5(ntext).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+    )

@@ -157,3 +157,37 @@ def test_domain_stats_shares_sum_to_one(spark, sf_dir):
         F.sum(F.size(F.split("text", " ")))
     ).first()[0]
     assert tot == ref
+
+
+def test_chunk_windows_cover_every_token(spark, sf_dir):
+    from metadata_extractors_api_spark.operators.training import CHUNK_S, CHUNK_W
+
+    out = mdx.QUERIES["chunk_overlap_windows"](spark, sf_dir).cache()
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    # Per doc: chunk count = floor((n-1)/S)+1, last chunk reaches n.
+    per_doc = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max(F.col("start_tok") + F.col("chunk_len")).alias("covered"),
+    )
+    j = per_doc.join(docs, "doc_id")
+    bad = j.filter(
+        (F.col("n_chunks") != F.floor((F.col("n_tok") - 1) / CHUNK_S) + 1)
+        | (F.col("covered") != F.col("n_tok"))
+    )
+    assert bad.count() == 0
+    # Overlap: consecutive chunks share W - S tokens (when full-width).
+    assert out.filter(F.col("chunk_len") > CHUNK_W).count() == 0
+    assert out.filter(F.col("first_token").isNull()).count() == 0
+
+
+def test_dedup_normalized_supersets_exact(spark, sf_dir):
+    # Normalization can only MERGE exact-dup groups, never split them:
+    # the number of normalized groups <= number of byte-exact groups,
+    # and total doc coverage is identical.
+    norm = mdx.QUERIES["dedup_normalized"](spark, sf_dir).cache()
+    exact = mdx.QUERIES["dedup_exact"](spark, sf_dir)
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert norm.agg(F.sum("n_copies")).first()[0] == n_docs
+    assert norm.count() <= exact.count()
