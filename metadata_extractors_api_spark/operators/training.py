@@ -78,6 +78,10 @@ def pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the report gives, per window, how many documents it touches and how
     many begin inside it — the packing-efficiency numbers (docs/window,
     boundary-crossing rate) read before fixing a context length.
+    (Complement of ``pack_sequences``: that one assigns docs to
+    per-lang budget bins with a per-stream window; this one slices the
+    GLOBAL concatenated token stream, which needs the scalable global
+    prefix sum below.)
 
     Scale shape: token offsets come from ``_global_cumsum`` (range
     repartition + per-partition window + broadcast offset table), so no
@@ -169,6 +173,8 @@ def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     acceptable and the draw must be reproducible. The order within a
     stratum is a seeded hash, so membership is stable under corpus
     growth except where new docs genuinely displace the tail.
+    (Complement of ``sample_stratified``: that one draws a FRACTION of
+    each stratum; this one draws an exact count k.)
 
     Scale shape: a rank-filtered window is NOT a full per-stratum sort
     in Spark 3.5+ — the ``row_number() <= k`` filter compiles to
