@@ -1704,3 +1704,69 @@ def dq_catalog_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("dimension")
+
+
+@register(
+    "orders_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM lineitem GROUP BY l_partkey),
+    c AS (
+      SELECT l_partkey, cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS BIGINT)
+                 AS cw,
+             CAST(SUM(cents) OVER () AS BIGINT) AS tw
+      FROM rev),
+    cls AS (
+      SELECT CASE WHEN cw * 100 <= tw * 80 THEN 'A'
+                  WHEN cw * 100 <= tw * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents, tw
+      FROM c)
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+           CAST((SUM(cents) * 1000000) // MIN(tw) AS BIGINT) AS revenue_share_e6
+    FROM cls GROUP BY abc_class
+    """,
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts are ranked by
+    revenue and split at the classic 80% / 95% cumulative-share
+    knees — class A is the head that earns 80% of revenue, C the long
+    tail. The report (parts + revenue + share per class) is the
+    fact behind "20% of SKUs drive 80% of revenue" decisions.
+
+    Scale shape: revenue per part is one map-side-combinable groupBy;
+    the cumulative ranking uses ``_global_cumsum`` on the NEGATED
+    revenue (range repartition + local window + broadcast offsets), so
+    the descending Pareto order is computed without a single-partition
+    window; class assignment and shares are exact integer compares
+    (cw*100 <= tw*80 — no float thresholds)."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    c = _global_cumsum(
+        rev.withColumn("neg", -F.col("cents")), "neg", "l_partkey", "cents"
+    )
+    cls = c.select(
+        F.when(F.col("cw") * 100 <= F.col("tw") * 80, F.lit("A"))
+        .when(F.col("cw") * 100 <= F.col("tw") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+        "cents",
+        "tw",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        F.expr("(sum(cents) * 1000000) div min(tw)")
+        .cast("bigint")
+        .alias("revenue_share_e6"),
+    )

@@ -819,3 +819,60 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_copies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-space health: per-label centroid + dispersion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_centroid_stats",
+    oracle="""
+    WITH e AS (
+      SELECT label, vec_id, generate_subscripts(embedding, 1) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings)
+    SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT))
+                AS BIGINT) AS sum_e6,
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1e12)
+                         AS BIGINT)) AS BIGINT) AS sumsq_e12
+    FROM e GROUP BY label, dim
+    """,
+)
+def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension first and second moments of the
+    embedding space — the sufficient statistics for class centroids
+    (sum_e6 / n) and within-class variance (sumsq_e12/n - mean^2): the
+    encoder-health audit. Run per snapshot and diffed, this is the
+    embedding-drift monitor (a retrained encoder that moved a class
+    centroid or collapsed its variance shows up here before retrieval
+    quality craters); the same relation feeds LDA-style class
+    separability checks.
+
+    Scale shape: one posexplode pass (64 rows per vector, linear), one
+    map-side-combinable groupBy(label, dim) whose exchange carries
+    |labels| x |dims| rows. Moments are exact scaled-int64 (floor at
+    1e6 / 1e12, the package's portable convention), so the statistics
+    are bit-identical at any parallelism — exactly what you need when
+    DIFFING two snapshots' audits, where float jitter would read as
+    drift."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    x = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        F.col("label").cast("bigint").alias("label"),
+        (F.col("dim0") + 1).cast("bigint").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return x.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum(F.floor(F.col("v") * F.lit(1e6)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_e6"),
+        F.sum(F.floor(F.col("v") * F.col("v") * F.lit(1e12)).cast("bigint"))
+        .cast("bigint")
+        .alias("sumsq_e12"),
+    )

@@ -191,3 +191,40 @@ def test_dedup_normalized_supersets_exact(spark, sf_dir):
     n_docs = load(spark, sf_dir, "documents").count()
     assert norm.agg(F.sum("n_copies")).first()[0] == n_docs
     assert norm.count() <= exact.count()
+
+
+def test_abc_pareto_classes_tile_revenue(spark, sf_dir):
+    out = {r["abc_class"]: r
+           for r in mdx.QUERIES["orders_abc_pareto"](spark, sf_dir).collect()}
+    li = load(spark, sf_dir, "lineitem")
+    total = li.select(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+    ).first()[0]
+    n_parts = li.select("l_partkey").distinct().count()
+    assert set(out) <= {"A", "B", "C"} and "A" in out
+    assert sum(r["revenue_cents"] for r in out.values()) == total
+    assert sum(r["n_parts"] for r in out.values()) == n_parts
+    # Pareto shape: the A head earns at least its share of parts.
+    a = out["A"]
+    assert a["revenue_share_e6"] >= a["n_parts"] * 1_000_000 // n_parts
+
+
+def test_centroid_stats_match_numpy(spark, sf_dir):
+    import math
+
+    out = mdx.QUERIES["embedding_centroid_stats"](spark, sf_dir)
+    rows = out.filter((F.col("label") == 0) & (F.col("dim") == 1)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    vecs = [
+        x["embedding"][0]
+        for x in load(spark, sf_dir, "embeddings")
+        .filter(F.col("label") == 0)
+        .select("embedding")
+        .collect()
+    ]
+    assert r["n_vecs"] == len(vecs)
+    assert r["sum_e6"] == sum(math.floor(float(v) * 1e6) for v in vecs)
+    assert r["sumsq_e12"] == sum(
+        math.floor(float(v) * float(v) * 1e12) for v in vecs
+    )
