@@ -80,6 +80,8 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "sample_hard_negatives",
     "orders_basket_affinity",
+    "chunk_overlap_windows",
+    "orders_abc_pareto",
 ]
 
 RUNS = 5
