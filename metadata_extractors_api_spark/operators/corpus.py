@@ -862,3 +862,49 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("peak_to_mean"),
     )
+
+
+@register(
+    "events_active_users_trailing7d",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day, user_id
+      FROM events),
+    x AS (
+      SELECT user_id, unnest(range(day, day + 7)) AS report_day FROM p),
+    b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM p)
+    SELECT CAST(report_day AS BIGINT) AS report_day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+    FROM x, b WHERE report_day BETWEEN lo AND hi
+    GROUP BY report_day
+    """,
+)
+def events_active_users_trailing7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (rolling WAU) —
+    the windowed COUNT DISTINCT that plain window frames cannot
+    express (distinct is not an incremental frame aggregate). The
+    standard scalable rewrite: dedup to (day, user) grain first, then
+    each pair EXPLODES into the <= 7 report days it contributes to,
+    turning the range-window distinct into an ordinary
+    groupBy(day).count_distinct — bounded 7x expansion of the
+    day-grain relation (not the raw events), two map-side-combinable
+    aggregations, no windowed state at all."""
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.select(
+            F.floor(F.col("ts").cast("long") / 86400).cast("bigint").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    x = p.select(
+        "user_id",
+        F.explode(F.sequence("day", F.col("day") + 6)).alias("report_day"),
+    )
+    b = p.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    return (
+        x.crossJoin(F.broadcast(b))
+        .filter(F.col("report_day").between(F.col("lo"), F.col("hi")))
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
+    )

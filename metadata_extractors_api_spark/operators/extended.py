@@ -506,3 +506,60 @@ def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r.r_name, l.bal_cents DESC, l.n_name
         """
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k,
+             o_orderkey
+      FROM orders WHERE o_orderkey % 3 = 0),
+    b AS (
+      SELECT CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_custkey END AS k,
+             o_orderkey
+      FROM orders WHERE o_orderkey % 3 = 1),
+    j AS (
+      SELECT CASE WHEN a.k IS NULL THEN 'null-null' ELSE 'val-val' END
+                 AS match_class
+      FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k)
+    SELECT match_class, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY match_class
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantic a
+    late-arriving-dimension pipeline needs when "unknown" rows must
+    still pair up (standard equality would discard every NULL-keyed
+    row from an inner join with no error). The report splits matched
+    pairs into null-null vs val-val so the NULL-match volume is
+    visible, because null-safe semantics also CONCENTRATE every NULL
+    into one join key.
+
+    Scale shape: Spark plans ``eqNullSafe`` as an ordinary hash join
+    (the key's null flag joins as part of the key), so the usual
+    shuffle/broadcast machinery applies unchanged — but the null
+    bucket is a guaranteed hot key at scale; cap or pre-split it (the
+    skew playbook, SCALING.md §4) when NULL rates are material."""
+    base = load(spark, sf_dir, "orders")
+    a = base.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("ka"),
+    )
+    b = base.filter(F.col("o_orderkey") % 3 == 1).select(
+        F.when(F.col("o_orderkey") % 89 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("kb"),
+    )
+    j = a.join(b, F.col("ka").eqNullSafe(F.col("kb")))
+    return (
+        j.select(
+            F.when(F.col("ka").isNull(), F.lit("null-null"))
+            .otherwise(F.lit("val-val"))
+            .alias("match_class")
+        )
+        .groupBy("match_class")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

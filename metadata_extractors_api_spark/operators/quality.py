@@ -1779,3 +1779,137 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_share_e6"),
     )
+
+
+@register(
+    "dq_uniqueness_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'customer.c_custkey' AS key_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows,
+             (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer)
+                 AS n_keys,
+             (SELECT CAST(MAX(c) AS BIGINT) FROM
+               (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey))
+                 AS max_rows_per_key
+      UNION ALL
+      SELECT 'documents.doc_id',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+             (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents),
+             (SELECT CAST(MAX(c) AS BIGINT) FROM
+               (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id))
+      UNION ALL
+      SELECT 'events.event_id',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+             (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events),
+             (SELECT CAST(MAX(c) AS BIGINT) FROM
+               (SELECT COUNT(*) AS c FROM events GROUP BY event_id))
+      UNION ALL
+      SELECT 'lineitem.(l_orderkey,l_linenumber)',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+             (SELECT CAST(MAX(c) AS BIGINT) FROM
+               (SELECT COUNT(*) AS c FROM lineitem
+                GROUP BY l_orderkey, l_linenumber))
+      UNION ALL
+      SELECT 'orders.o_orderkey',
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+             (SELECT CAST(MAX(c) AS BIGINT) FROM
+               (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey))
+    ) ORDER BY key_name
+    """,
+)
+def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: for every declared key (including
+    lineitem's COMPOSITE key) the row count, distinct-key count, and
+    worst duplication factor — the twin of dq_referential_integrity
+    (that one checks edges point somewhere; this one checks the
+    pointed-at side is unique, which is what makes those joins
+    non-exploding). A max_rows_per_key > 1 on a "unique" key is the
+    single most common silent row-multiplier in warehouse joins.
+
+    Scale shape: per key, one map-side-combinable groupBy(key).count()
+    whose exchange carries one row per distinct key, then a single-row
+    rollup; unioned into a keys-count-sized report."""
+
+    def audit(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+        counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
+        return counts.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_rows_per_key"),
+        ).select(F.lit(name).alias("key_name"), "n_rows", "n_keys",
+                 "max_rows_per_key")
+
+    out = audit(load(spark, sf_dir, "customer"), ["c_custkey"],
+                "customer.c_custkey")
+    for tbl, cols, name in [
+        ("documents", ["doc_id"], "documents.doc_id"),
+        ("events", ["event_id"], "events.event_id"),
+        ("lineitem", ["l_orderkey", "l_linenumber"],
+         "lineitem.(l_orderkey,l_linenumber)"),
+        ("orders", ["o_orderkey"], "orders.o_orderkey"),
+    ]:
+        out = out.unionByName(audit(load(spark, sf_dir, tbl), cols, name))
+    return out
+
+
+@register(
+    "orders_backlog_sweepline",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS open_day,
+             CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+               + 3 + (o_orderkey % 10) AS close_day
+      FROM orders),
+    ev AS (
+      SELECT open_day AS day, 1 AS delta FROM o
+      UNION ALL
+      SELECT close_day AS day, -1 AS delta FROM o),
+    net AS (
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS net_change
+      FROM ev GROUP BY day)
+    SELECT day, net_change,
+           CAST(SUM(net_change) OVER (ORDER BY day) AS BIGINT) AS open_at_eod
+    FROM net
+    """,
+)
+def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-open-orders curve via the sweep-line trick: each
+    order contributes +1 at its open day and -1 at its (deterministic,
+    priority-independent) close day; the running sum of per-day net
+    change IS the number of simultaneously open orders at each day's
+    end — interval-overlap counting with no interval self-join (the
+    naive day x open-interval join is quadratic in busy windows).
+
+    Scale shape: the +1/-1 event relation is 2 rows per order; the
+    groupBy(day) collapses it to CALENDAR cardinality (a few thousand
+    days even for decades), after which the cumulative sum over days
+    is a deliberately small single-partition window — aggregating to
+    the report grain FIRST is what makes a plain window acceptable
+    here, unlike the corpus-sized windows `_global_cumsum` exists
+    for."""
+    o = load(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_orderdate").cast("timestamp").cast("long") / 86400)
+        .cast("bigint")
+        .alias("open_day"),
+        (
+            F.floor(F.col("o_orderdate").cast("timestamp").cast("long") / 86400)
+            + 3
+            + F.col("o_orderkey") % 10
+        )
+        .cast("bigint")
+        .alias("close_day"),
+    )
+    ev = o.select(F.col("open_day").alias("day"), F.lit(1).alias("delta")).unionByName(
+        o.select(F.col("close_day").alias("day"), F.lit(-1).alias("delta"))
+    )
+    net = ev.groupBy("day").agg(F.sum("delta").cast("bigint").alias("net_change"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return net.select(
+        "day",
+        "net_change",
+        F.sum("net_change").over(w).cast("bigint").alias("open_at_eod"),
+    )

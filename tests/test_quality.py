@@ -195,3 +195,56 @@ def test_global_cumsum_matches_single_window(spark, sf_dir):
     assert joined.filter(F.col("cw") != F.col("cw_ref")).count() == 0
     total = li.agg(F.sum("w")).first()[0]
     assert two.select(F.max("tw")).first()[0] == total
+
+
+def test_uniqueness_audit_keys_hold_on_fixtures(spark, sf_dir):
+    rows = {r["key_name"]: r
+            for r in mdx.QUERIES["dq_uniqueness_audit"](spark, sf_dir).collect()}
+    from metadata_extractors_api_spark.catalog import load
+    assert rows["orders.o_orderkey"]["n_rows"] == load(spark, sf_dir, "orders").count()
+    # Truly-unique PKs audit clean...
+    for k in ("orders.o_orderkey", "documents.doc_id", "events.event_id",
+              "customer.c_custkey"):
+        assert rows[k]["max_rows_per_key"] == 1
+        assert rows[k]["n_keys"] == rows[k]["n_rows"]
+    # ...and the audit DETECTS the fixture's real duplication: the
+    # synthetic generator reuses line numbers, so lineitem's textbook
+    # composite key is NOT unique here — exactly the silent
+    # row-multiplier this audit exists to surface.
+    li = rows["lineitem.(l_orderkey,l_linenumber)"]
+    assert li["max_rows_per_key"] > 1
+    assert li["n_keys"] < li["n_rows"]
+
+
+def test_backlog_sweepline_conserves_orders(spark, sf_dir):
+    out = mdx.QUERIES["orders_backlog_sweepline"](spark, sf_dir).cache()
+    # Every order opens and closes: net changes sum to zero, the curve
+    # ends at zero, and never goes negative.
+    assert out.agg(F.sum("net_change")).first()[0] == 0
+    assert out.orderBy(F.desc("day")).first()["open_at_eod"] == 0
+    assert out.filter(F.col("open_at_eod") < 0).count() == 0
+
+
+def test_null_safe_join_pairs_nulls(spark, sf_dir):
+    from metadata_extractors_api_spark.catalog import load
+    out = {r["match_class"]: r["n_pairs"]
+           for r in mdx.QUERIES["join_null_safe"](spark, sf_dir).collect()}
+    o = load(spark, sf_dir, "orders")
+    na = o.filter((F.col("o_orderkey") % 3 == 0)
+                  & (F.col("o_orderkey") % 97 == 0)).count()
+    nb = o.filter((F.col("o_orderkey") % 3 == 1)
+                  & (F.col("o_orderkey") % 89 == 0)).count()
+    assert out.get("null-null", 0) == na * nb
+    assert out.get("val-val", 0) > 0
+
+
+def test_trailing7d_dominates_daily_actives(spark, sf_dir):
+    from metadata_extractors_api_spark.catalog import load
+    out = mdx.QUERIES["events_active_users_trailing7d"](spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(
+        F.floor(F.col("ts").cast("long") / 86400).cast("bigint").alias("report_day"),
+        "user_id",
+    ).groupBy("report_day").agg(F.countDistinct("user_id").alias("d1"))
+    j = out.join(daily, "report_day")
+    assert j.filter(F.col("active_users_7d") < F.col("d1")).count() == 0
