@@ -590,7 +590,9 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     on l_orderkey, so its size is sum over orders of C(basket, 2) —
     bounded by basket size (single digits), NEVER |parts|^2; the
     co-count groupBy is map-side combinable; the per-part frequency
-    relation is dimension-sized and broadcasts into the lift join; and
+    relation is dimension-sized (AQE broadcasts it at runtime when it
+    fits — no hard-coded hint, since "dimension-sized" stops meaning
+    "small" at extreme scale factors); and
     lift itself is one exact integer expression (co * n_orders * 1e6
     div (cnt_a * cnt_b)), so the report hash-matches any engine."""
     li = (
@@ -616,16 +618,13 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("co_count"))
         .filter(F.col("co_count") >= 2)
     )
+    # No broadcast hint on the per-part counts: the part dimension is
+    # catalog-sized (broadcastable at warehouse SFs, not at extreme
+    # ones) and the relation is computed — AQE sizes it at runtime.
     return (
         pairs.crossJoin(F.broadcast(n))
-        .join(
-            F.broadcast(pc.withColumnsRenamed({"l_partkey": "part_a", "cnt": "ca"})),
-            "part_a",
-        )
-        .join(
-            F.broadcast(pc.withColumnsRenamed({"l_partkey": "part_b", "cnt": "cb"})),
-            "part_b",
-        )
+        .join(pc.withColumnsRenamed({"l_partkey": "part_a", "cnt": "ca"}), "part_a")
+        .join(pc.withColumnsRenamed({"l_partkey": "part_b", "cnt": "cb"}), "part_b")
         .select(
             "part_a",
             "part_b",
