@@ -509,7 +509,7 @@ def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_null_safe",
+    "join_null_safe_classes",
     oracle="""
     WITH a AS (
       SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k,
@@ -527,7 +527,7 @@ def subq_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM j GROUP BY match_class
     """,
 )
-def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_null_safe_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
     MATCH each other instead of silently dropping — the semantic a
     late-arriving-dimension pipeline needs when "unknown" rows must

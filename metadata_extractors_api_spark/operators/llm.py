@@ -330,6 +330,19 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot re-shingle the whole corpus to verify a few thousand
     # pairs). No broadcast hint on ids: it is a computed set whose size
     # is collision-dependent — AQE picks broadcast when it is small.
+    return exact_jaccard_verify(d, cand).filter(F.col("jaccard") >= 0.5)
+
+
+def exact_jaccard_verify(d: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: semi-join the
+    corpus down to candidate doc ids BEFORE shingling (at 100 TB you
+    cannot re-shingle the corpus to verify a few thousand pairs), then
+    array-intersect the two shingle sets per pair. Shared by
+    dedup_minhash and dedup_incremental_minhash — ONE implementation
+    so threshold/rounding/shingle changes cannot drift between the
+    full and incremental paths (their slice-equality invariant is
+    pinned in tests/test_training.py). Returns (doc_a, doc_b, jaccard)
+    un-thresholded."""
     ids = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -342,7 +355,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.array_distinct(shingles_col(toks=F.col("_toks"))).alias("sh")
         )
     )
-    jac = (
+    return (
         cand.join(shset.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
         .join(shset.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
         .select(
@@ -355,7 +368,6 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= 0.5)
 
 
 def _minhash_bucket_stats_oracle() -> str:
@@ -2558,15 +2570,22 @@ def sim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         dot_scaled(F.col("embedding"), F.col("embedding")).alias("qn"),
     )
+    # Self-dot hoisted before the cross join: inside the post-join
+    # projection it would be re-evaluated once per query in the batch.
+    corpus = e.select(
+        "vec_id",
+        "embedding",
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("en"),
+    )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
             cosine_from_scaled(
                 dot_scaled(F.col("embedding"), F.col("qe")),
-                dot_scaled(F.col("embedding"), F.col("embedding")),
+                F.col("en"),
                 F.col("qn"),
             ).alias("score"),
         )

@@ -1787,7 +1787,8 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM (
       SELECT 'customer.c_custkey' AS key_name,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_rows,
-             (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer)
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT c_custkey FROM customer GROUP BY c_custkey))
                  AS n_keys,
              (SELECT CAST(MAX(c) AS BIGINT) FROM
                (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey))
@@ -1795,13 +1796,15 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'documents.doc_id',
              (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
-             (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT doc_id FROM documents GROUP BY doc_id)),
              (SELECT CAST(MAX(c) AS BIGINT) FROM
                (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id))
       UNION ALL
       SELECT 'events.event_id',
              (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
-             (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT event_id FROM events GROUP BY event_id)),
              (SELECT CAST(MAX(c) AS BIGINT) FROM
                (SELECT COUNT(*) AS c FROM events GROUP BY event_id))
       UNION ALL
@@ -1815,7 +1818,8 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT 'orders.o_orderkey',
              (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
-             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT o_orderkey FROM orders GROUP BY o_orderkey)),
              (SELECT CAST(MAX(c) AS BIGINT) FROM
                (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey))
     ) ORDER BY key_name
@@ -1829,22 +1833,16 @@ def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointed-at side is unique, which is what makes those joins
     non-exploding). A max_rows_per_key > 1 on a "unique" key is the
     single most common silent row-multiplier in warehouse joins.
+    NULL keys COUNT as a key group on both engines (the oracle counts
+    grouped keys, not COUNT(DISTINCT), which would silently drop
+    NULLs — a NULL PK is a defect this audit must surface, not hide).
 
     Scale shape: per key, one map-side-combinable groupBy(key).count()
     whose exchange carries one row per distinct key, then a single-row
     rollup; unioned into a keys-count-sized report."""
 
-    def audit(df: DataFrame, cols: list[str], name: str) -> DataFrame:
-        counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
-        return counts.agg(
-            F.sum("c").cast("bigint").alias("n_rows"),
-            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-            F.max("c").cast("bigint").alias("max_rows_per_key"),
-        ).select(F.lit(name).alias("key_name"), "n_rows", "n_keys",
-                 "max_rows_per_key")
-
-    out = audit(load(spark, sf_dir, "customer"), ["c_custkey"],
-                "customer.c_custkey")
+    out = _key_census(load(spark, sf_dir, "customer"), ["c_custkey"],
+                      "customer.c_custkey")
     for tbl, cols, name in [
         ("documents", ["doc_id"], "documents.doc_id"),
         ("events", ["event_id"], "events.event_id"),
@@ -1852,8 +1850,23 @@ def dq_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
          "lineitem.(l_orderkey,l_linenumber)"),
         ("orders", ["o_orderkey"], "orders.o_orderkey"),
     ]:
-        out = out.unionByName(audit(load(spark, sf_dir, tbl), cols, name))
+        out = out.unionByName(_key_census(load(spark, sf_dir, tbl), cols, name))
     return out
+
+
+def _key_census(df: DataFrame, cols: list[str], name: str) -> DataFrame:
+    """One key's census rollup: groupBy(key).count() (the exchange
+    carries one row per distinct key; NULL keys form a group like any
+    other) folded to a single labeled row of n_rows / n_keys /
+    max_rows_per_key. Shared by dq_uniqueness_audit and
+    skew_diagnose_keys so the two reports cannot drift."""
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_rows_per_key"),
+    ).select(F.lit(name).alias("key_name"), "n_rows", "n_keys",
+             "max_rows_per_key")
 
 
 @register(

@@ -25,6 +25,7 @@ from metadata_extractors_api_spark.operators.llm import (
     _sql_dot,
     cosine_from_scaled,
     dot_scaled,
+    exact_jaccard_verify,
     minhash_signatures,
     shingles_col,
     tokens_col,
@@ -280,27 +281,30 @@ def table_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT 'events.user_id' AS key_name,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_rows,
-             (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
-                 AS n_keys,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT user_id FROM events GROUP BY user_id)) AS n_keys,
              (SELECT CAST(MAX(c) AS BIGINT) FROM
                (SELECT COUNT(*) AS c FROM events GROUP BY user_id))
                  AS max_rows_per_key
       UNION ALL
       SELECT 'lineitem.l_orderkey',
              (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
-             (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey)),
              (SELECT CAST(MAX(c) AS BIGINT) FROM
                (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey))
       UNION ALL
       SELECT 'lineitem.l_partkey',
              (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
-             (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT l_partkey FROM lineitem GROUP BY l_partkey)),
              (SELECT CAST(MAX(c) AS BIGINT) FROM
                (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey))
       UNION ALL
       SELECT 'lineitem.l_suppkey',
              (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
-             (SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem),
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM
+               (SELECT l_suppkey FROM lineitem GROUP BY l_suppkey)),
              (SELECT CAST(MAX(c) AS BIGINT) FROM
                (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey))
     ) ORDER BY key_name
@@ -312,7 +316,9 @@ def skew_diagnose_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     report that decides, BEFORE a 100 TB shuffle, whether a join needs
     salting or AQE skew handling. ``hot_key_ratio`` is hottest-key rows
     over the uniform expectation (n_rows / n_keys): ~1 means flat, >>1
-    means the hottest key is that many times over-loaded.
+    means the hottest key is that many times over-loaded. NULL keys
+    count as a key group on both engines — the NULL bucket is
+    precisely the guaranteed-hot key this census must not drop.
 
     Scale shape: each census is groupBy(key).count() (partial-agg
     combinable, the shuffle carries one row per distinct key) followed
@@ -321,20 +327,14 @@ def skew_diagnose_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats) already applies to its own join keys, generalized to the
     relational workload."""
 
+    from metadata_extractors_api_spark.operators.quality import _key_census
+
     def census(df: DataFrame, key: str, name: str) -> DataFrame:
-        counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
-        return counts.agg(
-            F.sum("c").cast("bigint").alias("n_rows"),
-            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-            F.max("c").cast("bigint").alias("max_rows_per_key"),
-        ).select(
-            F.lit(name).alias("key_name"),
-            "n_rows",
-            "n_keys",
-            "max_rows_per_key",
+        return _key_census(df, [key], name).withColumn(
+            "hot_key_ratio",
             F.round(
                 F.col("max_rows_per_key") * F.col("n_keys") / F.col("n_rows"), 6
-            ).alias("hot_key_ratio"),
+            ),
         )
 
     li = load(spark, sf_dir, "lineitem")
@@ -443,32 +443,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    shset = (
-        d.join(ids, "doc_id", "left_semi")
-        .select("doc_id", tokens_col().alias("_toks"))
-        .select(
-            "doc_id",
-            F.array_distinct(shingles_col(toks=F.col("_toks"))).alias("sh"),
-        )
-    )
-    jac = (
-        cand.join(shset.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
-        .join(shset.withColumnsRenamed({"doc_id": "doc_b", "sh": "sh_b"}), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ).alias("jaccard"),
-        )
-    )
+    jac = exact_jaccard_verify(d, cand)
     return jac.filter(F.col("jaccard") >= 0.5).select(
         "doc_a",
         "doc_b",
@@ -530,8 +505,17 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         dot_scaled(F.col("embedding"), F.col("embedding")).alias("qn"),
     )
+    # The corpus row's self-dot is hoisted BEFORE the batch cross join:
+    # inside the post-join projection it would be re-evaluated once per
+    # query in the batch (the dominant expression, |batch|x wasted).
+    corpus = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("en"),
+    )
     scored = (
-        e.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col("label") != F.col("qlabel"))
         .select(
             "qid",
@@ -539,7 +523,7 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").alias("neg_label"),
             cosine_from_scaled(
                 dot_scaled(F.col("embedding"), F.col("qe")),
-                dot_scaled(F.col("embedding"), F.col("embedding")),
+                F.col("en"),
                 F.col("qn"),
             ).alias("score"),
         )
@@ -731,8 +715,8 @@ CHUNK_S = 12
 )
 def chunk_overlap_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window retrieval chunking: every document becomes
-    overlapping {CHUNK_W}-token windows at stride {CHUNK_S} (overlap =
-    width - stride), the layout a RAG index embeds — overlap keeps
+    overlapping CHUNK_W(=16)-token windows at stride CHUNK_S(=12)
+    (overlap = width - stride), the layout a RAG index embeds — overlap keeps
     answers that straddle a boundary findable. Emits one row per chunk
     with its exact token span and first token (proving token
     addressing, not just arithmetic).

@@ -37,6 +37,12 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
     """
 
     def deco(fn: QueryFn) -> QueryFn:
+        # A repeated name would silently SHADOW the earlier query in
+        # the driver's correctness sweep (this caught a real collision:
+        # round 4 re-used round 2's join_null_safe). Fail loudly at
+        # import instead.
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

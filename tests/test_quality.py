@@ -228,7 +228,7 @@ def test_backlog_sweepline_conserves_orders(spark, sf_dir):
 def test_null_safe_join_pairs_nulls(spark, sf_dir):
     from metadata_extractors_api_spark.catalog import load
     out = {r["match_class"]: r["n_pairs"]
-           for r in mdx.QUERIES["join_null_safe"](spark, sf_dir).collect()}
+           for r in mdx.QUERIES["join_null_safe_classes"](spark, sf_dir).collect()}
     o = load(spark, sf_dir, "orders")
     na = o.filter((F.col("o_orderkey") % 3 == 0)
                   & (F.col("o_orderkey") % 97 == 0)).count()
