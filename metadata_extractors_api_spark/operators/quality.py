@@ -1926,3 +1926,132 @@ def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "net_change",
         F.sum("net_change").over(w).cast("bigint").alias("open_at_eod"),
     )
+
+
+@register(
+    "orders_fulfillment_lag",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(floor(epoch(l.l_shipdate) / 86400)
+                  - floor(epoch(o.o_orderdate) / 86400) AS BIGINT) AS lag_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(MIN(lag_days) AS BIGINT) AS min_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_days,
+           CAST(SUM(lag_days) AS BIGINT) AS total_days
+    FROM j GROUP BY priority
+    """,
+)
+def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfillment lag per priority class: the
+    operational SLA readout (does urgent actually ship faster?). Lag
+    is exact integer days between the order date and each line's ship
+    date; the report carries min/max/total so the mean is one client-
+    side division and the sum stays hash-exact.
+
+    Scale shape: THE canonical fact-to-fact join (lineitem x orders on
+    the order key) — at warehouse scale both sides are bucketed on
+    o_orderkey and the exchange disappears (SCALING.md §2); unbucketed,
+    it is one co-partitioned shuffle with AQE skew handling. The
+    priority rollup is map-side combinable on a 5-value key."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_shipdate").cast("timestamp").cast("long") / 86400)
+        .cast("bigint")
+        .alias("ship_day"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_orderdate").cast("timestamp").cast("long") / 86400)
+        .cast("bigint")
+        .alias("open_day"),
+    )
+    j = li.join(o, "l_orderkey").select(
+        "priority", (F.col("ship_day") - F.col("open_day")).alias("lag_days")
+    )
+    return j.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.min("lag_days").cast("bigint").alias("min_days"),
+        F.max("lag_days").cast("bigint").alias("max_days"),
+        F.sum("lag_days").cast("bigint").alias("total_days"),
+    )
+
+
+@register(
+    "events_ab_test_lift",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('exp1:' ||
+                    CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)),
+    m AS (
+      SELECT u.arm,
+             u.user_id,
+             CAST(MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM u JOIN events e ON e.user_id = u.user_id
+      GROUP BY u.arm, u.user_id)
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST((SUM(converted) * 1000000) // COUNT(*) AS BIGINT)
+               AS conv_rate_e6
+    FROM m GROUP BY arm
+    """,
+)
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with DETERMINISTIC hash assignment:
+    arm = md5(salt || user_id) parity — the industry-standard bucketing
+    that is stable across sessions/devices, reproducible by any engine
+    auditing the experiment, and free of RNG-state coupling between
+    assignment and analysis. Conversion is user-level (any purchase),
+    so event-count skew between arms cannot masquerade as lift; rates
+    are exact integer millionths and the z-test is one client-side
+    formula over the four reported exact counts.
+
+    Scale shape: the distinct-user relation and the metric join both
+    shuffle on user_id (one co-partitioned key, the same partitioning
+    the sessionize/retention family uses); the arm rollup is map-side
+    combinable on a 2-value key (no skew: md5 parity splits ~50/50 by
+    construction)."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            F.lit("control"),
+        )
+        .otherwise(F.lit("treatment"))
+        .alias("arm"),
+    )
+    m = (
+        u.join(ev, "user_id")
+        .groupBy("arm", "user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("int"))
+            .cast("bigint")
+            .alias("converted")
+        )
+    )
+    return m.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.expr("(sum(converted) * 1000000) div count(*)")
+        .cast("bigint")
+        .alias("conv_rate_e6"),
+    )

@@ -248,3 +248,27 @@ def test_trailing7d_dominates_daily_actives(spark, sf_dir):
     ).groupBy("report_day").agg(F.countDistinct("user_id").alias("d1"))
     j = out.join(daily, "report_day")
     assert j.filter(F.col("active_users_7d") < F.col("d1")).count() == 0
+
+
+def test_fulfillment_lag_is_plausible(spark, sf_dir):
+    from metadata_extractors_api_spark.catalog import load
+    rows = mdx.QUERIES["orders_fulfillment_lag"](spark, sf_dir).collect()
+    li_n = load(spark, sf_dir, "lineitem").count()
+    assert sum(r["n_lines"] for r in rows) == li_n  # every line has an order
+    for r in rows:
+        assert r["min_days"] <= r["max_days"]
+        assert r["n_lines"] * r["min_days"] <= r["total_days"] <= r["n_lines"] * r["max_days"]
+
+
+def test_ab_assignment_is_stable_and_balanced(spark, sf_dir):
+    from metadata_extractors_api_spark.catalog import load
+    out = {r["arm"]: r for r in mdx.QUERIES["events_ab_test_lift"](spark, sf_dir).collect()}
+    n_users = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert set(out) == {"control", "treatment"}
+    assert out["control"]["n_users"] + out["treatment"]["n_users"] == n_users
+    # md5 parity splits within 20% of even on any non-trivial population.
+    ratio = out["control"]["n_users"] / n_users
+    assert 0.3 < ratio < 0.7
+    for r in out.values():
+        assert 0 <= r["n_converted"] <= r["n_users"]
+        assert r["conv_rate_e6"] == r["n_converted"] * 1_000_000 // r["n_users"]
