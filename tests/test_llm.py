@@ -465,3 +465,12 @@ def test_containment_df_prefilter_quarantines_boilerplate(
     pairs instead of a 10k-wide array explosion."""
     sf = _boilerplate_dir(spark, tmp_path_factory)
     assert mdx.QUERIES["dedup_containment"](spark, sf).count() == 0
+
+
+def test_incremental_minhash_quarantines_boilerplate(spark, tmp_path_factory):
+    """The incremental path shares the capped bucket index: 10k
+    identical docs must produce zero candidate pairs (the delta-side
+    band join reads the SAME quarantined buckets, so an ingest batch of
+    boilerplate cannot re-introduce the quadratic join)."""
+    sf = _boilerplate_dir(spark, tmp_path_factory)
+    assert mdx.QUERIES["dedup_incremental_minhash"](spark, sf).count() == 0
