@@ -1259,3 +1259,91 @@ def anomaly_zscore_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_anomalies"),
     )
+
+
+@register(
+    "join_scd2_asof",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS state,
+             epoch_us(ts) AS ts_us, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events),
+    changes AS (
+      SELECT user_id, state, ts_us, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> state),
+    dim AS (
+      SELECT user_id, state,
+             ts_us AS valid_from_us,
+             lead(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS valid_to_us
+      FROM changes),
+    facts AS (
+      SELECT user_id, epoch_us(ts) - 3600000000 AS probe_us, event_id
+      FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT d.state
+      FROM facts f JOIN dim d
+        ON d.user_id = f.user_id
+       AND f.probe_us >= d.valid_from_us
+       AND (d.valid_to_us IS NULL OR f.probe_us < d.valid_to_us))
+    SELECT state,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM j GROUP BY state
+    """,
+)
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of DIMENSION join — the consumer side of
+    scd2_dimension: each purchase fact joins the state version that
+    was valid AT ITS TIMESTAMP (valid_from <= ts < valid_to, open
+    current interval), the query every type-2 dimension exists to
+    answer — probed here ONE HOUR BEFORE each purchase, i.e. "what
+    state was this user in leading into conversion" (the attribution
+    question; probing at the purchase itself is degenerate, every
+    purchase starts its own version). Intervals partition each user's
+    timeline, so a probe matches at most one version; probes earlier
+    than the user's first version simply don't match (inner join) —
+    purchases within the first hour of a user's history are
+    pre-history by construction.
+
+    Scale shape: the join key is the equi half (user_id) — one
+    co-partitioned shuffle, identical to the production layout where
+    facts and the SCD2 dimension are both bucketed on the entity key —
+    and the interval predicate evaluates as a cheap post-join filter
+    over the per-user version list (bounded per user), NEVER a range
+    cross join. The dimension build reuses scd2_dimension's two-window
+    single-shuffle plan."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        ev.withColumn("prev", F.lag("state").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+        .drop("prev")
+    )
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+    )
+    facts = ev.filter(F.col("state") == "purchase").select(
+        "user_id", (F.col("ts_us") - 3600000000).alias("probe_us"), "event_id"
+    )
+    j = facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("probe_us") >= F.col("valid_from_us"))
+        & (
+            F.col("valid_to_us").isNull()
+            | (F.col("probe_us") < F.col("valid_to_us"))
+        ),
+    )
+    return j.groupBy("state").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases")
+    )

@@ -859,3 +859,65 @@ def embedding_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sumsq_e12"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture weights
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mix_temperature_sampling",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM s),
+    sh AS (
+      SELECT source, toks,
+             CAST((toks * 1000000) // t.total AS BIGINT) AS share_e6
+      FROM s CROSS JOIN t),
+    w AS (SELECT source, toks, share_e6,
+                 share_e6 * share_e6 AS wgt FROM sh),
+    z AS (SELECT CAST(SUM(wgt) AS BIGINT) AS zsum FROM w)
+    SELECT source, toks, share_e6,
+           CAST((wgt * 1000000) // z.zsum AS BIGINT) AS t05_share_e6
+    FROM w CROSS JOIN z
+    """,
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain-mixture weights at T=1/2: sampling
+    weight proportional to share^(1/T) = share^2 — the standard
+    temperature reweighting that sharpens (T<1) or flattens (T>1) a
+    domain mixture before pretraining. T=1/2 is chosen because
+    squaring keeps EVERY step in exact int64 (share_e6^2 <= 1e12), so
+    the weight table is hash-identical on any engine — fractional
+    temperatures need pow(), whose libm rounding differs across
+    engines and would turn a mixture config into a float lottery.
+
+    Scale shape: one corpus scan + a source-count-sized rollup; the
+    normalizing constants are single-row broadcasts. Downstream,
+    mix_sources_weighted consumes exactly these shares as its
+    hash-gate thresholds."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(tokens_col())).cast("bigint").alias("toks")
+    )
+    t = s.agg(F.sum("toks").cast("bigint").alias("total"))
+    sh = s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "toks",
+        F.expr("(toks * 1000000) div total").cast("bigint").alias("share_e6"),
+    )
+    w = sh.select(
+        "source", "toks", "share_e6",
+        (F.col("share_e6") * F.col("share_e6")).alias("wgt"),
+    )
+    z = w.agg(F.sum("wgt").cast("bigint").alias("zsum"))
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "toks",
+        "share_e6",
+        F.expr("(wgt * 1000000) div zsum").cast("bigint").alias("t05_share_e6"),
+    )

@@ -228,3 +228,32 @@ def test_centroid_stats_match_numpy(spark, sf_dir):
     assert r["sumsq_e12"] == sum(
         math.floor(float(v) * float(v) * 1e12) for v in vecs
     )
+
+
+def test_temperature_sharpens_the_mixture(spark, sf_dir):
+    out = mdx.QUERIES["mix_temperature_sampling"](spark, sf_dir).cache()
+    rows = out.collect()
+    # Squaring shares sharpens: the largest source gains share, the
+    # smallest loses (strictly, unless the mixture is exactly uniform).
+    big = max(rows, key=lambda r: r["share_e6"])
+    small = min(rows, key=lambda r: r["share_e6"])
+    if big["share_e6"] != small["share_e6"]:
+        assert big["t05_share_e6"] >= big["share_e6"]
+        assert small["t05_share_e6"] <= small["share_e6"]
+    # Both share columns are (floor-)normalized to one.
+    n = len(rows)
+    for col in ("share_e6", "t05_share_e6"):
+        tot = sum(r[col] for r in rows)
+        assert 1_000_000 - n <= tot <= 1_000_000
+
+
+def test_scd2_asof_probe_matches_at_most_one_version(spark, sf_dir):
+    out = mdx.QUERIES["join_scd2_asof"](spark, sf_dir)
+    total_matched = out.agg(F.sum("n_purchases")).first()[0]
+    n_purchases = (
+        load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    # Intervals partition the timeline: matched probes <= probes, and
+    # each probe contributes at most once (no interval overlap blowup).
+    assert total_matched <= n_purchases
+    assert total_matched > 0
