@@ -82,6 +82,12 @@ HEADLINE = [
     "orders_basket_affinity",
     "chunk_overlap_windows",
     "orders_abc_pareto",
+    # round-4 late additions: spatial grid join + privacy/smoothing
+    # audits
+    "join_geo_grid",
+    "dq_k_anonymity",
+    "timeseries_ewma",
+    "sample_pps_systematic",
 ]
 
 RUNS = 5

@@ -1347,3 +1347,84 @@ def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("state").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases")
     )
+
+
+@register(
+    "timeseries_ewma",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS bh,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, bh),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bh) AS rn
+      FROM h),
+    j AS (
+      SELECT a.event_type, a.bh,
+             CAST(SUM(b.cnt * CAST(pow(2, 15 - (a.rn - b.rn)) AS BIGINT))
+                  AS BIGINT) AS ewma_num,
+             CAST(SUM(CAST(pow(2, 15 - (a.rn - b.rn)) AS BIGINT))
+                  AS BIGINT) AS w_sum
+      FROM r a JOIN r b
+        ON a.event_type = b.event_type AND b.rn BETWEEN a.rn - 15 AND a.rn
+      GROUP BY a.event_type, a.bh)
+    SELECT event_type, CAST(bh AS BIGINT) AS bh, ewma_num, w_sum,
+           round(CAST(ewma_num AS DOUBLE) / w_sum, 6) AS ewma
+    FROM j
+    """,
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) of hourly
+    event volume per event type — the classic smoothing pass behind
+    trend dashboards and alerting thresholds. The recursion s_t =
+    a*x_t + (1-a)*s_{t-1} is unrolled into its closed form and
+    TRUNCATED at 16 terms (weights below 2^-16 contribute less than
+    one part in 65536 — under the integer resolution of the counts
+    themselves), which turns an inherently sequential recurrence into
+    a bounded ROWS window: dyadic weights become exact integer
+    bit-shifts (shiftleft), and the only float op is one terminal
+    division. The EWMA is defined over the OBSERVED hour sequence
+    (row basis, documented; absent hours don't decay), matching the
+    oracle's row_number basis exactly.
+
+    Scale shape: one map-side-combinable groupBy to hourly grain
+    (output is |types| x |hours|, tiny relative to input), then a
+    16-row bounded window partitioned by event_type — no unbounded
+    frame, no single-partition stage, state per key is 16 integers.
+    The DuckDB oracle states the same closed form via a bounded
+    rn-band self-join.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("bh")
+    )
+    h = ev.groupBy("event_type", "bh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w16 = (
+        Window.partitionBy("event_type")
+        .orderBy("bh")
+        .rowsBetween(-15, Window.currentRow)
+    )
+    withv = h.withColumn("vals", F.collect_list("cnt").over(w16))
+    # weight of element i (0-based, oldest first) in an n-long frame:
+    # 2^(i + 16 - n)  ->  newest term gets 2^15, each step back halves.
+    num = F.expr(
+        "aggregate(transform(vals, (x, i) -> "
+        "shiftleft(x, CAST(i + 16 - size(vals) AS INT))), "
+        "CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    wsum = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), 16) "
+        "- shiftleft(CAST(1 AS BIGINT), 16 - size(vals))"
+    )
+    return (
+        withv.withColumn("ewma_num", num.cast("bigint"))
+        .withColumn("w_sum", wsum.cast("bigint"))
+        .withColumn(
+            "ewma",
+            F.round(F.col("ewma_num").cast("double") / F.col("w_sum"), 6),
+        )
+        .select("event_type", F.col("bh").cast("bigint").alias("bh"),
+                "ewma_num", "w_sum", "ewma")
+    )

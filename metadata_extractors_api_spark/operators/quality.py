@@ -2055,3 +2055,61 @@ def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("conv_rate_e6"),
     )
+
+
+@register(
+    "dq_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey,
+             c_mktsegment,
+             (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000) // 100000 - 100
+                 AS bal_band
+      FROM customer),
+    g AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM q GROUP BY c_nationkey, c_mktsegment, bal_band)
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows
+    FROM g GROUP BY k
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over a quasi-identifier tuple — the privacy
+    re-identification audit a training-data release runs before
+    shipping: for QID = (nation, market segment, $1000 account-balance
+    band), how many equivalence classes exist at each group size k?
+    Rows living in k=1 (singleton) classes are directly
+    re-identifiable; the k<5 bands are the disclosure-risk mass a
+    suppression/generalization pass must remove.
+
+    Scale shape: two stacked map-side-combinable groupBys (QID census,
+    then k census) — both partial-aggregate before any shuffle, and
+    the second input is already |distinct QIDs|-sized, so the audit
+    costs one pass over the table regardless of scale. The balance
+    band is exact-integer (cents // 100000), never a float division,
+    so band edges agree bit-for-bit across engines.
+    """
+    q = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        # Shift to a non-negative domain before the integer division:
+        # balances can be negative, and DuckDB's // truncates toward
+        # zero while floor() rounds down -- on positives they agree.
+        (
+            F.floor(
+                (F.round(F.col("c_acctbal") * 100).cast("bigint") + 10_000_000)
+                / F.lit(100000)
+            ).cast("bigint")
+            - 100
+        ).alias("bal_band"),
+    )
+    g = q.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    return g.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+    )

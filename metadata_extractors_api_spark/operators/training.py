@@ -921,3 +921,71 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share_e6",
         F.expr("(wgt * 1000000) div zsum").cast("bigint").alias("t05_share_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# probability-proportional-to-size sampling
+# ---------------------------------------------------------------------------
+
+#: target sample size for the systematic PPS draw.
+PPS_K = 100
+
+
+@register(
+    "sample_pps_systematic",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS cw,
+             CAST(SUM(n_tok) OVER () AS BIGINT) AS tw
+      FROM d),
+    s AS (
+      SELECT doc_id, n_tok, cw, GREATEST(tw // {PPS_K}, 1) AS step
+      FROM c)
+    SELECT doc_id, n_tok,
+           CAST(cw // step - (cw - n_tok) // step AS BIGINT) AS n_hits,
+           CAST((cw - n_tok) // step + 1 AS BIGINT) AS first_tick
+    FROM s
+    WHERE cw // step > (cw - n_tok) // step
+    """,
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: walk the
+    token-weighted cumulative axis in fixed strides of ``total/K`` and
+    keep every document a stride boundary lands in — the exact,
+    rng-free PPS draw (inclusion probability = token share) used for
+    weighted corpus subsampling and pipeline spot-audits. Documents
+    longer than one stride are hit multiple times; ``n_hits`` is the
+    multiplicity (a PPS-with-replacement weight) and ``first_tick``
+    the first stride index, so the sample is a complete, reproducible
+    artifact rather than a bag of ids.
+
+    Scale shape: the cumulative axis comes from ``_global_cumsum``
+    (range repartition + per-partition window + broadcast offset
+    table — no single-partition stage), the grand total rides the same
+    broadcast, and the boundary test is per-row integer arithmetic
+    (cw//step crossing compare; everything non-negative, so DuckDB's
+    truncating ``//`` and Spark's ``floor`` agree). One data pass, no
+    extra shuffle beyond the prefix sum itself.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_col()).cast("bigint").alias("n_tok")
+    )
+    c = _global_cumsum(d, "doc_id", "doc_id", "n_tok")
+    s = c.withColumn(
+        "step",
+        F.greatest(F.floor(F.col("tw") / F.lit(PPS_K)).cast("bigint"), F.lit(1)),
+    )
+    ticks_thru = F.floor(F.col("cw") / F.col("step")).cast("bigint")
+    ticks_before = F.floor((F.col("cw") - F.col("n_tok")) / F.col("step")).cast(
+        "bigint"
+    )
+    return (
+        s.withColumn("n_hits", ticks_thru - ticks_before)
+        .withColumn("first_tick", ticks_before + 1)
+        .filter(F.col("n_hits") > 0)
+        .select("doc_id", "n_tok", "n_hits", "first_tick")
+    )
