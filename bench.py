@@ -88,6 +88,8 @@ HEADLINE = [
     "dq_k_anonymity",
     "timeseries_ewma",
     "sample_pps_systematic",
+    "text_collocation_lift",
+    "orders_skyline_2d",
 ]
 
 RUNS = 5

@@ -1428,3 +1428,173 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("bh").cast("bigint").alias("bh"),
                 "ewma_num", "w_sum", "ewma")
     )
+
+
+@register(
+    "events_bounce_rate",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked),
+    sess0 AS (
+      SELECT user_id, session_no, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, session_no) AS n_events
+      FROM numbered),
+    sess AS (
+      SELECT user_id, session_no, event_type AS entry_type,
+             CAST(n_events AS BIGINT) AS n_events
+      FROM sess0 WHERE rn = 1)
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_e6
+    FROM sess GROUP BY entry_type
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry type: sessionize (same 30-minute
+    gap rule as ``win_sessionize``), find each session's ENTRY event
+    type, and report per entry type how many sessions start there and
+    what share end after that single event — the engagement read
+    behind landing-page and first-touch analyses.
+
+    Scale shape: the sessionization is the canonical two-window +
+    one-shuffle-on-user_id pattern; the per-session rollup reuses the
+    same user_id partitioning (entry type via min_by over the exact
+    (ts, event_id) session order — no second sort), and the final
+    entry-type census is a map-side-combinable groupBy on a small key.
+    The bounce share is an exact integer millionths division.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum("new_session").over(run).cast("bigint").alias("session_no"),
+    )
+    sess = numbered.groupBy("user_id", "session_no").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("entry_type"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return sess.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("int")).cast("bigint").alias(
+            "n_bounces"
+        ),
+        F.expr(
+            "(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000)"
+            " div count(*)"
+        )
+        .cast("bigint")
+        .alias("bounce_e6"),
+    )
+
+
+@register(
+    "orders_skyline_2d",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+      FROM orders),
+    g AS (SELECT price_c, MIN(day) AS min_day FROM p GROUP BY price_c),
+    s AS (
+      SELECT price_c, min_day,
+             MIN(min_day) OVER (ORDER BY price_c DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_min
+      FROM g)
+    SELECT a.o_orderkey, a.price_c, a.day
+    FROM p a JOIN s ON a.price_c = s.price_c
+    WHERE a.day = s.min_day
+      AND (s.prev_min IS NULL OR s.min_day < s.prev_min)
+    """,
+)
+def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline (Pareto-optimal front): orders not dominated on
+    (maximize price, minimize order date) — no other order is both at
+    least as expensive and at least as early with one strict — the
+    multi-criteria shortlist operator (skyline queries, Borzsony et
+    al.'s classic) that no single ORDER BY can express.
+
+    Scale shape: in 2D the skyline is exactly the strictly-decreasing
+    frontier of min(day) over descending price, so the quadratic
+    NOT-EXISTS dominance definition collapses to a GLOBAL PREFIX MIN —
+    computed with the same two-phase trick as ``_global_cumsum``
+    (range-repartition by price desc, per-partition running min, then
+    a broadcast partition-count-sized table of preceding-partition
+    mins), so no data-sized single-partition window exists anywhere.
+    The candidate set is first reduced to one row per distinct price
+    (map-side combinable groupBy), and survivors re-attach their order
+    keys with one equi-join on price. Ties: equal (price, day) points
+    all survive; a later-day point at an equal price is dominated.
+    """
+    p = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        # o_orderdate infers as TIMESTAMP_NTZ; cast to the session-zoned
+        # type (UTC session) before the epoch arithmetic, mirroring the
+        # events-path normalization in catalog.load.
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .cast("bigint")
+        .alias("day"),
+    )
+    g = p.groupBy("price_c").agg(F.min("day").alias("min_day"))
+    # two-phase strict prefix-min over descending price: local running
+    # min within each range partition + broadcast min of all preceding
+    # partitions (prices are unique per row here, so partition
+    # boundaries cannot split a price tie).
+    ranged = g.repartitionByRange(F.col("price_c").desc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col("price_c").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_lmin", F.min("min_day").over(lw))
+    sizes = local.groupBy("_pid").agg(F.min("min_day").alias("_pmin"))
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select("_pid", F.min("_pmin").over(ow).alias("_omin"))
+    s = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "prev_min",
+            F.when(F.col("_lmin").isNull(), F.col("_omin"))
+            .when(F.col("_omin").isNull(), F.col("_lmin"))
+            .otherwise(F.least("_lmin", "_omin")),
+        )
+        .select("price_c", "min_day", "prev_min")
+    )
+    return (
+        p.join(s, "price_c")
+        .filter(
+            (F.col("day") == F.col("min_day"))
+            & (F.col("prev_min").isNull() | (F.col("min_day") < F.col("prev_min")))
+        )
+        .select("o_orderkey", "price_c", "day")
+    )

@@ -908,3 +908,154 @@ def events_active_users_trailing7d(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("report_day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("active_users_7d"))
     )
+
+
+@register(
+    "text_collocation_lift",
+    oracle="""
+    WITH toks AS (SELECT str_split(text, ' ') AS tk FROM documents),
+    big AS (
+      SELECT unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> tk[i])) AS w1,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> tk[i+1])) AS w2
+      FROM toks WHERE len(tk) >= 2),
+    uni AS (SELECT unnest(tk) AS token FROM toks),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+           FROM big GROUP BY w1, w2),
+    uc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n1
+           FROM uni GROUP BY token),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM big),
+    u AS (SELECT CAST(COUNT(*) AS BIGINT) AS u FROM uni)
+    SELECT bc.w1, bc.w2, bc.n_xy,
+           ux.n1 AS n_x, uy.n1 AS n_y,
+           round(((CAST(bc.n_xy AS DOUBLE) / nb.nb)
+                  * (CAST(u.u AS DOUBLE) / ux.n1))
+                 * (CAST(u.u AS DOUBLE) / uy.n1), 6) AS lift
+    FROM bc
+    JOIN uc ux ON bc.w1 = ux.token
+    JOIN uc uy ON bc.w2 = uy.token
+    CROSS JOIN nb CROSS JOIN u
+    WHERE bc.n_xy >= 5
+    ORDER BY lift DESC, bc.w1, bc.w2
+    LIMIT 30
+    """,
+)
+def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise lift: for adjacent token pairs,
+    lift = P(w1 w2) / (P(w1) P(w2)) — the PMI-without-the-log ranking
+    of word pairs that co-occur far more than their unigram frequencies
+    predict (the multiword-expression detector a tokenizer-vocabulary
+    or stop-phrase pass runs over a corpus). Support floor n_xy >= 5
+    screens the unstable tail.
+
+    Scale shape: one bigram aggregation + one unigram aggregation
+    (both map-side combinable, shuffled on their token keys), two
+    broadcast-friendly scalar totals, and two joins of the bigram
+    census against the unigram census on its shuffle key. The lift is
+    computed as a fixed left-associated double expression — identical
+    operation sequence in Spark and DuckDB, so the IEEE results (and
+    the ORDER BY on them) agree bitwise; counts stay exact integers.
+    The final top-30 is TakeOrderedAndProject, not a global sort.
+    """
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    toked = d.select(F.split("text", " ").alias("tk")).filter(F.size("tk") >= 2)
+    pairs = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(1))),
+                lambda i: F.struct(
+                    F.try_element_at("tk", i).alias("w1"),
+                    F.try_element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    unigrams = d.select(F.explode(F.split("text", " ")).alias("token"))
+    bc = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_xy")
+    )
+    uc = unigrams.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1")
+    )
+    nb = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    u = unigrams.agg(F.count(F.lit(1)).cast("bigint").alias("u"))
+    ux = uc.select(F.col("token").alias("w1"), F.col("n1").alias("n_x"))
+    uy = uc.select(F.col("token").alias("w2"), F.col("n1").alias("n_y"))
+    lift = F.round(
+        (F.col("n_xy").cast("double") / F.col("nb"))
+        * (F.col("u").cast("double") / F.col("n_x"))
+        * (F.col("u").cast("double") / F.col("n_y")),
+        6,
+    )
+    return (
+        bc.filter(F.col("n_xy") >= 5)
+        .join(ux, "w1")
+        .join(uy, "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(u))
+        .select("w1", "w2", "n_xy", "n_x", "n_y", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(30)
+    )
+
+
+@register(
+    "text_boolean_search",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id,
+             CAST(len(list_filter(str_split(text, ' '), t -> t = 'join'))
+                  AS BIGINT) AS tf_join,
+             CAST(len(list_filter(str_split(text, ' '), t -> t = 'merge'))
+                  AS BIGINT) AS tf_merge
+      FROM documents)
+    SELECT doc_id, tf_join, tf_merge,
+           CAST(tf_join * tf_merge AS BIGINT) AS score
+    FROM tf
+    WHERE tf_join > 0 AND tf_merge > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search ('join' AND 'merge') over an
+    inverted-index shape: build the two posting lists (term -> doc_id,
+    tf), intersect them with a co-partitioned equi-join on doc_id, and
+    rank the surviving documents by the tf product — the boolean
+    retrieval primitive under corpus search and decontamination
+    look-ups.
+
+    Scale shape: posting lists are term-filtered explodes aggregated
+    map-side (each list is |docs containing term|-sized, far smaller
+    than the corpus), the AND is one equi-join on the doc_id shuffle
+    key — never a full-corpus scan per query term at probe time once
+    the index is materialized — and the top-20 is
+    TakeOrderedAndProject. The oracle states the same semantics as
+    per-document higher-order-function counts (the scan form), so the
+    index-intersection path is verified against the direct definition.
+    """
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    occ = d.select("doc_id", F.explode(tokens_col()).alias("token"))
+    postings = (
+        occ.filter(F.col("token").isin("join", "merge"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    pj = postings.filter(F.col("token") == "join").select(
+        "doc_id", F.col("tf").alias("tf_join")
+    )
+    pm = postings.filter(F.col("token") == "merge").select(
+        "doc_id", F.col("tf").alias("tf_merge")
+    )
+    return (
+        pj.join(pm, "doc_id")
+        .select(
+            "doc_id",
+            "tf_join",
+            "tf_merge",
+            (F.col("tf_join") * F.col("tf_merge")).cast("bigint").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
