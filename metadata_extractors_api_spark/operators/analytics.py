@@ -1513,6 +1513,40 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _strict_prefix_min_desc(
+    df: DataFrame, key_col: str, val_col: str
+) -> DataFrame:
+    """Strict prefix-min of ``val_col`` over DESCENDING ``key_col``
+    order, without a single-partition window: range-repartition on the
+    key desc, running min per partition (strictly-preceding frame),
+    then a broadcast partition-count-sized table of preceding-partition
+    mins — the same two-phase shape as ``_global_cumsum``. Requires
+    key values unique per row (pre-aggregate first). Adds
+    ``prev_min`` (NULL for the global maximum key)."""
+    ranged = df.repartitionByRange(F.col(key_col).desc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(key_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_lmin", F.min(val_col).over(lw))
+    sizes = ranged.groupBy("_pid").agg(F.min(val_col).alias("_pmin"))
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select("_pid", F.min("_pmin").over(ow).alias("_omin"))
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "prev_min",
+            F.when(F.col("_lmin").isNull(), F.col("_omin"))
+            .when(F.col("_omin").isNull(), F.col("_lmin"))
+            .otherwise(F.least("_lmin", "_omin")),
+        )
+        .drop("_pid", "_lmin", "_omin")
+    )
+
+
 @register(
     "orders_skyline_2d",
     oracle="""
@@ -1564,31 +1598,8 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("day"),
     )
     g = p.groupBy("price_c").agg(F.min("day").alias("min_day"))
-    # two-phase strict prefix-min over descending price: local running
-    # min within each range partition + broadcast min of all preceding
-    # partitions (prices are unique per row here, so partition
-    # boundaries cannot split a price tie).
-    ranged = g.repartitionByRange(F.col("price_c").desc()).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    lw = (
-        Window.partitionBy("_pid")
-        .orderBy(F.col("price_c").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn("_lmin", F.min("min_day").over(lw))
-    sizes = local.groupBy("_pid").agg(F.min("min_day").alias("_pmin"))
-    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select("_pid", F.min("_pmin").over(ow).alias("_omin"))
-    s = (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            "prev_min",
-            F.when(F.col("_lmin").isNull(), F.col("_omin"))
-            .when(F.col("_omin").isNull(), F.col("_lmin"))
-            .otherwise(F.least("_lmin", "_omin")),
-        )
-        .select("price_c", "min_day", "prev_min")
+    s = _strict_prefix_min_desc(g, "price_c", "min_day").select(
+        "price_c", "min_day", "prev_min"
     )
     return (
         p.join(s, "price_c")

@@ -122,13 +122,23 @@ def _global_rank(df: DataFrame, value_col: str, key_col: str) -> DataFrame:
     data-sized. This is the scalable form of ROW_NUMBER() OVER (ORDER
     BY ...): at 100 TB the per-partition windows stay parallel and the
     offset table stays tiny. Adds columns ``i`` (1-based rank) and
-    ``n`` (total count)."""
+    ``n`` (total count).
+
+    Known, measured trade: the offsets branch and the data branch
+    both recompute the scan + range exchange (their column pruning
+    diverges, so ReuseExchange never unifies them). A lazy
+    localCheckpoint of the ranged frame removes the duplication but
+    benched DEAD EVEN at sf0.1 (within-session A/B, medians 1.16-1.34s
+    both ways on the cumsum twin) — materialization I/O cancels the
+    saved recompute at this width — so the lineage-preserving form
+    stays. On a cluster where the duplicated branch re-reads remote
+    storage, re-measure; the checkpoint is a one-line change."""
     ranged = df.repartitionByRange(F.col(value_col), F.col(key_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
     local_w = Window.partitionBy("_pid").orderBy(value_col, key_col)
     local = ranged.withColumn("_lrank", F.row_number().over(local_w))
-    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = sizes.select(
         "_pid",
@@ -1142,7 +1152,11 @@ def _global_cumsum(
     running sum across Arrow batches — produced bit-identical output
     but was ~20% SLOWER at sf0.1 (Arrow transit > the extra local
     exchange at this width), so the JVM-side form stays; on a cluster
-    where the second exchange crosses the network, re-measure."""
+    where the second exchange crosses the network, re-measure.
+
+    Same measured duplicated-branch trade as ``_global_rank`` (see its
+    docstring): a lazy localCheckpoint of the ranged frame benched
+    dead even at sf0.1, so recompute-with-lineage stays."""
     ranged = df.repartitionByRange(F.col(value_col), F.col(key_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -1152,7 +1166,7 @@ def _global_cumsum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("_lcw", F.sum(weight_col).over(local_w))
-    sizes = local.groupBy("_pid").agg(F.sum(weight_col).alias("_w"))
+    sizes = ranged.groupBy("_pid").agg(F.sum(weight_col).alias("_w"))
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = sizes.select(
         "_pid",

@@ -302,3 +302,43 @@ def test_shuffle_hash_hint_is_honored(spark, sf_dir):
     plan = _plan(mdx.QUERIES["join_hint_shuffle_hash"](spark, sf_dir))
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_geo_grid_broadcasts_neighborhood(spark, sf_dir):
+    # The 3x3-cell supplier expansion is dimension-sized: it must
+    # arrive at the join as a broadcast, and the customer scan must
+    # read ONLY the key column (coords are derived expressions).
+    plan = _plan(mdx.QUERIES["join_geo_grid"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" in plan  # the neighborhood expansion
+    cust_schema = [
+        line for line in plan.splitlines()
+        if "ReadSchema" in line and "c_custkey" in line
+    ]
+    assert cust_schema and "c_name" not in cust_schema[0]
+
+
+def test_skyline_prefix_min_is_two_phase(spark, sf_dir):
+    # The dominance frontier must come from the range-partitioned
+    # two-phase prefix min: a range exchange on price desc plus
+    # per-partition windows -- never one data-sized unpartitioned sort.
+    plan = _plan(mdx.QUERIES["orders_skyline_2d"](spark, sf_dir))
+    assert "rangepartitioning(price_c" in plan
+    assert "windowspecdefinition(_pid" in plan
+
+
+def test_ewma_window_frame_is_bounded(spark, sf_dir):
+    # The unrolled EWMA must run in a BOUNDED 16-row frame (truncated
+    # closed form), not an unbounded running frame: per-key state at
+    # scale is 16 integers.
+    plan = _plan(mdx.QUERIES["timeseries_ewma"](spark, sf_dir))
+    assert "specifiedwindowframe(RowFrame, -15" in plan
+
+
+def test_bounce_rate_reuses_user_partitioning(spark, sf_dir):
+    # Sessionize windows + the per-session rollup must share ONE
+    # user_id exchange (hashpartitioning(user_id) satisfies the
+    # (user_id, session_no) grouping); only the tiny entry-type census
+    # adds a second exchange.
+    plan = _plan(mdx.QUERIES["events_bounce_rate"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1

@@ -132,3 +132,80 @@ def test_pack_chunk_offsets_conserve_tokens_5m(spark):
     assert agg["starts"] == n
     assert agg["n_chunks"] == expect_chunks
     assert (agg["lo"], agg["hi"]) == (0, expect_chunks - 1)
+
+
+def test_skyline_prefix_min_matches_single_window_2m(spark):
+    # The distributed strict prefix-min (range repartition + local
+    # windows + broadcast offsets) must agree exactly with the
+    # single-partition window definition at 2M distinct keys.
+    from pyspark.sql import Window
+    from metadata_extractors_api_spark.operators.analytics import (
+        _strict_prefix_min_desc,
+    )
+
+    g = spark.range(0, 2_000_000, 1, 32).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 1_000_003).alias("v"),
+    )
+    two_phase = _strict_prefix_min_desc(g, "k", "v")
+    truth = g.withColumn(
+        "prev_min_t",
+        F.min("v").over(
+            Window.orderBy(F.col("k").desc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+    )
+    diff = (
+        two_phase.join(truth, "k")
+        .filter(
+            ~(
+                F.col("prev_min").eqNullSafe(F.col("prev_min_t"))
+            )
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_geo_grid_pairs_match_brute_force_100k(spark):
+    # Grid-bucketed spatial join vs the quadratic ground truth at
+    # 100k x 300 points: the 3x3 neighborhood must find EXACTLY the
+    # within-radius pairs (coverage + no duplicates), 200x the
+    # fixture's candidate volume.
+    from metadata_extractors_api_spark.operators.spatial import CELL, RADIUS
+
+    pts = spark.range(0, 100_000, 1, 32).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 2654435761) % 10_000).alias("px"),
+        ((F.col("id") * 40503) % 10_000).alias("py"),
+    )
+    fac = spark.range(0, 300).select(
+        F.col("id").alias("fid"),
+        ((F.col("id") * 48271) % 10_000).alias("fx"),
+        ((F.col("id") * 16807) % 10_000).alias("fy"),
+    )
+    d2 = (F.col("px") - F.col("fx")) * (F.col("px") - F.col("fx")) + (
+        F.col("py") - F.col("fy")
+    ) * (F.col("py") - F.col("fy"))
+    brute = pts.crossJoin(fac).filter(d2 <= RADIUS * RADIUS).count()
+    cell = lambda c: F.floor(c / F.lit(CELL)).cast("bigint")
+    p9 = pts.withColumn("cx", cell(F.col("px"))).withColumn(
+        "cy", cell(F.col("py"))
+    )
+    f9 = (
+        fac.select(
+            "fid", "fx", "fy",
+            F.explode(
+                F.sequence(cell(F.col("fx")) - 1, cell(F.col("fx")) + 1)
+            ).alias("cx"),
+        )
+        .select(
+            "fid", "fx", "fy", "cx",
+            F.explode(
+                F.sequence(cell(F.col("fy")) - 1, cell(F.col("fy")) + 1)
+            ).alias("cy"),
+        )
+    )
+    grid = p9.join(f9, ["cx", "cy"]).filter(d2 <= RADIUS * RADIUS).count()
+    assert grid == brute
