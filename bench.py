@@ -90,6 +90,7 @@ HEADLINE = [
     "sample_pps_systematic",
     "text_collocation_lift",
     "orders_skyline_2d",
+    "orders_prorate_monthly",
 ]
 
 RUNS = 5

@@ -1609,3 +1609,141 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "price_c", "day")
     )
+
+
+@register(
+    "orders_prorate_monthly",
+    oracle="""
+    WITH sp0 AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_orderdate AS DATE) AS od,
+             CAST(MAX(l.l_shipdate) AS DATE) AS sd,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice),
+    sp AS (
+      SELECT o_orderkey, cents,
+             LEAST(od, sd) AS s, GREATEST(od, sd) AS e
+      FROM sp0),
+    m AS (
+      SELECT o_orderkey, s, e, cents,
+             date_diff('day', s, e) + 1 AS total_days,
+             unnest(generate_series(date_trunc('month', s),
+                                    date_trunc('month', e),
+                                    INTERVAL 1 MONTH)) AS mstart
+      FROM sp),
+    a AS (
+      SELECT strftime(CAST(mstart AS DATE), '%Y-%m') AS month,
+             cents * LEAST(date_diff('day', s,
+                                     last_day(CAST(mstart AS DATE))) + 1,
+                           total_days) // total_days
+             - cents * GREATEST(date_diff('day', s, CAST(mstart AS DATE)), 0)
+               // total_days AS alloc
+      FROM m)
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(alloc) AS BIGINT) AS alloc_cents
+    FROM a GROUP BY month
+    """,
+)
+def orders_prorate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar proration: spread each order's value across the
+    calendar months its activity span covers (order date through last
+    shipment, normalized to [least, greatest] — the synthetic fixture
+    ships before ordering sometimes), by days of overlap — the
+    revenue-recognition / capacity-planning allocation every finance
+    and ops rollup needs. Allocation uses the TELESCOPING integer
+    scheme alloc_m = (cents*days_thru_m) div total - (cents*
+    days_before_m) div total, so per-order allocations sum EXACTLY to
+    the order's cents (the remainders cancel by construction — no
+    float proration drift, no largest-remainder second pass).
+
+    Scale shape: one lineitem aggregation (map-side combinable on
+    l_orderkey), a co-keyed join, then a linear month explode (span/30
+    rows per order) into a map-side-combinable month census. No
+    windows, no skew (months are near-uniform), everything exact
+    integer on non-negative operands.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("sd"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("od"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    sp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            "o_orderkey",
+            "cents",
+            F.least("od", "sd").alias("s"),
+            F.greatest("od", "sd").alias("e"),
+        )
+        .withColumn("total_days", F.datediff("e", "s") + 1)
+    )
+    m = sp.select(
+        "o_orderkey",
+        "s",
+        "e",
+        "cents",
+        "total_days",
+        F.explode(
+            F.sequence(
+                F.trunc("s", "MM"), F.trunc("e", "MM"), F.expr("interval 1 month")
+            )
+        ).alias("mstart"),
+    )
+    thru = F.least(
+        F.datediff(F.last_day("mstart"), F.col("s")) + 1, F.col("total_days")
+    )
+    before = F.greatest(F.datediff("mstart", "s"), F.lit(0))
+    alloc = F.expr(
+        "(cents * _thru) div total_days - (cents * _before) div total_days"
+    )
+    a = m.withColumn("_thru", thru).withColumn("_before", before).select(
+        F.date_format("mstart", "yyyy-MM").alias("month"),
+        alloc.alias("alloc"),
+    )
+    return a.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("alloc").cast("bigint").alias("alloc_cents"),
+    )
+
+
+@register(
+    "events_seasonal_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_micro,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) // COUNT(*)
+               AS BIGINT) AS mean_micro
+    FROM events
+    GROUP BY event_type, hod
+    """,
+)
+def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per event type: the 24-bucket
+    diurnal fingerprint (count + exact integer-micro mean of the value
+    channel) that seasonal-adjustment and anomaly thresholds divide
+    by. One map-side-combinable groupBy on a bounded (|types| x 24)
+    key space — the output is constant-sized no matter the input, so
+    the profile is a broadcastable artifact for downstream residual
+    scoring. Values are summed in exact round-to-micro integers; the
+    mean is one integer division (floor, non-negative counts).
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("micro"),
+    )
+    return ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("micro").cast("bigint").alias("sum_micro"),
+        F.expr("sum(micro) div count(*)").cast("bigint").alias("mean_micro"),
+    )

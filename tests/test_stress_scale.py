@@ -209,3 +209,40 @@ def test_geo_grid_pairs_match_brute_force_100k(spark):
     )
     grid = p9.join(f9, ["cx", "cy"]).filter(d2 <= RADIUS * RADIUS).count()
     assert grid == brute
+
+
+def test_prorate_telescoping_conserves_cents_1m(spark):
+    # The telescoping allocation alloc_m = (c*thru) div T - (c*before)
+    # div T must sum EXACTLY to each span's cents -- checked for 1M
+    # generated spans up to 900 days long (666x the fixture's orders).
+    spans = spark.range(0, 1_000_000, 1, 32).select(
+        F.col("id").alias("k"),
+        F.expr("date_add(DATE'1995-01-01', CAST(id % 2000 AS INT))").alias("s"),
+        ((F.col("id") * 101) % 10_000_000).alias("cents"),
+    ).withColumn(
+        "e", F.expr("date_add(s, CAST((k * 7919) % 900 AS INT))")
+    ).withColumn("total_days", F.datediff("e", "s") + 1)
+    m = spans.select(
+        "k", "s", "cents", "total_days",
+        F.explode(
+            F.sequence(
+                F.trunc("s", "MM"), F.trunc("e", "MM"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("mstart"),
+    )
+    thru = F.least(
+        F.datediff(F.last_day("mstart"), F.col("s")) + 1, F.col("total_days")
+    )
+    before = F.greatest(F.datediff("mstart", "s"), F.lit(0))
+    a = m.withColumn("_thru", thru).withColumn("_before", before).withColumn(
+        "alloc",
+        F.expr("(cents * _thru) div total_days - (cents * _before) div total_days"),
+    )
+    bad = (
+        a.groupBy("k", "cents")
+        .agg(F.sum("alloc").alias("got"))
+        .filter(F.col("got") != F.col("cents"))
+        .count()
+    )
+    assert bad == 0
