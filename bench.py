@@ -91,6 +91,8 @@ HEADLINE = [
     "text_collocation_lift",
     "orders_skyline_2d",
     "orders_prorate_monthly",
+    "join_spatial_knn",
+    "agg_percentile_cont",
 ]
 
 RUNS = 5

@@ -2127,3 +2127,155 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_groups"),
         F.sum("k").cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "dq_freshness_audit",
+    oracle="""
+    WITH t AS (
+      SELECT 'events' AS relation, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS max_day
+      FROM events
+      UNION ALL
+      SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+             CAST(MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                      // 86400000000) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+             CAST(MAX(epoch_us(CAST(l_shipdate AS TIMESTAMP))
+                      // 86400000000) AS BIGINT)
+      FROM lineitem),
+    w AS (SELECT MAX(max_day) AS wm FROM t)
+    SELECT relation, n_rows, max_day,
+           CAST(w.wm - max_day AS BIGINT) AS lag_days
+    FROM t, w
+    """,
+)
+def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness audit: per relation, its newest event day and the lag
+    behind the fleet-wide high-water mark — the staleness dashboard a
+    multi-source ingest pipeline gates promotions on (a feed whose
+    lag_days grows is silently stuck).
+
+    Scale shape: one agg-only pass per relation (count + max collapse
+    map-side to one row per relation before any movement), a 3-row
+    union, and a broadcast 1-row watermark join — audit cost is scan
+    bound and output is O(relations) regardless of table sizes. Day
+    arithmetic is integer epoch-days, identical in both engines (UTC
+    session).
+    """
+    def one(rel: str, df: DataFrame, ts_expr: str) -> DataFrame:
+        return df.agg(
+            F.lit(rel).alias("relation"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.max(F.expr(ts_expr)).cast("bigint").alias("max_day"),
+        )
+
+    t = (
+        one("events", load(spark, sf_dir, "events"),
+            "unix_micros(ts) div 86400000000")
+        .unionByName(
+            one("orders", load(spark, sf_dir, "orders"),
+                "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        )
+        .unionByName(
+            one("lineitem", load(spark, sf_dir, "lineitem"),
+                "unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000")
+        )
+    )
+    w = t.agg(F.max("max_day").alias("wm"))
+    return t.crossJoin(F.broadcast(w)).select(
+        "relation",
+        "n_rows",
+        "max_day",
+        (F.col("wm") - F.col("max_day")).cast("bigint").alias("lag_days"),
+    )
+
+
+#: continuous-percentile probe points (percent).
+PCTL_CONT_PS = [50, 90, 99]
+
+
+@register(
+    "agg_percentile_cont",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM v),
+    ps AS (SELECT unnest([{", ".join(str(p) for p in PCTL_CONT_PS)}]) AS p),
+    tgt AS (
+      SELECT ps.p,
+             (SELECT MAX(n) FROM r) AS n,
+             ((SELECT MAX(n) FROM r) - 1) * ps.p // 100 + 1 AS lo_rank,
+             ((SELECT MAX(n) FROM r) - 1) * ps.p % 100 AS rem
+      FROM ps),
+    j AS (
+      SELECT t.p, t.rem,
+             MAX(CASE WHEN r.i = t.lo_rank THEN r.cents END) AS lo,
+             MAX(CASE WHEN r.i = t.lo_rank + 1 THEN r.cents END) AS hi
+      FROM tgt t JOIN r ON r.i IN (t.lo_rank, t.lo_rank + 1)
+      GROUP BY t.p, t.rem)
+    SELECT CAST(p AS BIGINT) AS p,
+           CAST(lo * 100 + (COALESCE(hi, lo) - lo) * rem // 100 AS BIGINT)
+               AS pct_value_e4
+    FROM j
+    """,
+)
+def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT continuous (interpolated) percentiles — percentile_cont
+    semantics: position (n-1)*p/100 on the sorted axis, linear
+    interpolation between the two bracketing values — computed with
+    rational integer arithmetic only (rank via integer div/mod, the
+    interpolation as lo*100 + (hi-lo)*rem//100 in tenth-of-cent
+    units), so the result is bit-identical across engines, unlike
+    float percentile interpolation. Complements `agg_percentile`
+    (discrete) and `agg_approx_percentile` (sketch + contract).
+
+    Scale shape: the sorted axis comes from the range-partitioned
+    two-phase ``_global_rank`` (no single-partition window — the
+    oracle's plain ROW_NUMBER states the semantics only); the three
+    bracket ranks arrive as a broadcast handful of rows, and the
+    bracket probe is a broadcast join filtered to <= 2 rows per
+    percentile before a tiny final aggregate.
+    """
+    v = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    r = _global_rank(v, "cents", "o_orderkey")
+    tot = r.agg(F.max("n").alias("n"))
+    ps = spark.range(0, len(PCTL_CONT_PS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in PCTL_CONT_PS]), F.col("id").cast("int") + 1
+        )
+        .cast("bigint")
+        .alias("p")
+    )
+    tgt = ps.crossJoin(F.broadcast(tot)).select(
+        "p",
+        F.expr("(n - 1) * p div 100 + 1").alias("lo_rank"),
+        F.expr("(n - 1) * p % 100").alias("rem"),
+    )
+    j = r.join(
+        F.broadcast(tgt),
+        (F.col("i") == F.col("lo_rank")) | (F.col("i") == F.col("lo_rank") + 1),
+    )
+    agg = j.groupBy("p", "rem").agg(
+        F.max(F.when(F.col("i") == F.col("lo_rank"), F.col("cents"))).alias("lo"),
+        F.max(
+            F.when(F.col("i") == F.col("lo_rank") + 1, F.col("cents"))
+        ).alias("hi"),
+    )
+    return agg.select(
+        F.col("p").cast("bigint").alias("p"),
+        F.expr(
+            "CAST(lo * 100 + (coalesce(hi, lo) - lo) * rem div 100 AS BIGINT)"
+        ).alias("pct_value_e4"),
+    )

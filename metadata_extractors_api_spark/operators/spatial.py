@@ -214,3 +214,88 @@ def geo_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.crossJoin(F.broadcast(tot)).filter(
         F.col("n_points") * F.col("n_cells") >= 2 * F.col("n_total")
     ).select("cell_x", "cell_y", "n_points")
+
+
+#: neighbors returned per point by the broadcast k-NN.
+KNN_K = 3
+
+
+@register(
+    "join_spatial_knn",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey,
+             {_sql_coord("cx", "c_custkey")} AS cx,
+             {_sql_coord("cy", "c_custkey")} AS cy
+      FROM customer),
+    s AS (
+      SELECT s_suppkey,
+             {_sql_coord("sx", "s_suppkey")} AS sx,
+             {_sql_coord("sy", "s_suppkey")} AS sy
+      FROM supplier),
+    p AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             (c.cx - s.sx) * (c.cx - s.sx)
+               + (c.cy - s.sy) * (c.cy - s.sy) AS d2,
+             row_number() OVER (PARTITION BY c.c_custkey
+                                ORDER BY (c.cx - s.sx) * (c.cx - s.sx)
+                                         + (c.cy - s.sy) * (c.cy - s.sy),
+                                         s.s_suppkey) AS knn_rank
+      FROM c CROSS JOIN s)
+    SELECT c_custkey, CAST(knn_rank AS BIGINT) AS knn_rank,
+           CAST(s_suppkey AS BIGINT) AS s_suppkey,
+           CAST(d2 AS BIGINT) AS d2
+    FROM p WHERE knn_rank <= {KNN_K}
+    """,
+)
+def join_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor spatial join for a DIMENSION-SIZED reference
+    set: the 3 closest suppliers per customer, exact.
+
+    Plan shape — the broadcast-KNN pattern: the supplier set collapses
+    to ONE broadcast row holding an array of (x, y, id) structs; each
+    customer row then computes, entirely inside whole-stage codegen,
+    transform (distance) -> array_sort (by (d2, id) struct order) ->
+    slice (top-k) -> explode. ZERO shuffles, zero windows — the only
+    exchange in the whole plan is the single-row supplier rollup. The
+    classic window formulation (the oracle states it) would shuffle
+    |cust| x |supp| rows on c_custkey; this form moves none. Bound:
+    the reference set must fit a broadcast array (dimension-sized);
+    corpus-sized reference sets are what the IVF/LSH ANN family is
+    for (sim_ann_*, the same index-once/probe-cheap inversion).
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _coord("cx", F.col("c_custkey")).alias("cx"),
+        _coord("cy", F.col("c_custkey")).alias("cy"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.struct(
+            _coord("sx", F.col("s_suppkey")).alias("sx"),
+            _coord("sy", F.col("s_suppkey")).alias("sy"),
+            F.col("s_suppkey").alias("sid"),
+        ).alias("sp")
+    )
+    ref = supp.agg(F.collect_list("sp").alias("refs"))
+    scored = cust.crossJoin(F.broadcast(ref)).select(
+        "c_custkey",
+        F.slice(
+            F.array_sort(
+                F.expr(
+                    "transform(refs, r -> struct("
+                    "(cx - r.sx) * (cx - r.sx) + (cy - r.sy) * (cy - r.sy)"
+                    " AS d2, r.sid AS sid))"
+                )
+            ),
+            1,
+            KNN_K,
+        ).alias("top"),
+    )
+    return scored.select(
+        "c_custkey", F.posexplode("top").alias("pos", "nb")
+    ).select(
+        "c_custkey",
+        (F.col("pos") + 1).cast("bigint").alias("knn_rank"),
+        F.col("nb.sid").cast("bigint").alias("s_suppkey"),
+        F.col("nb.d2").cast("bigint").alias("d2"),
+    )

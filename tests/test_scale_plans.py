@@ -342,3 +342,13 @@ def test_bounce_rate_reuses_user_partitioning(spark, sf_dir):
     # adds a second exchange.
     plan = _plan(mdx.QUERIES["events_bounce_rate"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_spatial_knn_is_shuffle_free(spark, sf_dir):
+    # Broadcast-KNN: the reference set collapses to one broadcast row;
+    # per-point scoring is HOF codegen. The ONLY exchange allowed is
+    # the single-row reference rollup -- no window, no data shuffle.
+    plan = _plan(mdx.QUERIES["join_spatial_knn"](spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("Exchange") <= 2  # SinglePartition rollup + its broadcast
+    assert "BroadcastExchange" in plan
