@@ -254,17 +254,22 @@ def join_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape — the broadcast-KNN pattern: the supplier set collapses
     to ONE broadcast row holding an array of (x, y, id) structs; each
-    customer row then computes, entirely inside whole-stage codegen,
-    transform (distance) -> array_sort (by (d2, id) struct order) ->
-    slice (top-k) -> explode. ZERO shuffles, zero windows — the only
-    exchange in the whole plan is the single-row supplier rollup. The
-    classic window formulation (the oracle states it) would shuffle
-    |cust| x |supp| rows on c_custkey; this form moves none. Bound:
-    the reference set must fit a broadcast array (dimension-sized);
-    corpus-sized reference sets are what the IVF/LSH ANN family is
-    for (sim_ann_*, the same index-once/probe-cheap inversion).
+    customer row then computes transform (distance) -> array_sort (by
+    (d2, id) struct order) -> slice (top-k) -> explode. No data
+    shuffle, no windows — the only exchanges are the single-row
+    supplier rollup and the documented round-robin repartition
+    (``parallelize=True``) that restores scan parallelism on the
+    single-row-group local fixtures; the classic window formulation
+    (the oracle states it) would instead shuffle |cust| x |supp| rows
+    on c_custkey. Cost model: higher-order functions evaluate
+    INTERPRETED (not codegen), so per-row cost is O(|ref| log |ref|)
+    interpreted ops — measured ~2.6 ms/row at |ref|=1000, which is
+    why the repartition matters and why this pattern is bounded to
+    dimension-sized reference sets; corpus-sized references are what
+    the IVF/LSH ANN family is for (sim_ann_*, the same
+    index-once/probe-cheap inversion).
     """
-    cust = load(spark, sf_dir, "customer").select(
+    cust = load(spark, sf_dir, "customer", parallelize=True).select(
         "c_custkey",
         _coord("cx", F.col("c_custkey")).alias("cx"),
         _coord("cy", F.col("c_custkey")).alias("cy"),

@@ -350,5 +350,7 @@ def test_spatial_knn_is_shuffle_free(spark, sf_dir):
     # the single-row reference rollup -- no window, no data shuffle.
     plan = _plan(mdx.QUERIES["join_spatial_knn"](spark, sf_dir))
     assert "Window" not in plan
-    assert plan.count("Exchange") <= 2  # SinglePartition rollup + its broadcast
+    # no key-hash data shuffle; only the one-row rollup, its broadcast,
+    # and the documented round-robin scan-parallelism repartition
+    assert "Exchange hashpartitioning" not in plan
     assert "BroadcastExchange" in plan
