@@ -543,3 +543,104 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "rk")
     )
+
+
+@register(
+    "stream_ewma",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS bh,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, bh),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bh) AS rn
+      FROM h),
+    mx AS (SELECT event_type, MAX(rn) AS mrn FROM r GROUP BY event_type),
+    j AS (
+      SELECT a.event_type, a.bh, m.mrn,
+             CAST(SUM(b.cnt * CAST(pow(2, 15 - (a.rn - b.rn)) AS BIGINT))
+                  AS BIGINT) AS ewma_num,
+             CAST(SUM(CAST(pow(2, 15 - (a.rn - b.rn)) AS BIGINT))
+                  AS BIGINT) AS w_sum
+      FROM r a
+      JOIN mx m ON m.event_type = a.event_type AND a.rn = m.mrn
+      JOIN r b ON b.event_type = a.event_type
+              AND b.rn BETWEEN a.rn - 15 AND a.rn
+      GROUP BY a.event_type, a.bh, m.mrn)
+    SELECT event_type, CAST(bh AS BIGINT) AS bh,
+           CAST(mrn AS BIGINT) AS n_obs, ewma_num, w_sum
+    FROM j
+    """,
+)
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``timeseries_ewma``: a per-event-type EWMA of
+    hourly volume maintained as explicit state across micro-batches
+    (applyInPandasWithState). State is the last 16 observed (hour,
+    count) pairs per key — exactly the truncated closed form's
+    support — so memory per key is bounded forever; each batch merges
+    its hourly counts into the kept window and re-emits the current
+    (ewma_num, w_sum) fold. Because the fold only ever depends on
+    those 16 pairs, the FINAL emission after the availableNow drain
+    must equal the batch operator's last row per key — the sql oracle
+    states that equality (batch EWMA restricted to each type's newest
+    hour). Update-mode emissions are selected to the final state via
+    max_by on the monotone observed-hours counter.
+    """
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        counts: dict[int, int] = {}
+        n_prev = 0
+        if state.exists:
+            bhs, cnts, n_prev = state.get()
+            counts = dict(zip(bhs, cnts))
+        for pdf in pdfs:
+            for bh, c in pdf.groupby("bh")["bh"].count().items():
+                counts[int(bh)] = counts.get(int(bh), 0) + int(c)
+        hours = sorted(counts)
+        # n_obs counts DISTINCT hours ever observed: previous total plus
+        # hours newly appeared this batch (event-time replay only ever
+        # appends at or after the kept window, so a dropped hour cannot
+        # reappear and double-count).
+        n_kept_prev = len(state.get()[0]) if state.exists else 0
+        n_obs = n_prev + max(len(hours) - n_kept_prev, 0)
+        kept = hours[-16:]
+        n = len(kept)
+        num = sum(counts[b] << (i + 16 - n) for i, b in enumerate(kept))
+        wsum = (1 << 16) - (1 << (16 - n))
+        state.update(
+            (kept, [counts[b] for b in kept], n_obs)
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "bh": [kept[-1]],
+                "n_obs": [n_obs],
+                "ewma_num": [num],
+                "w_sum": [wsum],
+            }
+        )
+
+    ev = _events_stream(spark, sf_dir).select(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("bh")
+    )
+    out = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, bh bigint, n_obs bigint, "
+            "ewma_num bigint, w_sum bigint"
+        ),
+        stateStructType="bhs array<bigint>, cnts array<bigint>, n_obs bigint",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    updates = _run_to_table(out, spark, "update")
+    # one row per key per micro-batch; n_obs is monotone -> the final
+    # state is the max-n_obs row per key.
+    return updates.groupBy("event_type").agg(
+        F.max_by("bh", "n_obs").cast("bigint").alias("bh"),
+        F.max("n_obs").cast("bigint").alias("n_obs"),
+        F.max_by("ewma_num", "n_obs").cast("bigint").alias("ewma_num"),
+        F.max_by("w_sum", "n_obs").cast("bigint").alias("w_sum"),
+    )
