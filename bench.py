@@ -93,6 +93,7 @@ HEADLINE = [
     "orders_prorate_monthly",
     "join_spatial_knn",
     "agg_percentile_cont",
+    "dedup_sorted_neighborhood",
 ]
 
 RUNS = 5

@@ -30,7 +30,10 @@ from metadata_extractors_api_spark.operators.llm import (
     shingles_col,
     tokens_col,
 )
-from metadata_extractors_api_spark.operators.quality import _global_cumsum
+from metadata_extractors_api_spark.operators.quality import (
+    _global_cumsum,
+    _global_rank,
+)
 from metadata_extractors_api_spark.registry import register
 
 #: context-window length (tokens) for concat-and-chunk packing.
@@ -988,4 +991,98 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("first_tick", ticks_before + 1)
         .filter(F.col("n_hits") > 0)
         .select("doc_id", "n_tok", "n_hits", "first_tick")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood dedup (SNM)
+# ---------------------------------------------------------------------------
+
+#: sliding-window width for the sorted-neighborhood method.
+SNM_W = 5
+
+#: sort-key length (normalized text prefix).
+SNM_KEY_LEN = 16
+
+
+@register(
+    "dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(tk[i:i+2], ' '))) AS shingle_list
+      FROM toks),
+    k AS (SELECT doc_id, substr(lower(text), 1, {SNM_KEY_LEN}) AS skey
+          FROM documents),
+    r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rn
+          FROM k),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+      FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNM_W}),
+    exsh AS (SELECT doc_id, unnest(shingle_list) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM exsh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, c.rank_gap, count(*) AS i
+      FROM cand c
+      JOIN exsh x ON x.doc_id = c.doc_a
+      JOIN exsh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b, c.rank_gap)
+    SELECT i.doc_a, i.doc_b, i.rank_gap,
+           round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+    """,
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez-Stolfo SNM): sort the
+    corpus by a blocking key (normalized 16-char text prefix), pair
+    each document only with its SNM_W successors in sort order, and
+    exact-Jaccard-verify the candidates — the third classical
+    candidate-generation strategy next to hash blocking (LSH families)
+    and all-pairs prefix filtering (dedup_jaccard_prefix). Candidate
+    volume is EXACTLY n*W by construction — no skew, no quarantine
+    policy needed — at the cost of missing near-dups whose sort keys
+    diverge (the documented SNM trade; multi-pass with rotated keys is
+    the standard mitigation).
+
+    Scale shape: the global sort order comes from the two-phase
+    ``_global_rank`` (range repartition + local windows + broadcast
+    offsets — no single-partition window); the rank-distance pairing
+    is a W-row integer explode equi-joined on rank (never a non-equi
+    band join); verification reuses ``exact_jaccard_verify``, which
+    semi-joins the corpus to candidate ids before shingling. The
+    oracle states the identical semantics with a plain ROW_NUMBER.
+    """
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    k = d.select(
+        "doc_id", F.substring(F.lower("text"), 1, SNM_KEY_LEN).alias("skey")
+    )
+    r = _global_rank(k, "skey", "doc_id").select("doc_id", "i")
+    left = r.select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode(
+            F.sequence(F.col("i") + 1, F.col("i") + SNM_W)
+        ).alias("tgt"),
+        F.col("i").alias("ia"),
+    )
+    cand = left.join(
+        r.select(F.col("doc_id").alias("doc_b"), F.col("i").alias("tgt")),
+        "tgt",
+    ).select(
+        "doc_a", "doc_b", (F.col("tgt") - F.col("ia")).cast("bigint").alias(
+            "rank_gap"
+        )
+    )
+    verified = exact_jaccard_verify(d, cand.select("doc_a", "doc_b")).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return verified.join(cand, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "rank_gap", "jaccard"
     )
