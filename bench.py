@@ -94,6 +94,7 @@ HEADLINE = [
     "join_spatial_knn",
     "agg_percentile_cont",
     "dedup_sorted_neighborhood",
+    "multimodal_phash_dedup",
 ]
 
 RUNS = 5

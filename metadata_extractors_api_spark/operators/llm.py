@@ -2826,3 +2826,100 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("thr")
     )
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text,
+             GREATEST(length(text) // 16, 1) AS bs
+      FROM documents),
+    ph AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(range(1, 17),
+               i -> substr(md5(substr(text, ((i-1) * bs)::INT + 1, bs::INT)),
+                           1, 1)), 'string_agg', '') AS phash
+      FROM p),
+    bands AS (
+      SELECT doc_id, phash, b, substr(phash, (b-1)*4 + 1, 4) AS bv
+      FROM ph, (SELECT unnest(range(1, 5)) AS b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.phash AS pa, b.phash AS pb
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    v AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(range(1, 17),
+                  i -> substr(pa, i::INT, 1) <> substr(pb, i::INT, 1)))
+                  AS BIGINT) AS nibble_diff
+      FROM cand)
+    SELECT doc_a, doc_b, nibble_diff
+    FROM v WHERE nibble_diff <= 4
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup detection for binary media payloads —
+    the image-side analogue of text minhash: a 64-bit block hash (16
+    payload blocks -> one md5 nibble each; the deterministic stand-in
+    for a real pHash/dHash over decoded pixels, same contract as the
+    other multimodal_* fakes), banded 4x16-bit for LSH blocking —
+    payloads agreeing on ANY band become candidates, which provably
+    catches every pair within 3 differing nibble-bands — then an
+    exact nibble-Hamming verify (<= 4 of 16) on the bounded candidate
+    set. Byte-exact dedup (multimodal_dedup) catches re-uploads; this
+    catches re-encodes/crops whose payload bytes differ but whose
+    block structure survives.
+
+    Scale shape: hashing is one map pass (block slicing + md5 inside
+    codegen'd string exprs); the band self-join is the same
+    bucket-then-verify topology as dedup_minhash with a 4-band
+    16-bit-value key space (uniform by construction — md5 nibbles —
+    so no quarantine policy is needed at corpus scale; the verify
+    set is band-collision bounded).
+    """
+    p = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id",
+        "text",
+        F.greatest(
+            F.floor(F.length("text") / F.lit(16)).cast("int"), F.lit(1)
+        ).alias("bs"),
+    )
+    ph = p.select(
+        "doc_id",
+        F.expr(
+            "concat_ws('', transform(sequence(1, 16), "
+            "i -> substr(md5(substring(text, (i-1) * bs + 1, bs)), 1, 1)))"
+        ).alias("phash"),
+    )
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("b"),
+    ).withColumn(
+        "bv", F.expr("substr(phash, (b-1)*4 + 1, 4)")
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"), "b", "bv"
+    )
+    bside = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb"), "b", "bv"
+    )
+    cand = (
+        a.join(bside, ["b", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "nibble_diff",
+            F.expr(
+                "CAST(size(filter(sequence(1, 16), "
+                "i -> substr(pa, i, 1) != substr(pb, i, 1))) AS BIGINT)"
+            ),
+        )
+        .filter(F.col("nibble_diff") <= 4)
+        .select("doc_a", "doc_b", "nibble_diff")
+    )

@@ -2279,3 +2279,121 @@ def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(lo * 100 + (coalesce(hi, lo) - lo) * rem div 100 AS BIGINT)"
         ).alias("pct_value_e4"),
     )
+
+
+@register(
+    "events_diff_in_diff",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) // 3600000000 AS bh
+      FROM events),
+    th AS (SELECT (MIN(bh) + MAX(bh)) // 2 AS mid FROM ev),
+    tagged AS (
+      SELECT CASE WHEN ('0x' || substr(md5('exp1:' ||
+                        CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             CASE WHEN bh <= th.mid THEN 'pre' ELSE 'post' END AS period,
+             user_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS purch
+      FROM ev, th),
+    u AS (
+      SELECT arm, period, user_id, MAX(purch) AS converted
+      FROM tagged GROUP BY arm, period, user_id),
+    cell AS (
+      SELECT arm, period,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(converted) AS BIGINT) AS n_conv,
+             CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT) AS rate_e6
+      FROM u GROUP BY arm, period)
+    SELECT
+      CAST(MAX(CASE WHEN arm='control' AND period='pre' THEN rate_e6 END)
+           AS BIGINT) AS ctrl_pre_e6,
+      CAST(MAX(CASE WHEN arm='control' AND period='post' THEN rate_e6 END)
+           AS BIGINT) AS ctrl_post_e6,
+      CAST(MAX(CASE WHEN arm='treatment' AND period='pre' THEN rate_e6 END)
+           AS BIGINT) AS treat_pre_e6,
+      CAST(MAX(CASE WHEN arm='treatment' AND period='post' THEN rate_e6 END)
+           AS BIGINT) AS treat_post_e6,
+      CAST((MAX(CASE WHEN arm='treatment' AND period='post' THEN rate_e6 END)
+            - MAX(CASE WHEN arm='treatment' AND period='pre' THEN rate_e6 END))
+           - (MAX(CASE WHEN arm='control' AND period='post' THEN rate_e6 END)
+              - MAX(CASE WHEN arm='control' AND period='pre' THEN rate_e6 END))
+           AS BIGINT) AS did_e6
+    FROM cell
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences treatment-effect readout: conversion
+    lift of the treatment arm corrected by the control arm's own
+    pre/post drift — the causal-inference upgrade of
+    ``events_ab_test_lift`` (which reads post-period lift only and
+    cannot distinguish treatment effect from seasonality). Periods
+    split at the observed time-range midpoint; arms use the same
+    deterministic md5-parity assignment as the A/B query, so the two
+    readouts are directly comparable. All four cell rates are exact
+    integer millionths (one integer division per cell), and the DiD
+    estimate is pure integer subtraction — reproducible bit-for-bit
+    at any parallelism.
+
+    Scale shape: one scalar (min, max) aggregate broadcast back as the
+    period threshold, one map-side-combinable per-(arm, period, user)
+    rollup on the user_id shuffle key, a 4-row cell census, and a
+    1-row pivot — cost is one pass over events regardless of scale.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("bh"),
+    )
+    th = ev.agg(
+        F.expr("(min(bh) + max(bh)) div 2").alias("mid")
+    )
+    arm = (
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0,
+            F.lit("control"),
+        )
+        .otherwise(F.lit("treatment"))
+    )
+    tagged = ev.crossJoin(F.broadcast(th)).select(
+        arm.alias("arm"),
+        F.when(F.col("bh") <= F.col("mid"), "pre").otherwise("post").alias(
+            "period"
+        ),
+        "user_id",
+        (F.col("event_type") == "purchase").cast("int").alias("purch"),
+    )
+    u = tagged.groupBy("arm", "period", "user_id").agg(
+        F.max("purch").alias("converted")
+    )
+    cell = u.groupBy("arm", "period").agg(
+        F.expr("CAST(sum(converted) * 1000000 div count(*) AS BIGINT)").alias(
+            "rate_e6"
+        )
+    )
+    pick = lambda a, p: F.max(
+        F.when((F.col("arm") == a) & (F.col("period") == p), F.col("rate_e6"))
+    )
+    return cell.agg(
+        pick("control", "pre").cast("bigint").alias("ctrl_pre_e6"),
+        pick("control", "post").cast("bigint").alias("ctrl_post_e6"),
+        pick("treatment", "pre").cast("bigint").alias("treat_pre_e6"),
+        pick("treatment", "post").cast("bigint").alias("treat_post_e6"),
+        (
+            (pick("treatment", "post") - pick("treatment", "pre"))
+            - (pick("control", "post") - pick("control", "pre"))
+        )
+        .cast("bigint")
+        .alias("did_e6"),
+    )
