@@ -2397,3 +2397,91 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("did_e6"),
     )
+
+
+@register(
+    "dq_outlier_iqr",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS micro
+      FROM events),
+    r AS (
+      SELECT event_type, micro,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY micro, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v),
+    q AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN rn = (n + 3) // 4 THEN micro END)
+                  AS BIGINT) AS q1_micro,
+             CAST(MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN micro END)
+                  AS BIGINT) AS q3_micro
+      FROM r GROUP BY event_type)
+    SELECT q.event_type, q.n, q.q1_micro, q.q3_micro,
+           CAST(SUM(CASE WHEN 2 * v.micro < 5 * q.q1_micro - 3 * q.q3_micro
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 2 * v.micro > 5 * q.q3_micro - 3 * q.q1_micro
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM q JOIN v ON v.event_type = q.event_type
+    GROUP BY q.event_type, q.n, q.q1_micro, q.q3_micro
+    """,
+)
+def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier audit per event type — the third
+    classic screen beside ``anomaly_zscore_window`` (parametric) and
+    ``anomaly_mad`` (robust location): values beyond Q1/Q3 ∓ 1.5*IQR.
+    Quartiles are DISCRETE rank-selected values (rank ceil(n/4) and
+    ceil(3n/4) in the (value, id) order), so no interpolation and no
+    engine-specific percentile definition is involved; the 1.5*IQR
+    fences are cross-multiplied into pure integers (2*x < 5*q1 - 3*q3)
+    — no halves, no floats, bit-identical across engines.
+
+    Scale shape: the rank window partitions by event_type (parallel
+    across the bounded type key space — this is per-GROUP ranking, not
+    the global-rank case that needs the two-phase form), the quartile
+    census is |types|-sized and broadcastable, and the fence count is
+    one co-keyed join + map-side-combinable aggregate over the data.
+    """
+    v = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("micro"),
+    )
+    w = Window.partitionBy("event_type").orderBy("micro", "event_id")
+    cw = Window.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    q = r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("micro"))
+        )
+        .cast("bigint")
+        .alias("q1_micro"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("micro"))
+        )
+        .cast("bigint")
+        .alias("q3_micro"),
+    )
+    j = v.join(F.broadcast(q), "event_type")
+    return j.groupBy("event_type", "n", "q1_micro", "q3_micro").agg(
+        F.sum(
+            (2 * F.col("micro") < 5 * F.col("q1_micro") - 3 * F.col("q3_micro"))
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("n_low"),
+        F.sum(
+            (2 * F.col("micro") > 5 * F.col("q3_micro") - 3 * F.col("q1_micro"))
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("n_high"),
+    )
