@@ -166,6 +166,25 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sessionized(ev: DataFrame) -> DataFrame:
+    """30-minute-gap sessionization (gaps-and-islands): lag() gap
+    detection + running-sum numbering over the (ts, event_id) order per
+    user. ONE implementation shared by ``win_sessionize`` and
+    ``events_bounce_rate`` so the gap rule, the second-truncation
+    convention (ts.cast('long')), and the tie-break order cannot drift
+    between consumers. Adds ``session_no``; requires user_id, ts,
+    event_id columns and preserves the rest."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return marked.withColumn(
+        "session_no", F.sum("new_session").over(run).cast("bigint")
+    ).drop("new_session")
+
+
 @register(
     "win_sessionize",
     oracle="""
@@ -191,22 +210,8 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag() gap detection, number them with a running sum, aggregate per
     session -- the batch twin of stream_session's session_window, and
     the canonical two-window + one-shuffle pattern at any scale."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    marked = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
-    )
-    numbered = marked.select(
-        "user_id",
-        "event_id",
-        F.sum("new_session").over(run).cast("bigint").alias("session_no"),
-    )
-    return numbered.groupBy("user_id", "session_no").agg(
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return _sessionized(ev).groupBy("user_id", "session_no").agg(
         F.count("*").alias("n_events")
     )
 
@@ -1477,24 +1482,10 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry-type census is a map-side-combinable groupBy on a small key.
     The bounce share is an exact integer millionths division.
     """
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    marked = ev.select(
-        "user_id",
-        "event_id",
-        "ts",
-        "event_type",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
     )
-    numbered = marked.select(
-        "user_id",
-        "event_id",
-        "ts",
-        "event_type",
-        F.sum("new_session").over(run).cast("bigint").alias("session_no"),
-    )
+    numbered = _sessionized(ev)
     sess = numbered.groupBy("user_id", "session_no").agg(
         F.min_by("event_type", F.struct("ts", "event_id")).alias("entry_type"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -1510,40 +1501,6 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("bounce_e6"),
-    )
-
-
-def _strict_prefix_min_desc(
-    df: DataFrame, key_col: str, val_col: str
-) -> DataFrame:
-    """Strict prefix-min of ``val_col`` over DESCENDING ``key_col``
-    order, without a single-partition window: range-repartition on the
-    key desc, running min per partition (strictly-preceding frame),
-    then a broadcast partition-count-sized table of preceding-partition
-    mins — the same two-phase shape as ``_global_cumsum``. Requires
-    key values unique per row (pre-aggregate first). Adds
-    ``prev_min`` (NULL for the global maximum key)."""
-    ranged = df.repartitionByRange(F.col(key_col).desc()).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    lw = (
-        Window.partitionBy("_pid")
-        .orderBy(F.col(key_col).desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = ranged.withColumn("_lmin", F.min(val_col).over(lw))
-    sizes = ranged.groupBy("_pid").agg(F.min(val_col).alias("_pmin"))
-    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.select("_pid", F.min("_pmin").over(ow).alias("_omin"))
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(
-            "prev_min",
-            F.when(F.col("_lmin").isNull(), F.col("_omin"))
-            .when(F.col("_omin").isNull(), F.col("_lmin"))
-            .otherwise(F.least("_lmin", "_omin")),
-        )
-        .drop("_pid", "_lmin", "_omin")
     )
 
 
@@ -1597,6 +1554,10 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("day"),
     )
+    from metadata_extractors_api_spark.operators.quality import (
+        _strict_prefix_min_desc,
+    )
+
     g = p.groupBy("price_c").agg(F.min("day").alias("min_day"))
     s = _strict_prefix_min_desc(g, "price_c", "min_day").select(
         "price_c", "min_day", "prev_min"

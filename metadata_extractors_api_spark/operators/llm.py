@@ -2856,7 +2856,7 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS nibble_diff
       FROM cand)
     SELECT doc_a, doc_b, nibble_diff
-    FROM v WHERE nibble_diff <= 4
+    FROM v WHERE nibble_diff <= 3
     """,
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2865,10 +2865,13 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload blocks -> one md5 nibble each; the deterministic stand-in
     for a real pHash/dHash over decoded pixels, same contract as the
     other multimodal_* fakes), banded 4x16-bit for LSH blocking —
-    payloads agreeing on ANY band become candidates, which provably
-    catches every pair within 3 differing nibble-bands — then an
-    exact nibble-Hamming verify (<= 4 of 16) on the bounded candidate
-    set. Byte-exact dedup (multimodal_dedup) catches re-uploads; this
+    payloads agreeing on ANY band become candidates — then an exact
+    nibble-Hamming verify on the bounded candidate set. The emitted
+    threshold (<= 3 of 16 nibbles) matches the banding GUARANTEE
+    exactly: 3 differing nibbles cannot touch all 4 bands
+    (pigeonhole), so within the threshold recall is provably total;
+    pairs at distance 4+ may also collide on a band but are not part
+    of the contract and are filtered out. Byte-exact dedup (multimodal_dedup) catches re-uploads; this
     catches re-encodes/crops whose payload bytes differ but whose
     block structure survives.
 
@@ -2920,6 +2923,6 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "i -> substr(pa, i, 1) != substr(pb, i, 1))) AS BIGINT)"
             ),
         )
-        .filter(F.col("nibble_diff") <= 4)
+        .filter(F.col("nibble_diff") <= 3)
         .select("doc_a", "doc_b", "nibble_diff")
     )

@@ -1135,6 +1135,44 @@ def corpus_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _strict_prefix_min_desc(
+    df: DataFrame, key_col: str, val_col: str
+) -> DataFrame:
+    """Strict prefix-min of ``val_col`` over DESCENDING ``key_col``
+    order, without a single-partition window: range-repartition on the
+    key desc, running min per partition (strictly-preceding frame),
+    then a broadcast partition-count-sized table of preceding-partition
+    mins — the same two-phase shape as ``_global_cumsum``. Requires
+    key values unique per row (pre-aggregate first). Adds
+    ``prev_min`` (NULL for the global maximum key). Third member of
+    the two-phase family beside ``_global_rank`` and ``_global_cumsum``
+    (same scaffold, min-aggregate + strict frame + descending order);
+    the duplicated-branch/localCheckpoint trade measured on the other
+    two (see ``_global_rank``) applies unchanged here."""
+    ranged = df.repartitionByRange(F.col(key_col).desc()).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    lw = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(key_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn("_lmin", F.min(val_col).over(lw))
+    sizes = ranged.groupBy("_pid").agg(F.min(val_col).alias("_pmin"))
+    ow = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select("_pid", F.min("_pmin").over(ow).alias("_omin"))
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "prev_min",
+            F.when(F.col("_lmin").isNull(), F.col("_omin"))
+            .when(F.col("_omin").isNull(), F.col("_lmin"))
+            .otherwise(F.least("_lmin", "_omin")),
+        )
+        .drop("_pid", "_lmin", "_omin")
+    )
+
+
 def _global_cumsum(
     df: DataFrame, value_col: str, key_col: str, weight_col: str
 ) -> DataFrame:
@@ -2223,7 +2261,7 @@ PCTL_CONT_PS = [50, 90, 99]
       FROM tgt t JOIN r ON r.i IN (t.lo_rank, t.lo_rank + 1)
       GROUP BY t.p, t.rem)
     SELECT CAST(p AS BIGINT) AS p,
-           CAST(lo * 100 + (COALESCE(hi, lo) - lo) * rem // 100 AS BIGINT)
+           CAST(lo * 100 + (COALESCE(hi, lo) - lo) * rem AS BIGINT)
                AS pct_value_e4
     FROM j
     """,
@@ -2233,7 +2271,7 @@ def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics: position (n-1)*p/100 on the sorted axis, linear
     interpolation between the two bracketing values — computed with
     rational integer arithmetic only (rank via integer div/mod, the
-    interpolation as lo*100 + (hi-lo)*rem//100 in tenth-of-cent
+    interpolation as lo*100 + (hi-lo)*rem in hundredth-of-cent
     units), so the result is bit-identical across engines, unlike
     float percentile interpolation. Complements `agg_percentile`
     (discrete) and `agg_approx_percentile` (sketch + contract).
@@ -2251,13 +2289,7 @@ def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = _global_rank(v, "cents", "o_orderkey")
     tot = r.agg(F.max("n").alias("n"))
-    ps = spark.range(0, len(PCTL_CONT_PS)).select(
-        F.element_at(
-            F.array(*[F.lit(p) for p in PCTL_CONT_PS]), F.col("id").cast("int") + 1
-        )
-        .cast("bigint")
-        .alias("p")
-    )
+    ps = spark.createDataFrame([(p,) for p in PCTL_CONT_PS], "p bigint")
     tgt = ps.crossJoin(F.broadcast(tot)).select(
         "p",
         F.expr("(n - 1) * p div 100 + 1").alias("lo_rank"),
@@ -2276,7 +2308,7 @@ def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("p").cast("bigint").alias("p"),
         F.expr(
-            "CAST(lo * 100 + (coalesce(hi, lo) - lo) * rem div 100 AS BIGINT)"
+            "CAST(lo * 100 + (coalesce(hi, lo) - lo) * rem AS BIGINT)"
         ).alias("pct_value_e4"),
     )
 

@@ -980,12 +980,13 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _global_cumsum(d, "doc_id", "doc_id", "n_tok")
     s = c.withColumn(
         "step",
-        F.greatest(F.floor(F.col("tw") / F.lit(PPS_K)).cast("bigint"), F.lit(1)),
+        F.greatest(F.expr(f"tw div {PPS_K}").cast("bigint"), F.lit(1)),
     )
-    ticks_thru = F.floor(F.col("cw") / F.col("step")).cast("bigint")
-    ticks_before = F.floor((F.col("cw") - F.col("n_tok")) / F.col("step")).cast(
-        "bigint"
-    )
+    # integer div end to end: floor(double/..) would round through a
+    # 53-bit mantissa and can land on the wrong tick once cumulative
+    # token counts pass 2^53 (this operator is pitched at 100 TB).
+    ticks_thru = F.expr("cw div step").cast("bigint")
+    ticks_before = F.expr("(cw - n_tok) div step").cast("bigint")
     return (
         s.withColumn("n_hits", ticks_thru - ticks_before)
         .withColumn("first_tick", ticks_before + 1)
@@ -1037,7 +1038,7 @@ SNM_KEY_LEN = 16
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= 0.5
+    WHERE round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= 0.5
     """,
 )
 def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:

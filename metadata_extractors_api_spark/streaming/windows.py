@@ -592,8 +592,9 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(key, pdfs, state):
         counts: dict[int, int] = {}
         n_prev = 0
+        n_emit = 0
         if state.exists:
-            bhs, cnts, n_prev = state.get()
+            bhs, cnts, n_prev, n_emit = state.get()
             counts = dict(zip(bhs, cnts))
         for pdf in pdfs:
             for bh, c in pdf.groupby("bh")["bh"].count().items():
@@ -609,8 +610,14 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(kept)
         num = sum(counts[b] << (i + 16 - n) for i, b in enumerate(kept))
         wsum = (1 << 16) - (1 << (16 - n))
+        # n_emit increments on EVERY update call (n_obs alone is only
+        # non-strictly monotone: a batch landing entirely in
+        # already-observed hours changes the fold but not n_obs, and a
+        # tie would make the final-row max_by selection nondeterministic
+        # -- worse, each max_by resolves its tie independently).
+        n_emit += 1
         state.update(
-            (kept, [counts[b] for b in kept], n_obs)
+            (kept, [counts[b] for b in kept], n_obs, n_emit)
         )
         yield pd.DataFrame(
             {
@@ -619,6 +626,7 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_obs": [n_obs],
                 "ewma_num": [num],
                 "w_sum": [wsum],
+                "n_emit": [n_emit],
             }
         )
 
@@ -629,18 +637,21 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         update,
         outputStructType=(
             "event_type string, bh bigint, n_obs bigint, "
-            "ewma_num bigint, w_sum bigint"
+            "ewma_num bigint, w_sum bigint, n_emit bigint"
         ),
-        stateStructType="bhs array<bigint>, cnts array<bigint>, n_obs bigint",
+        stateStructType=(
+            "bhs array<bigint>, cnts array<bigint>, n_obs bigint, "
+            "n_emit bigint"
+        ),
         outputMode="update",
         timeoutConf="NoTimeout",
     )
     updates = _run_to_table(out, spark, "update")
-    # one row per key per micro-batch; n_obs is monotone -> the final
-    # state is the max-n_obs row per key.
+    # one row per key per micro-batch; n_emit is STRICTLY monotone, so
+    # the final state is the unique max-n_emit row per key.
     return updates.groupBy("event_type").agg(
-        F.max_by("bh", "n_obs").cast("bigint").alias("bh"),
-        F.max("n_obs").cast("bigint").alias("n_obs"),
-        F.max_by("ewma_num", "n_obs").cast("bigint").alias("ewma_num"),
-        F.max_by("w_sum", "n_obs").cast("bigint").alias("w_sum"),
+        F.max_by("bh", "n_emit").cast("bigint").alias("bh"),
+        F.max_by("n_obs", "n_emit").cast("bigint").alias("n_obs"),
+        F.max_by("ewma_num", "n_emit").cast("bigint").alias("ewma_num"),
+        F.max_by("w_sum", "n_emit").cast("bigint").alias("w_sum"),
     )

@@ -139,7 +139,7 @@ def test_skyline_prefix_min_matches_single_window_2m(spark):
     # windows + broadcast offsets) must agree exactly with the
     # single-partition window definition at 2M distinct keys.
     from pyspark.sql import Window
-    from metadata_extractors_api_spark.operators.analytics import (
+    from metadata_extractors_api_spark.operators.quality import (
         _strict_prefix_min_desc,
     )
 
