@@ -95,6 +95,7 @@ HEADLINE = [
     "agg_percentile_cont",
     "dedup_sorted_neighborhood",
     "multimodal_phash_dedup",
+    "text_keyword_rake",
 ]
 
 RUNS = 5

@@ -1059,3 +1059,96 @@ def text_boolean_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "text_keyword_rake",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, u.token, u.pos
+      FROM (SELECT doc_id,
+                   unnest(str_split(text, ' ')) AS token,
+                   generate_subscripts(str_split(text, ' '), 1) AS pos
+            FROM documents) u),
+    marked AS (
+      SELECT doc_id, token, pos,
+             CASE WHEN token IN ('the', 'a') THEN 1 ELSE 0 END AS is_stop
+      FROM occ),
+    numbered AS (
+      SELECT doc_id, token, is_stop,
+             SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS pid
+      FROM marked),
+    words AS (SELECT doc_id, token, pid FROM numbered WHERE is_stop = 0),
+    plen AS (
+      SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen
+      FROM words GROUP BY doc_id, pid),
+    scored AS (
+      SELECT w.token,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.plen) AS BIGINT) AS degree
+      FROM words w JOIN plen p ON p.doc_id = w.doc_id AND p.pid = w.pid
+      GROUP BY w.token)
+    SELECT token, freq, degree,
+           CAST(degree * 1000000 // freq AS BIGINT) AS score_e6
+    FROM scored
+    WHERE freq >= 5
+    ORDER BY score_e6 DESC, token
+    LIMIT 30
+    """,
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al.): segment each document into
+    candidate phrases at stopword boundaries (gaps-and-islands over
+    the token stream — the same running-sum segmentation as
+    sessionization, applied to text), then score every content word by
+    degree/frequency, where degree sums the lengths of the phrases the
+    word appears in — words that live inside long multiword phrases
+    outrank equally-frequent words that stand alone. The classic
+    cheap, corpus-statistics-free keyword extractor for data cards and
+    topic triage; scores are exact integer millionths.
+
+    Scale shape: posexplode -> per-doc window (partitioned by doc_id —
+    embarrassingly parallel, bounded partitions) -> two
+    map-side-combinable aggregations (phrase lengths on (doc, phrase),
+    word stats on token) joined on the (doc, phrase) key they already
+    share, and a TakeOrdered top-30. No global windows, no skew beyond
+    token frequency itself (hash-keyed).
+    """
+    occ = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    marked = occ.withColumn(
+        "is_stop", F.col("token").isin("the", "a").cast("int")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = marked.withColumn("pid", F.sum("is_stop").over(w))
+    words = numbered.filter(F.col("is_stop") == 0).select(
+        "doc_id", "token", "pid"
+    )
+    plen = words.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen")
+    )
+    scored = (
+        words.join(plen, ["doc_id", "pid"])
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("degree"),
+        )
+    )
+    return (
+        scored.filter(F.col("freq") >= 5)
+        .select(
+            "token",
+            "freq",
+            "degree",
+            F.expr("degree * 1000000 div freq").cast("bigint").alias("score_e6"),
+        )
+        .orderBy(F.desc("score_e6"), F.asc("token"))
+        .limit(30)
+    )
