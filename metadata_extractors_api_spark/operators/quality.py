@@ -2517,3 +2517,84 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_high"),
     )
+
+
+@register(
+    "dq_books_balance",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (10000 + CAST(round(l_tax * 10000) AS BIGINT))
+               * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+               // 100000000) AS BIGINT) AS gross_cents
+      FROM lineitem GROUP BY l_orderkey),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+             li.gross_cents,
+             ABS(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                 - li.gross_cents) AS diff_cents
+      FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN diff_cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           CAST(SUM(CASE WHEN diff_cents * 100 <= total_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+           CAST(MAX(diff_cents) AS BIGINT) AS max_abs_diff_cents,
+           CAST(SUM(diff_cents) AS BIGINT) AS sum_abs_diff_cents
+    FROM j
+    """,
+)
+def dq_books_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level reconciliation audit (books balance): does each
+    order header's total equal the recomputed sum of its line items'
+    gross (extended price x (1+tax) x (1-discount))? The companion to
+    ``dq_referential_integrity`` one level deeper — that audit finds
+    orphaned KEYS, this one finds inconsistent VALUES, the class of
+    corruption a denormalized ingest or partial update leaves behind.
+    Reports the exact-match count, a 1%-tolerance band (cross-
+    multiplied integer compare, no division), and the worst/total
+    absolute drift in cents. Line gross is computed entirely in
+    scaled integers (cents x basis points div 1e8), so both engines
+    agree bit-for-bit on every per-order difference.
+
+    Scale shape: one map-side-combinable lineitem rollup on its
+    l_orderkey shuffle key, one co-keyed join to the header, and a
+    single global aggregate — audit cost is one pass over each table.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * (10000 + CAST(round(l_tax * 10000) AS BIGINT))"
+                " * (10000 - CAST(round(l_discount * 10000) AS BIGINT))"
+                " div 100000000"
+            ).alias("line_gross"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("line_gross").cast("bigint").alias("gross_cents"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey).withColumn(
+        "diff_cents", F.abs(F.col("total_cents") - F.col("gross_cents"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum((F.col("diff_cents") == 0).cast("int")).cast("bigint").alias(
+            "n_exact"
+        ),
+        F.sum(
+            (F.col("diff_cents") * 100 <= F.col("total_cents")).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_within_1pct"),
+        F.max("diff_cents").cast("bigint").alias("max_abs_diff_cents"),
+        F.sum("diff_cents").cast("bigint").alias("sum_abs_diff_cents"),
+    )
