@@ -1703,8 +1703,10 @@ def orders_prorate_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
                AS sum_micro,
-           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) // COUNT(*)
-               AS BIGINT) AS mean_micro
+           CAST((SUM(CAST(round(value * 1000000) AS BIGINT))
+                 - ((SUM(CAST(round(value * 1000000) AS BIGINT))
+                     % COUNT(*)) + COUNT(*)) % COUNT(*))
+                // COUNT(*) AS BIGINT) AS mean_micro
     FROM events
     GROUP BY event_type, hod
     """,
@@ -1717,7 +1719,15 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     key space — the output is constant-sized no matter the input, so
     the profile is a broadcastable artifact for downstream residual
     scoring. Values are summed in exact round-to-micro integers; the
-    mean is one integer division (floor, non-negative counts).
+    mean is an explicit sign-safe FLOOR division — ``(s - pmod(s, n))
+    / n`` subtracts the (always non-negative) positive remainder so
+    the numerator is an exact multiple of n, on which truncating and
+    flooring division coincide. Spark's ``div`` and DuckDB's ``//``
+    disagree on negative operands (trunc vs floor differs by engine
+    version), and events.value is NOT schema-constrained non-negative,
+    so the plain ``sum div count`` form would silently diverge the day
+    a fixture carries a negative value; this form is engine-independent
+    for any sign.
     """
     ev = load(spark, sf_dir, "events").select(
         "event_type",
@@ -1727,5 +1737,7 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type", "hod").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("micro").cast("bigint").alias("sum_micro"),
-        F.expr("sum(micro) div count(*)").cast("bigint").alias("mean_micro"),
+        F.expr("(sum(micro) - pmod(sum(micro), count(*))) div count(*)")
+        .cast("bigint")
+        .alias("mean_micro"),
     )

@@ -129,14 +129,27 @@ def subq_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-distribution analytics: ntile / percent_rank / cume_dist
-    (ties broken by key so both engines see one total order)."""
-    c = load(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    (ties broken by key so both engines see one total order).
+
+    Scale shape: the customer relation is SF-proportional, so instead
+    of ``Window.orderBy(...)`` (a single-partition global sort) the
+    global rank comes from the range-repartitioned two-phase
+    ``_global_rank``; under a total order all three rank statistics are
+    pure arithmetic over (i, n): ntile via ``_ntile_from_rank``,
+    percent_rank = (i-1)/(n-1), cume_dist = i/n."""
+    from metadata_extractors_api_spark.operators.quality import (
+        _global_rank,
+        _ntile_from_rank,
+    )
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    r = _global_rank(c, "c_acctbal", "c_custkey")
+    i, n = F.col("i"), F.col("n")
+    return r.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        _ntile_from_rank(i, n, 4).alias("quartile"),
+        F.round((i - 1) / (n - 1), 6).alias("pct_rank"),
+        F.round(i / n, 6).alias("cume"),
     )
 
 

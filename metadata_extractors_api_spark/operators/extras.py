@@ -4,7 +4,7 @@ explicit cached-intermediate reuse plan."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metadata_extractors_api_spark.catalog import load
@@ -77,15 +77,20 @@ def fn_array_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def fn_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic surrogate keys via row_number over a total order
+    """Deterministic dense surrogate keys via a total order
     (monotonically_increasing_id is partition-dependent and therefore
-    unreproducible -- this is the auditable alternative; at scale,
-    prefer keyed hashes unless dense ids are required, since a global
-    row_number single-partitions the window)."""
-    s = load(spark, sf_dir, "supplier")
-    w = Window.orderBy("s_suppkey")
-    return s.select(
-        F.row_number().over(w).alias("sk"), "s_suppkey", "s_name"
+    unreproducible -- this is the auditable alternative). The dense id
+    is the two-phase ``_global_rank`` (range repartition + parallel
+    per-partition windows + a partition-count-sized offset table), not
+    ``row_number() OVER (ORDER BY ...)``, whose single-partition sort
+    is the classic scale-killer; this demonstrated plan assigns dense
+    ids to a relation of any size. Prefer keyed hashes when density is
+    not required (no sort at all)."""
+    from metadata_extractors_api_spark.operators.quality import _global_rank
+
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return _global_rank(s, "s_suppkey", "s_suppkey").select(
+        F.col("i").cast("int").alias("sk"), "s_suppkey", "s_name"
     )
 
 

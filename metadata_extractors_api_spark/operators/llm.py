@@ -752,15 +752,19 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # + the intersection join); they all hang off the same groupBy
     # exchange, which Spark reuses (ReusedExchange) instead of
     # re-running the prefix self-join.
-    # The a-side needs no prune: cand broadcasts into the doc_a join,
-    # which itself drops non-candidate docs during the scan. The
-    # b-side DOES: it feeds the one data-sized shuffle of the verify
-    # phase — the (doc_b, shingle) equi-join — and candidates touch
-    # <9% of the corpus at sf0.1, so the report-sized broadcast
-    # semi-prune shrinks that shuffle ~10x.
+    # The a-side needs no prune: cand joins into the doc_a join, which
+    # itself drops non-candidate docs during the scan. The b-side DOES:
+    # it feeds the one data-sized shuffle of the verify phase — the
+    # (doc_b, shingle) equi-join — and candidates touch <9% of the
+    # corpus at sf0.1, so the semi-prune shrinks that shuffle ~10x.
+    # Deliberately NO F.broadcast hint: the candidate set's size is a
+    # function of data skew (boilerplate-heavy corpora can blow it up),
+    # so a forced broadcast is an OOM waiting for the wrong corpus.
+    # AQE (on in session.py) sees the actual exchange size at runtime
+    # and converts the semi-join to broadcast exactly when it is safe.
     ea = ex.withColumnsRenamed({"doc_id": "doc_a"})
     eb = ex.withColumnsRenamed({"doc_id": "doc_b"}).join(
-        F.broadcast(cand.select("doc_b").distinct()), "doc_b", "left_semi"
+        cand.select("doc_b").distinct(), "doc_b", "left_semi"
     )
     inter = (
         cand.join(ea, "doc_a")
@@ -2508,18 +2512,23 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     saturated (flattening vocab growth = rising duplication). Exact
     and join-based: token first-seen doc ids (one MIN aggregation)
     broadcast against the checkpoint list; cumulative token mass is a
-    running sum over the doc dimension -- no per-checkpoint rescan of
-    the corpus. Checkpoints every 50 docs; at 100 TB the same plan
-    samples checkpoints logarithmically."""
+    running sum over the doc dimension computed with the two-phase
+    ``_global_cumsum`` (range repartition + parallel per-partition
+    windows) -- the doc relation is corpus-proportional, so a plain
+    ``Window.orderBy(doc_id)`` single-partition sort would die at
+    100 TB. No per-checkpoint rescan of the corpus. Checkpoints every
+    50 docs; at 100 TB the same plan samples checkpoints
+    logarithmically."""
+    from metadata_extractors_api_spark.operators.quality import _global_cumsum
+
     d = load(spark, sf_dir, "documents", parallelize=True)
     occ = d.select("doc_id", F.explode(tokens_col()).alias("token"))
     doc_tok = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = (
+        _global_cumsum(doc_tok, "doc_id", "doc_id", "n_tok")
+        .withColumn("tokens_so_far", F.col("cw").cast("bigint"))
+        .filter(F.col("doc_id") % 50 == 49)
     )
-    cum = doc_tok.withColumn(
-        "tokens_so_far", F.sum("n_tok").over(w).cast("bigint")
-    ).filter(F.col("doc_id") % 50 == 49)
     first_seen = occ.groupBy("token").agg(F.min("doc_id").alias("fd"))
     pairs = first_seen.crossJoin(F.broadcast(cum.select("doc_id"))).filter(
         F.col("fd") <= F.col("doc_id")

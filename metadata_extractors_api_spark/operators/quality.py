@@ -132,7 +132,21 @@ def _global_rank(df: DataFrame, value_col: str, key_col: str) -> DataFrame:
     both ways on the cumsum twin) — materialization I/O cancels the
     saved recompute at this width — so the lineage-preserving form
     stays. On a cluster where the duplicated branch re-reads remote
-    storage, re-measure; the checkpoint is a one-line change."""
+    storage, re-measure; the checkpoint is a one-line change.
+
+    CORRECTNESS REQUIREMENT (not just a perf trade): because the data
+    branch and the offsets branch each re-execute the sampled
+    repartitionByRange exchange, both executions MUST derive identical
+    range bounds, or a row could be ranked in partition i while the
+    offset table was built as if it were in partition j. Spark's range
+    bounds come from deterministic reservoir sampling seeded by
+    partition id (ShuffleExchangeExec passes a fixed seed), so
+    re-execution over the same input yields the same bounds — verified
+    empirically at 500k rows with AQE on and off. Any refactor that
+    breaks that determinism (e.g. a nondeterministic upstream narrow
+    transform, or sampling seeded by attempt id) must first materialize
+    the ranged frame (localCheckpoint) so both branches read ONE
+    execution."""
     ranged = df.repartitionByRange(F.col(value_col), F.col(key_col)).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -149,6 +163,34 @@ def _global_rank(df: DataFrame, value_col: str, key_col: str) -> DataFrame:
         local.join(F.broadcast(offsets), "_pid")
         .withColumn("i", (F.col("_off") + F.col("_lrank")).cast("bigint"))
         .drop("_pid", "_lrank", "_off")
+    )
+
+
+def _ntile_from_rank(i, n, k: int):
+    """NTILE(k) as pure arithmetic over ``_global_rank``'s (i, n) --
+    the scalable replacement for ``F.ntile(k).over(Window.orderBy(...))``
+    whose single-partition sort dies at fact scale.
+
+    SQL-standard NTILE split: with q = n div k and r = n mod k, buckets
+    1..r hold q+1 rows and buckets r+1..k hold q rows. For 1-based rank
+    i under a TOTAL order (``_global_rank`` always tie-breaks by key,
+    so i == row_number == rank):
+
+        bucket = ceil(i / (q+1))                 if i <= (q+1)*r
+                 r + ceil((i - (q+1)*r) / q)     otherwise
+
+    The divisions are exact: counts stay far below 2^53, and IEEE
+    division of exactly-representable operands with an integral true
+    quotient is exact, so F.ceil never sees an off-by-epsilon. When
+    n < k (q == 0) every row lands in the first branch (bucket = i),
+    matching NTILE's one-row-per-leading-bucket behavior."""
+    q = F.floor(n / F.lit(k)).cast("bigint")
+    r = (n % F.lit(k)).cast("bigint")
+    fat = (q + F.lit(1)) * r  # rows covered by the size-(q+1) buckets
+    return (
+        F.when(i <= fat, F.ceil(i / (q + F.lit(1))))
+        .otherwise(r + F.ceil((i - fat) / q))
+        .cast("int")
     )
 
 

@@ -89,15 +89,21 @@ def _sql_coord(salt: str, key_expr: str) -> str:
       SELECT c.c_custkey, s.s_suppkey,
              (c.cx - s.sx) * (c.cx - s.sx)
                + (c.cy - s.sy) * (c.cy - s.sy) AS d2
-      FROM c CROSS JOIN s)
-    SELECT c_custkey,
+      FROM c CROSS JOIN s),
+    f AS (SELECT * FROM p WHERE d2 <= {RADIUS * RADIUS}),
+    nearest AS (
+      SELECT c_custkey, s_suppkey AS nearest_supp
+      FROM (SELECT c_custkey, s_suppkey,
+                   ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                      ORDER BY d2, s_suppkey) AS rn
+            FROM f)
+      WHERE rn = 1)
+    SELECT f.c_custkey,
            CAST(COUNT(*) AS BIGINT) AS n_nearby,
            CAST(MIN(d2) AS BIGINT) AS min_d2,
-           CAST(arg_min(s_suppkey, d2 * 1000000 + s_suppkey) AS BIGINT)
-               AS nearest_supp
-    FROM p
-    WHERE d2 <= {RADIUS * RADIUS}
-    GROUP BY c_custkey
+           CAST(MIN(nearest_supp) AS BIGINT) AS nearest_supp
+    FROM f JOIN nearest ON f.c_custkey = nearest.c_custkey
+    GROUP BY f.c_custkey
     """,
 )
 def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,10 +119,13 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle states the same SEMANTICS as a cross join + distance
     predicate (fine at oracle scale), so the grid reduction itself is
     what's being verified: any neighborhood-coverage bug shows up as a
-    missing pair. Nearest tie-break folds (d2, suppkey) into one
-    integer key (d2 * 1e6 + suppkey; d2 <= 2*GRID_SIZE^2 = 2e8, keys
-    < 1e6, no overflow) so Spark's min_by and DuckDB's arg_min agree
-    without struct-ordering semantics.
+    missing pair. Nearest tie-break is ``min_by`` over the struct
+    (d2, s_suppkey) — lexicographic struct ordering is injective at
+    ANY supplier cardinality, unlike the previous packed integer key
+    (d2 * 1e6 + suppkey), which collides across the d2 boundary once
+    s_suppkey reaches 1e6 (~SF 100). The oracle states the same
+    tie-break as a per-customer ROW_NUMBER (DuckDB's arg_min rejects
+    composite keys).
     """
     cust = load(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -161,9 +170,7 @@ def join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("c_custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nearby"),
         F.min("d2").cast("bigint").alias("min_d2"),
-        F.min_by(
-            "s_suppkey", F.col("d2") * 1_000_000 + F.col("s_suppkey")
-        )
+        F.min_by("s_suppkey", F.struct("d2", "s_suppkey"))
         .cast("bigint")
         .alias("nearest_supp"),
     )
@@ -219,6 +226,9 @@ def geo_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: neighbors returned per point by the broadcast k-NN.
 KNN_K = 3
 
+#: hard bound on the broadcast reference cardinality (see size guard).
+KNN_MAX_REF = 5_000_000
+
 
 @register(
     "join_spatial_knn",
@@ -252,55 +262,104 @@ def join_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-nearest-neighbor spatial join for a DIMENSION-SIZED reference
     set: the 3 closest suppliers per customer, exact.
 
-    Plan shape — the broadcast-KNN pattern: the supplier set collapses
-    to ONE broadcast row holding an array of (x, y, id) structs; each
-    customer row then computes transform (distance) -> array_sort (by
-    (d2, id) struct order) -> slice (top-k) -> explode. No data
-    shuffle, no windows — the only exchanges are the single-row
-    supplier rollup and the documented round-robin repartition
+    Plan shape — the broadcast-KNN pattern, VECTORIZED: the supplier
+    set (a dimension, bounded) is collected once and shipped as a
+    SparkContext broadcast of three numpy arrays; each customer
+    partition streams through ``mapInPandas``, computing the full
+    (batch x |ref|) squared-distance matrix in numpy and extracting
+    the top-k per row with ``argpartition`` (O(|ref|) select, then an
+    O(k log k) refine) — no data shuffle, no windows, no exchanges at
+    all beyond the documented round-robin repartition
     (``parallelize=True``) that restores scan parallelism on the
-    single-row-group local fixtures; the classic window formulation
+    single-row-group local fixtures. The classic window formulation
     (the oracle states it) would instead shuffle |cust| x |supp| rows
-    on c_custkey. Cost model: higher-order functions evaluate
-    INTERPRETED (not codegen), so per-row cost is O(|ref| log |ref|)
-    interpreted ops — measured ~2.6 ms/row at |ref|=1000, which is
-    why the repartition matters and why this pattern is bounded to
-    dimension-sized reference sets; corpus-sized references are what
-    the IVF/LSH ANN family is for (sim_ann_*, the same
-    index-once/probe-cheap inversion).
+    on c_custkey.
+
+    History: the previous form scored via interpreted higher-order
+    functions (transform -> array_sort -> slice) at ~2.6 ms/row —
+    2.19 s at sf0.1 and 11+ core-hours per 15M rows at 100x. The
+    numpy path is ~10x cheaper per row and Arrow-batched. Tie-break
+    (d2, sid) packs into one int64 key d2 * (max_sid+1) + sid —
+    injective for ANY supplier cardinality because the multiplier is
+    derived from the data (overflows int64 only past |ref| ~ 4.6e10 /
+    d2_max, far beyond any dimension this broadcast pattern is for;
+    corpus-sized references are what the IVF/LSH ANN family is for).
+    The driver-side ``collect`` is the index-build step of the
+    pattern, bounded by the dimension — same legitimacy class as a
+    broadcast-join build side.
     """
     cust = load(spark, sf_dir, "customer", parallelize=True).select(
         "c_custkey",
         _coord("cx", F.col("c_custkey")).alias("cx"),
         _coord("cy", F.col("c_custkey")).alias("cy"),
     )
-    supp = load(spark, sf_dir, "supplier").select(
-        F.struct(
-            _coord("sx", F.col("s_suppkey")).alias("sx"),
-            _coord("sy", F.col("s_suppkey")).alias("sy"),
-            F.col("s_suppkey").alias("sid"),
-        ).alias("sp")
+    supp_df = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("sid"),
+        _coord("sx", F.col("s_suppkey")).alias("sx"),
+        _coord("sy", F.col("s_suppkey")).alias("sy"),
     )
-    ref = supp.agg(F.collect_list("sp").alias("refs"))
-    scored = cust.crossJoin(F.broadcast(ref)).select(
-        "c_custkey",
-        F.slice(
-            F.array_sort(
-                F.expr(
-                    "transform(refs, r -> struct("
-                    "(cx - r.sx) * (cx - r.sx) + (cy - r.sy) * (cy - r.sy)"
-                    " AS d2, r.sid AS sid))"
+    # Size guard (no silent caps): the broadcast-KNN pattern is ONLY
+    # for dimension-sized reference sets. Refuse loudly past the bound
+    # (3 int64 arrays x 5M = 120 MB broadcast) instead of OOMing the
+    # driver/executors; corpus-sized references belong to sim_ann_*.
+    n_ref = supp_df.count()
+    if n_ref > KNN_MAX_REF:
+        raise ValueError(
+            f"join_spatial_knn: reference set has {n_ref} rows "
+            f"(> {KNN_MAX_REF}); broadcast-KNN is bounded to "
+            "dimension-sized references — use the sim_ann_* family "
+            "for corpus-sized reference sets"
+        )
+    supp_rows = supp_df.collect()
+    import numpy as np
+
+    ref_sid = np.array([r["sid"] for r in supp_rows], dtype=np.int64)
+    ref_sx = np.array([r["sx"] for r in supp_rows], dtype=np.int64)
+    ref_sy = np.array([r["sy"] for r in supp_rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((ref_sid, ref_sx, ref_sy))
+    k = KNN_K
+
+    def knn(batches):
+        import numpy as np
+        import pandas as pd
+
+        sid, sx, sy = bc.value
+        m = len(sid)
+        kk = min(k, m)
+        mult = int(sid.max()) + 1 if m else 1
+        # keep the (rows x m) distance matrix near ~32 MB per chunk
+        chunk = max(1, 4_000_000 // max(m, 1))
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                part = pdf.iloc[lo : lo + chunk]
+                cx = part["cx"].to_numpy(np.int64)[:, None]
+                cy = part["cy"].to_numpy(np.int64)[:, None]
+                d2 = (cx - sx[None, :]) ** 2 + (cy - sy[None, :]) ** 2
+                key = d2 * mult + sid[None, :]
+                if kk < m:
+                    idx = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+                else:
+                    idx = np.broadcast_to(
+                        np.arange(m), (len(part), m)
+                    ).copy()
+                pk = np.take_along_axis(key, idx, axis=1)
+                idx = np.take_along_axis(
+                    idx, np.argsort(pk, axis=1, kind="stable"), axis=1
                 )
-            ),
-            1,
-            KNN_K,
-        ).alias("top"),
-    )
-    return scored.select(
-        "c_custkey", F.posexplode("top").alias("pos", "nb")
-    ).select(
-        "c_custkey",
-        (F.col("pos") + 1).cast("bigint").alias("knn_rank"),
-        F.col("nb.sid").cast("bigint").alias("s_suppkey"),
-        F.col("nb.d2").cast("bigint").alias("d2"),
+                yield pd.DataFrame(
+                    {
+                        "c_custkey": np.repeat(
+                            part["c_custkey"].to_numpy(np.int64), kk
+                        ),
+                        "knn_rank": np.tile(
+                            np.arange(1, kk + 1, dtype=np.int64), len(part)
+                        ),
+                        "s_suppkey": sid[idx].ravel(),
+                        "d2": np.take_along_axis(d2, idx, axis=1).ravel(),
+                    }
+                )
+
+    return cust.mapInPandas(
+        knn,
+        "c_custkey bigint, knn_rank bigint, s_suppkey bigint, d2 bigint",
     )

@@ -969,11 +969,20 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     global NTILE windows over per-key aggregates. Determinism: every
     NTILE ordering carries the customer key as tiebreak (equal scores
     would otherwise land in engine-dependent tiles); money is exact
-    integer cents. Scale note: a global NTILE is a single-partition
-    sort -- fine for customer-dimension cardinality (it is a DIM, not
-    the fact); for fact-sized inputs the percentile-threshold join
-    (agg_percentile's shape) replaces it, trading one sort for two
-    passes."""
+    integer cents.
+
+    Scale shape: each quintile is one ``_global_rank`` pass (range
+    repartition + parallel per-partition windows) with NTILE recovered
+    arithmetically from (i, n) via ``_ntile_from_rank`` -- never a
+    single-partition global NTILE sort, so the plan holds even when the
+    customer dimension itself is billions of rows. The three score
+    branches each project only (key, value) and join back on the
+    customer key -- ordinary hash joins on the aggregate, all parallel."""
+    from metadata_extractors_api_spark.operators.quality import (
+        _global_rank,
+        _ntile_from_rank,
+    )
+
     o = load(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -982,16 +991,21 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("monetary_cents"),
     )
-    r_w = Window.orderBy("last_order", "o_custkey")
-    f_w = Window.orderBy("frequency", "o_custkey")
-    m_w = Window.orderBy("monetary_cents", "o_custkey")
-    scored = rfm.select(
-        "o_custkey",
-        "frequency",
-        "monetary_cents",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+
+    def score(value_col: str, out: str):
+        ranked = _global_rank(
+            rfm.select("o_custkey", value_col), value_col, "o_custkey"
+        )
+        return ranked.select(
+            "o_custkey",
+            _ntile_from_rank(F.col("i"), F.col("n"), 5).alias(out),
+        )
+
+    scored = (
+        rfm.select("o_custkey", "monetary_cents")
+        .join(score("last_order", "r_score"), "o_custkey")
+        .join(score("frequency", "f_score"), "o_custkey")
+        .join(score("monetary_cents", "m_score"), "o_custkey")
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers"),
@@ -1093,24 +1107,28 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision. The class boundaries compare in exact integers
     (run*100 <= total*80, never a float share), revenue is exact
     cents, and the (cents DESC, partkey) ordering makes the cumulative
-    walk engine-independent through ties. Scale: the ranking window is
-    a single-partition sort over the PART dimension (not the fact);
-    the fact is touched once by the revenue rollup."""
+    walk engine-independent through ties.
+
+    Scale shape: the descending cumulative revenue comes from
+    ``_global_cumsum`` over the NEGATED cents (same trick as its
+    sibling ``orders_abc_pareto``) -- range repartition + parallel
+    per-partition windows, never a single-partition global sort, so
+    the plan holds even when the part dimension is billions of rows;
+    the grand total ``tw`` falls out of the same pass (no separate
+    rollup + crossJoin)."""
+    from metadata_extractors_api_spark.operators.quality import _global_cumsum
+
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents")
-    )
-    tot = rev.agg(F.sum("cents").cast("bigint").alias("t"))
-    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = rev.withColumn("run", F.sum("cents").over(w).cast("bigint"))
-    classed = ranked.crossJoin(F.broadcast(tot)).select(
+    ).withColumn("_neg", -F.col("cents"))
+    c = _global_cumsum(rev, "_neg", "l_partkey", "cents")
+    classed = c.select(
         "cents",
-        F.when(F.col("run") * 100 <= F.col("t") * 80, "A")
-        .when(F.col("run") * 100 <= F.col("t") * 95, "B")
+        F.when(F.col("cw") * 100 <= F.col("tw") * 80, "A")
+        .when(F.col("cw") * 100 <= F.col("tw") * 95, "B")
         .otherwise("C")
         .alias("abc"),
     )

@@ -345,12 +345,137 @@ def test_bounce_rate_reuses_user_partitioning(spark, sf_dir):
 
 
 def test_spatial_knn_is_shuffle_free(spark, sf_dir):
-    # Broadcast-KNN: the reference set collapses to one broadcast row;
-    # per-point scoring is HOF codegen. The ONLY exchange allowed is
-    # the single-row reference rollup -- no window, no data shuffle.
+    # Vectorized broadcast-KNN: reference arrays ship as a
+    # SparkContext broadcast into a numpy mapInPandas scorer. No
+    # window, no data shuffle, no plan-level exchange at all beyond
+    # the documented round-robin scan-parallelism repartition.
     plan = _plan(mdx.QUERIES["join_spatial_knn"](spark, sf_dir))
     assert "Window" not in plan
-    # no key-hash data shuffle; only the one-row rollup, its broadcast,
-    # and the documented round-robin scan-parallelism repartition
     assert "Exchange hashpartitioning" not in plan
-    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide single-partition-window audit
+# ---------------------------------------------------------------------------
+
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [..] groups of a Window/WindowGroupLimit toString tail."""
+    groups, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+def _unpartitioned_window_sigs(plan: str) -> set:
+    """Ordering-column signatures of every Window node whose partition
+    spec is EMPTY (the single-partition scale-killer shape).
+
+    toString layout: ``Window [exprs], [partSpec], [orderSpec]`` — but
+    empty specs are OMITTED, so a 2-group node is partitioned-unordered
+    when group 2 has no ASC/DESC tokens (fine: data stays spread) and
+    globally ordered when it does (flagged). A 1-group node is a global
+    unordered aggregate window (flagged as ``<global-unordered>``)."""
+    import re
+
+    sigs = set()
+    for line in plan.splitlines():
+        st = line.strip().lstrip(":+- ")
+        m = re.match(r"(Window|WindowGroupLimit) (\[.*)$", st)
+        if not m:
+            continue
+        kind, groups = m.group(1), _bracket_groups(m.group(2))
+        if kind == "WindowGroupLimit":
+            if groups[0].strip():
+                continue  # partition-local rank limit: fine
+            order = groups[1] if len(groups) > 1 else ""
+            cols = sorted(set(re.findall(r"(\w+)#\d+", order)))
+            sigs.add("WGL:" + ",".join(cols))
+            continue
+        if len(groups) >= 3:
+            continue  # partitioned + ordered
+        g2 = groups[1] if len(groups) > 1 else ""
+        if " ASC" in g2 or " DESC" in g2:
+            cols = sorted(set(re.findall(r"(\w+)#\d+", g2)))
+            sigs.add(",".join(cols))
+        elif not g2.strip():
+            sigs.add("<global-unordered>")
+        # else: partitioned, unordered — data stays spread
+    return sigs
+
+
+# Every unpartitioned window a registered query is ALLOWED to contain,
+# keyed by query name. Two legitimate classes exist — anything else is
+# a single-partition sort over an SF-scaling relation, i.e. the exact
+# pattern the round-3 verdict demanded be dead:
+#   * "_pid" / "<global-unordered>": the offsets branch of the
+#     two-phase _global_rank/_global_cumsum primitives — a window over
+#     the PARTITION-COUNT-sized totals table (32 rows here, ==
+#     shuffle partitions on a cluster), never over data.
+#   * calendar/bucket grains: relations bounded by the time range or
+#     a fixed bucket count, independent of SF (days/months of the
+#     order history, fixed score buckets) — they do not grow with data.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    # two-phase primitive offset branches (bounded: n_partitions rows)
+    "agg_percentile_cont": {"<global-unordered>", "_pid"},
+    "agg_weighted_median": {"<global-unordered>", "_pid"},
+    "dedup_sorted_neighborhood": {"_pid"},
+    "fn_surrogate_key": {"_pid"},
+    "orders_abc_pareto": {"<global-unordered>", "_pid"},
+    "orders_skyline_2d": {"_pid"},
+    "pack_concat_chunks": {"_pid"},
+    "part_abc_pareto": {"<global-unordered>", "_pid"},
+    "revenue_gini": {"<global-unordered>", "_pid"},
+    "rfm_segmentation": {"<global-unordered>", "_pid"},
+    "sample_pps_systematic": {"<global-unordered>", "_pid"},
+    "shuffle_deterministic": {"_pid"},
+    "text_vocab_growth": {"_pid"},
+    "win_ntile_percent": {"<global-unordered>", "_pid"},
+    # bounded calendar / bucket grains (time-range- or constant-sized)
+    "corpus_yield_curve": {"div_bucket"},  # fixed divergence buckets
+    "orders_backlog_sweepline": {"day"},  # calendar days of history
+    "orders_life_table": {"t"},  # lifetime-day buckets
+    "orders_open_backlog": {"d"},  # calendar days of history
+    "orders_yoy_growth": {"month"},  # calendar months of history
+}
+
+
+def test_no_registered_query_sorts_data_on_one_partition(spark, sf_dir):
+    """Round-3 verdict item 1, the 'done' gate: NO registered query's
+    physical plan may contain a Window with an empty partition spec
+    over an SF-scaling relation. The allowlist above pins the exact
+    bounded exceptions; any new query (or regression of an existing
+    one) that introduces a global sort fails here with its ordering
+    signature, forcing the author to either use _global_rank/
+    _global_cumsum or justify a new bounded entry."""
+    violations = {}
+    state = {}
+    for name, q in sorted(mdx.QUERIES.items()):
+        sigs = _unpartitioned_window_sigs(_plan(q(spark, sf_dir)))
+        if sigs:
+            state[name] = sigs
+        extra = sigs - _GLOBAL_WINDOW_ALLOWLIST.get(name, set())
+        if extra:
+            violations[name] = sorted(extra)
+    assert not violations, (
+        "single-partition global windows over unvetted relations: "
+        f"{violations}"
+    )
+    # and the allowlist must not go stale: every entry still earns it
+    stale = {
+        n: sorted(allowed)
+        for n, allowed in _GLOBAL_WINDOW_ALLOWLIST.items()
+        if not (state.get(n, set()) & allowed)
+    }
+    assert not stale, f"allowlist entries no longer exercised: {stale}"
