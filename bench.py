@@ -112,6 +112,19 @@ def main() -> None:
     from metadata_extractors_api_spark import QUERIES
     from metadata_extractors_api_spark.session import get_spark
 
+    # Machine-load stamp (BENCH.md documents ±15-50% ambient swing on
+    # totals): record the 1-min load average at start so a hot machine
+    # is visible in the artifact, and warn loudly when it exceeds half
+    # the core count — per-query medians stay the quotable numbers.
+    load1 = os.getloadavg()[0]
+    ncpu = os.cpu_count() or 1
+    if load1 > ncpu / 2:
+        print(
+            f"WARNING: load average {load1:.1f} on {ncpu} cpus at bench "
+            "start; totals will run hot — trust per-query medians only",
+            file=sys.stderr,
+        )
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="mdx-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -134,6 +147,8 @@ def main() -> None:
         "queries": results,
         "spread": spread,
         "runs": RUNS,
+        "load1_at_start": round(load1, 2),
+        "ncpu": ncpu,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

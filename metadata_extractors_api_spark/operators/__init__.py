@@ -18,3 +18,4 @@ from metadata_extractors_api_spark.operators import workload  # noqa: F401
 from metadata_extractors_api_spark import functions  # noqa: F401
 from metadata_extractors_api_spark import streaming  # noqa: F401
 from metadata_extractors_api_spark.plans import extract_batch  # noqa: F401
+from metadata_extractors_api_spark.plans import detect_filetype  # noqa: F401

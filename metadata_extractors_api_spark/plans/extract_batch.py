@@ -453,6 +453,9 @@ def extract_validate_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from metadata_extractors_api_spark.plans import detect_filetype as _detect
+
+
 @register(
     "extract_dead_letter",
     oracle=f"""
@@ -473,10 +476,17 @@ def extract_validate_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
           OR SUM(CASE WHEN r.value IS NOT NULL AND r.value >= 0
                        AND r.point BETWEEN 0 AND 4
                        AND r.channel IN ('Ewe', 'I', 'cycle')
-                      THEN 1 ELSE 0 END) <> COUNT(*))
+                      THEN 1 ELSE 0 END) <> COUNT(*)),
+    detected AS (SELECT * FROM ({_detect.DETECT_ORACLE}) t),
+    undetectable AS (
+      SELECT CAST(NULL AS BIGINT) AS file_id, fname AS path,
+             'undetectable_type' AS reason
+      FROM detected WHERE detected_type IS NULL)
     SELECT file_id, path, reason FROM orphans
     UNION ALL
     SELECT file_id, path, reason FROM invalid
+    UNION ALL
+    SELECT file_id, path, reason FROM undetectable
     ORDER BY reason, file_id
     """,
 )
@@ -485,11 +495,13 @@ def extract_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot flow through -- files whose filetype has no registered
     extractor (the case the reference raises an exception on,
     __init__.py:241-258; set-oriented engines QUARANTINE instead of
-    aborting the batch) and files whose executed output fails the
-    validation contract -- each with a machine-readable reason. The
-    triage queue an operator drains after every 100 TB run; the happy
-    path never pays for it because both arms reuse the pipeline's
-    existing relations (dispatch complement + validation rollup)."""
+    aborting the batch), files whose executed output fails the
+    validation contract, and unlabeled files the detection rules
+    (plans/detect_filetype.py, reference README.md:94) cannot type --
+    each with a machine-readable reason. The triage queue an operator
+    drains after every 100 TB run; the happy path never pays for it
+    because every arm reuses the pipeline's existing relations
+    (dispatch complement + validation rollup + detection census)."""
     files = reg.files_df(spark)
     dispatched = extract_batch(spark, files)
     orphans = (
@@ -518,4 +530,191 @@ def extract_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("invalid_output").alias("reason"),
         )
     )
-    return orphans.unionByName(invalid).orderBy("reason", "file_id")
+    undetectable = (
+        _detect.detect_types(spark)
+        .filter(F.col("detected_type").isNull())
+        .select(
+            F.lit(None).cast("bigint").alias("file_id"),
+            F.col("fname").alias("path"),
+            F.lit("undetectable_type").alias("reason"),
+        )
+    )
+    return (
+        orphans.unionByName(invalid)
+        .unionByName(undetectable)
+        .orderBy("reason", "file_id")
+    )
+
+
+@register(
+    "extract_test_sweep",
+    oracle=f"""
+    WITH files AS (SELECT * FROM {reg.files_values_sql()}),
+         extractors AS (SELECT * FROM {reg.extractors_values_sql()}),
+    sup AS (
+      SELECT id AS extractor_id,
+             unnest(supported_filetypes) AS sf,
+             usage
+      FROM extractors),
+    pairs AS (
+      SELECT s.extractor_id, f.file_id,
+             coalesce(list_filter(s.usage, u -> u.method = 'python')[1],
+                      s.usage[-1]) AS u
+      FROM sup s JOIN files f ON f.filetype_id = s.sf.id),
+    classed AS (
+      SELECT extractor_id,
+             CASE WHEN u.method = 'python'
+                    OR starts_with(u.command, 'csvx') THEN 'pass'
+                  ELSE 'error' END AS status
+      FROM pairs)
+    SELECT extractor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN status = 'pass' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN status = 'fail' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fail,
+           CAST(SUM(CASE WHEN status = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error
+    FROM classed
+    GROUP BY extractor_id
+    """,
+)
+def extract_test_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry testing mode — the reference's second unimplemented
+    plan item (README.md:92-93: "a testing mode, where an extractor
+    can be run against all example files in the registry for that file
+    type"), generalizing its live E2E test (tests/test_mpr.py:38-52)
+    to EVERY (extractor, example-file) pair.
+
+    Unlike dispatch (A4 first-wins), the sweep runs EVERY registered
+    extractor against EVERY registry file of each filetype it claims
+    to support: explode supported_filetypes, join the example-file
+    relation on the claimed type (both registry dims -> broadcast),
+    render each pair's command through the SAME A7/A8 path dispatch
+    uses, then EXECUTE each pair (python in-process invocation / cli
+    subprocess, identical to extract_run) and classify: ``pass`` =
+    ran and produced the full valid output contract (channels x
+    points, typed, non-negative), ``fail`` = ran but output invalid,
+    ``error`` = invocation failed (missing binary, unresolvable
+    module, nonzero exit). The per-extractor rollup is the registry
+    health report the reference README wants; alt-extractor's missing
+    ``altx`` binary lands in n_error by construction, proving the
+    error channel is exercised, not just declared. The oracle
+    re-derives the expected classification relationally from the
+    registry VALUES plus the executor-availability model (python
+    in-process + the csvx shim), so any rendering, routing, or
+    execution bug diverges."""
+    ex = reg.extractors_df(spark)
+    sup = ex.select(
+        F.col("id").alias("extractor_id"),
+        F.explode("supported_filetypes").alias("sf"),
+        "usage",
+    ).select(
+        "extractor_id",
+        F.col("sf.id").alias("filetype_id"),
+        F.col("sf.template").alias("template"),
+        "usage",
+    )
+    files = reg.files_df(spark)
+    u = pick_usage(F.col("usage"), "python")
+    paired = files.join(F.broadcast(sup), "filetype_id").select(
+        "extractor_id",
+        "file_id",
+        "path",
+        "filetype_id",
+        "template",
+        u.getField("method").alias("method"),
+        u.getField("setup").alias("setup"),
+        u.getField("command").alias("command"),
+    )
+
+    def _override(field: str, default):
+        o = F.nullif(
+            F.try_element_at(F.col("template"), F.lit(field)), F.lit("")
+        )
+        return F.coalesce(o, default) if default is not None else o
+
+    rendered = render_command(
+        F.col("command"),
+        F.col("method"),
+        {
+            "input_type": _override("input_type", F.col("filetype_id")),
+            "input_path": _override("input_path", F.col("path")),
+            "output_type": _override("output_type", None),
+            "output_path": _override(
+                "output_path", default_output_path(F.col("path"))
+            ),
+        },
+    )
+    todo = paired.select(
+        "extractor_id", "file_id", "method", "setup", rendered.alias("rendered")
+    )
+    shim_source = _cli_shim_source()
+
+    def _valid(rows) -> bool:
+        if len(rows) != 15:
+            return False
+        return all(
+            ch in ("Ewe", "I", "cycle")
+            and 0 <= int(pt) <= 4
+            and val is not None
+            and float(val) >= 0
+            for ch, pt, val in rows
+        )
+
+    def run_sweep(batches):
+        import os
+        import subprocess
+        import tempfile
+
+        from metadata_extractors_api_spark.plans.extractors_fixture import (
+            execute_python_call,
+        )
+
+        shim_dir = tempfile.mkdtemp(prefix="mdx_sweep_shim_")
+        shim = os.path.join(shim_dir, "csvx")
+        with open(shim, "w") as fh:
+            fh.write(shim_source)
+        os.chmod(shim, 0o755)
+        env = dict(os.environ)
+        env["PATH"] = shim_dir + os.pathsep + env.get("PATH", "")
+        for pdf in batches:
+            out = []
+            for eid, method, setup, rendered in zip(
+                pdf["extractor_id"], pdf["method"], pdf["setup"], pdf["rendered"]
+            ):
+                if method == "python":
+                    try:
+                        rows = execute_python_call(rendered, setup)
+                        status = "pass" if _valid(rows) else "fail"
+                    except Exception:
+                        status = "error"
+                else:
+                    res = subprocess.run(
+                        ["/bin/sh", "-c", rendered],
+                        capture_output=True,
+                        text=True,
+                        env=env,
+                    )
+                    if res.returncode != 0:
+                        status = "error"
+                    else:
+                        try:
+                            rows = [
+                                tuple(line.split(","))
+                                for line in res.stdout.splitlines()
+                            ]
+                            status = "pass" if _valid(rows) else "fail"
+                        except Exception:
+                            status = "fail"
+                out.append((eid, status))
+            yield pd.DataFrame(out, columns=["extractor_id", "status"])
+
+    executed = todo.mapInPandas(run_sweep, "extractor_id string, status string")
+    s = F.col("status")
+    return executed.groupBy("extractor_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum((s == "pass").cast("int")).cast("bigint").alias("n_pass"),
+        F.sum((s == "fail").cast("int")).cast("bigint").alias("n_fail"),
+        F.sum((s == "error").cast("int")).cast("bigint").alias("n_error"),
+    )
