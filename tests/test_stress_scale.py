@@ -246,3 +246,89 @@ def test_prorate_telescoping_conserves_cents_1m(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_jaccard_prefix_semi_prune_has_no_forced_broadcast(spark, sf_dir):
+    # Round-3 verdict item 5: the candidate semi-prune's size is a
+    # function of data skew (a boilerplate-heavy corpus can make it
+    # corpus-sized), so the plan must NOT carry a compile-time
+    # broadcast hint -- AQE decides from the runtime exchange size.
+    # The registry dims' broadcasts elsewhere are fine; this query's
+    # analyzed plan must be hint-free end to end.
+    import metadata_extractors_api_spark as mdx
+
+    df = mdx.QUERIES["dedup_jaccard_prefix"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_spatial_knn_refuses_oversized_reference(spark, sf_dir, monkeypatch):
+    # The broadcast-KNN size guard must refuse loudly (never OOM
+    # silently) when the reference set exceeds its documented bound.
+    import pytest
+
+    import metadata_extractors_api_spark.operators.spatial as sp
+
+    monkeypatch.setattr(sp, "KNN_MAX_REF", 1)
+    with pytest.raises(ValueError, match="dimension-sized"):
+        sp.join_spatial_knn(spark, sf_dir)
+
+
+def test_skewed_boilerplate_corpus_prefix_join_is_bounded(spark):
+    # Adversarial skew for the PPJoin path: 2000 docs where 500 share
+    # one boilerplate template (worst-case candidate blowup for naive
+    # pairing). The df-ordered prefix filter must keep the candidate
+    # relation bounded and the query must complete with the exact
+    # number of >=0.9-Jaccard boilerplate pairs; a forced broadcast of
+    # a corpus-sized prune would be the OOM shape this guards against.
+    import pandas as pd
+
+    from metadata_extractors_api_spark.operators.llm import (
+        shingles_col,
+        tokens_col,
+    )
+
+    n_boiler = 500
+    rows = []
+    for i in range(2000):
+        if i < n_boiler:
+            # identical boilerplate -> all pairs are exact dups
+            rows.append((i, "terms of service apply to all users " * 6))
+        else:
+            rows.append((i, f"unique document body number {i} " * 6))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    d = spark.createDataFrame(pdf).repartition(8)
+
+    ex = d.select("doc_id", F.explode(
+        F.array_distinct(shingles_col(toks=tokens_col()))
+    ).alias("shingle"))
+    # candidate volume via the same df-ordered prefix construction:
+    # identical docs share every shingle, so the prefix is 1 shingle
+    # per doc and candidates collapse to the boilerplate block only
+    from pyspark.sql import Window
+
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    wrank = wdoc.orderBy("df", "shingle")
+    ranked = (
+        ex.join(dfreq, "shingle")
+        .withColumn("n", F.count(F.lit(1)).over(wdoc))
+        .withColumn("rn", F.row_number().over(wrank))
+    )
+    t = 0.9
+    pref = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    # exactly the boilerplate block's pairs -- nothing corpus-sized
+    assert cand == n_boiler * (n_boiler - 1) // 2
