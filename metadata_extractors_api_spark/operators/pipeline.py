@@ -1060,3 +1060,143 @@ def dedup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("family_size")
     )
+
+
+# --------------------------------------------------------------------------
+# PCA power iteration (top principal direction of the embedding corpus)
+# --------------------------------------------------------------------------
+
+#: fixture embedding dimensionality (validated at runtime).
+EMB_DIM = 64
+
+#: unrolled power-iteration count (same convergence-by-construction
+#: posture as kmeans_train's unrolled oracle).
+PCA_ITERS = 3
+
+#: fixed-point scale for the iterate vector.
+PCA_SCALE = 1_000_000
+
+
+def _pca_oracle() -> str:
+    """Unrolled DuckDB twin of the power iteration: identical integer
+    quantization, DECIMAL(38,0) accumulation, and max-abs rescale."""
+    ctes = [
+        """x AS (
+      SELECT vec_id, u.j AS j,
+             CAST(floor(CAST(u.x AS DOUBLE) * 1e6) AS BIGINT) AS xq
+      FROM (SELECT vec_id,
+                   unnest(list_transform(embedding,
+                                         (x, i) -> {'j': i, 'x': x})) AS u
+            FROM embeddings))""",
+        f"""v0 AS (SELECT j, CAST({PCA_SCALE} AS BIGINT) AS v
+      FROM range(1, {EMB_DIM + 1}) t(j))""",
+    ]
+    for t in range(1, PCA_ITERS + 1):
+        p = t - 1
+        ctes.append(f"""s{t} AS (
+      SELECT x.vec_id, CAST(SUM(x.xq * v{p}.v) AS BIGINT) AS s
+      FROM x JOIN v{p} ON x.j = v{p}.j GROUP BY x.vec_id)""")
+        ctes.append(f"""w{t} AS (
+      SELECT x.j,
+             CAST(SUM(CAST(s{t}.s AS DECIMAL(19,0)) * x.xq)
+                  AS DECIMAL(38,0)) AS w
+      FROM x JOIN s{t} ON x.vec_id = s{t}.vec_id GROUP BY x.j)""")
+        ctes.append(f"""m{t} AS (SELECT MAX(abs(w)) AS m FROM w{t})""")
+        ctes.append(f"""v{t} AS (
+      SELECT j, CAST(floor(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+                           * {PCA_SCALE}) AS BIGINT) AS v
+      FROM w{t}, m{t})""")
+    last = PCA_ITERS
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    ray AS (
+      SELECT ROUND(SUM(CAST(v{last}.v AS DOUBLE) * CAST(w{last}.w AS DOUBLE))
+                   / SUM(CAST(v{last}.v AS DOUBLE) * CAST(v{last}.v AS DOUBLE))
+                   / 1e12, 6) AS eigval
+      FROM v{last} JOIN w{last} ON v{last}.j = w{last}.j)
+    SELECT CAST(v{last}.j AS BIGINT) AS j, v{last}.v AS component,
+           ray.eigval AS eigval
+    FROM v{last}, ray
+    """
+    )
+
+
+@register("embedding_pca_power", oracle=_pca_oracle())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via POWER
+    ITERATION — the dominant eigenvector of XᵀX (uncentered PCA / top
+    right-singular direction), the building block behind spectral
+    whitening, residual decomposition, and drift tracking over
+    embedding spaces.
+
+    Spark-first iterative-ML shape (same family as kmeans_train /
+    graph_pagerank): the corpus stays LONG (vec_id, j, xq) and each of
+    the {PCA_ITERS} unrolled iterations is two shuffles — s = Xv (a
+    broadcast join of the 64-row iterate against the corpus, groupBy
+    vec_id) and w = Xᵀs (shuffle join on vec_id, groupBy dimension) —
+    then a 64-row max-abs rescale. Nothing driver-side, nothing
+    single-partition; at 100 TB each iteration is two
+    map-side-combinable aggregations over the fact.
+
+    Determinism: embeddings quantize once to integer 1e-6 units; Xv
+    accumulates in int64 (|term| <= 1e12 x dim); XᵀS accumulates in
+    DECIMAL(38,0) (terms reach ~1e19); the per-iteration rescale is
+    the ONE float step — floor(w/m * 1e6) on identical IEEE inputs in
+    both engines — after which the iterate is integer again, so error
+    cannot compound across iterations. The final Rayleigh quotient is
+    reported in original units (the 1e12 rescale) rounded to 1e-6."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xval")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("j"),
+        F.floor(F.col("xval").cast("double") * 1e6).cast("bigint").alias("xq"),
+    )
+    v = spark.range(1, EMB_DIM + 1).select(
+        F.col("id").alias("j"), F.lit(PCA_SCALE).cast("bigint").alias("v")
+    )
+    w = None
+    for _ in range(PCA_ITERS):
+        s = (
+            x.join(F.broadcast(v), "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xq") * F.col("v")).cast("bigint").alias("s"))
+        )
+        w = (
+            x.join(s, "vec_id")
+            .groupBy("j")
+            .agg(
+                F.sum(F.col("s").cast("decimal(19,0)") * F.col("xq"))
+                .cast("decimal(38,0)")
+                .alias("w")
+            )
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            "j",
+            F.floor(
+                F.col("w").cast("double") / F.col("m").cast("double")
+                * PCA_SCALE
+            )
+            .cast("bigint")
+            .alias("v"),
+        )
+    ray = (
+        v.join(w, "j")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("double") * F.col("w").cast("double"))
+                / F.sum(F.col("v").cast("double") * F.col("v").cast("double"))
+                / 1e12,
+                6,
+            ).alias("eigval")
+        )
+    )
+    return v.crossJoin(F.broadcast(ray)).select(
+        F.col("j").cast("bigint").alias("j"),
+        F.col("v").alias("component"),
+        "eigval",
+    )

@@ -2640,3 +2640,94 @@ def dq_books_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("diff_cents").cast("bigint").alias("max_abs_diff_cents"),
         F.sum("diff_cents").cast("bigint").alias("sum_abs_diff_cents"),
     )
+
+
+@register(
+    "agg_ols_regression",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM orders GROUP BY o_custkey),
+    j AS (
+      SELECT c.c_nationkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS x, pc.y
+      FROM customer c JOIN pc ON c.c_custkey = pc.o_custkey),
+    m AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM j GROUP BY c_nationkey),
+    d AS (
+      SELECT c_nationkey, n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x_n,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y_n,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM m)
+    SELECT CAST(c_nationkey AS BIGINT) AS nation, n,
+           ROUND(cov_n / var_x_n, 6) AS slope,
+           ROUND((syd - (cov_n / var_x_n) * sxd) / n, 6) AS intercept,
+           ROUND((cov_n * cov_n) / (var_x_n * var_y_n), 6) AS r2
+    FROM d
+    """,
+)
+def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ordinary-least-squares: per nation, regress each
+    customer's lifetime order revenue (y) on their account balance (x),
+    emitting slope / intercept / R^2 — the one-pass sufficient-statistics
+    closed form (n, Σx, Σy, Σxy, Σx², Σy²) every feature-vs-outcome
+    screen reduces to.
+
+    Scale/determinism shape: the moments are EXACT — integer cents,
+    pairwise products in DECIMAL(19,0), sums in DECIMAL(38,0) (never a
+    float accumulation, so the result is partitioning-invariant) — and
+    only the final closed form drops to IEEE doubles, where both
+    engines perform the identical operation sequence on identical
+    inputs. One fact groupBy (orders → per-customer revenue), one
+    dimension join, one map-side-combinable moments groupBy; nothing
+    grows with SF but the two shuffles' key cardinality."""
+    o = load(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("x"),
+    )
+    j = c.join(pc, c.c_custkey == pc.o_custkey).select("c_nationkey", "x", "y")
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    m = j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("syy"),
+    )
+    nD = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    cov_n = nD * F.col("sxy").cast("double") - sxd * syd
+    var_x_n = nD * F.col("sxx").cast("double") - sxd * sxd
+    var_y_n = nD * F.col("syy").cast("double") - syd * syd
+    slope = cov_n / var_x_n
+    return m.select(
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((syd - slope * sxd) / nD, 6).alias("intercept"),
+        F.round((cov_n * cov_n) / (var_x_n * var_y_n), 6).alias("r2"),
+    )

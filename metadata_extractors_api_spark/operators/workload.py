@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from metadata_extractors_api_spark.catalog import load
-from metadata_extractors_api_spark.operators.relational import money, rate
+from metadata_extractors_api_spark.operators.relational import (
+    davg,
+    dsum,
+    money,
+    rate,
+)
 from metadata_extractors_api_spark.registry import register
 
 
@@ -1729,4 +1734,64 @@ def tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
+    )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))), 2)
+                AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l_discount AS DECIMAL(6,2)))), 2)
+                AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                          * (1 - CAST(l_discount AS DECIMAL(6,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(6,2)))), 2)
+                AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+                 / COUNT(l_quantity), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE)
+                 / COUNT(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) — the canonical scan-heavy
+    single-table rollup the suite was missing. One pushed date filter,
+    one map-side-combinable groupBy on a 6-ish-value key: the shuffle
+    carries |groups| x |partial-agg| rows no matter the scale factor,
+    which is why Q1 is the canonical 100 TB throughput probe (the scan
+    IS the cost). Money stays DECIMAL through the product chains
+    (disc_price, charge) per the engine's exactness policy; averages
+    are exact-decimal sums over counts in IEEE double, rounded
+    identically in both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    price = money("l_extendedprice")
+    disc = F.lit(1).cast("decimal(6,2)") - rate("l_discount")
+    tax = F.lit(1).cast("decimal(6,2)") + rate("l_tax")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(money("l_quantity"), "sum_qty"),
+            dsum(price, "sum_base_price"),
+            dsum(price * disc, "sum_disc_price"),
+            dsum(price * disc * tax, "sum_charge"),
+            davg(money("l_quantity"), "avg_qty"),
+            davg(price, "avg_price"),
+            davg(rate("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
     )

@@ -163,6 +163,95 @@ def detect_types(spark: SparkSession) -> DataFrame:
     )
 
 
+_STREAM_MEMO: dict = {}
+
+
+@register("stream_detect_filetype", oracle=DETECT_ORACLE)
+def stream_detect_filetype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of ``extract_detect_filetype``: unlabeled files
+    ARRIVE (binaryFile file-source stream, one file per trigger — the
+    reference README's "parallel/continuous processing of many files",
+    README.md:95-96) and each micro-batch runs the identical census →
+    broadcast-rules join → priority pick → extractor resolution,
+    appending labels to the result table. After the availableNow drain
+    the accumulated labels must equal the batch detection exactly — the
+    oracle IS the batch query's oracle. Scale: per-batch work is
+    O(batch x rules); nothing is held between batches."""
+    import tempfile
+
+    from metadata_extractors_api_spark.plans.extract_batch import (
+        first_extractor,
+    )
+
+    key = id(spark)
+    out_dir = _STREAM_MEMO.get(key)
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="mdx_detect_stream_out_")
+        stream = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path STRING, modificationTime TIMESTAMP, "
+                "length LONG, content BINARY"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .load(_fixture_dir())
+        )
+        fname = F.element_at(F.split(F.col("path"), "/"), -1)
+        census = stream.select(
+            fname.alias("fname"),
+            F.hex(F.substring(F.col("content"), 1, HEAD_LEN)).alias(
+                "head_hex"
+            ),
+            F.lower(F.regexp_extract(fname, r"\.([^.]+)$", 1)).alias("ext"),
+        )
+        rules = spark.createDataFrame(DETECT_RULES, RULES_SCHEMA)
+        ft = reg.filetypes_df(spark).select(
+            F.col("id").alias("detected_type"), "registered_extractors"
+        )
+
+        def process(batch_df: DataFrame, _batch_id: int) -> None:
+            cond = (
+                (F.col("method") == "magic")
+                & F.col("head_hex").startswith(F.col("pattern"))
+            ) | (
+                (F.col("method") == "extension")
+                & (F.col("ext") == F.col("pattern"))
+            )
+            matched = batch_df.join(F.broadcast(rules), cond)
+            best = matched.groupBy("fname").agg(
+                F.min_by(F.struct("filetype_id", "method"), "priority").alias(
+                    "b"
+                )
+            )
+            labeled = batch_df.join(best, "fname", "left").select(
+                "fname",
+                F.col("b.filetype_id").alias("detected_type"),
+                F.coalesce(F.col("b.method"), F.lit("none")).alias("via"),
+            )
+            labeled.join(F.broadcast(ft), "detected_type", "left").select(
+                "fname",
+                "detected_type",
+                "via",
+                first_extractor(F.col("registered_extractors")).alias(
+                    "extractor_id"
+                ),
+            ).write.mode("append").parquet(out_dir)
+
+        q = (
+            census.writeStream.foreachBatch(process)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="mdx_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _STREAM_MEMO[key] = out_dir
+    return spark.read.schema(
+        "fname string, detected_type string, via string, extractor_id string"
+    ).parquet(out_dir)
+
+
 @register("extract_detect_filetype", oracle=DETECT_ORACLE)
 def extract_detect_filetype(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detection feeding dispatch: every unlabeled file labeled by the
