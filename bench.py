@@ -96,6 +96,14 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "multimodal_phash_dedup",
     "text_keyword_rake",
+    # round-5 additions: TPC-H Q1 (scan-throughput probe), iterative
+    # embedding analytics, declarative DQ rules, tokenizer census
+    "tpch_q1_pricing_summary",
+    "embedding_pca_power",
+    "agg_ols_regression",
+    "dq_rule_engine",
+    "text_bpe_pair_census",
+    "sample_kcenter_diverse",
 ]
 
 RUNS = 5

@@ -1152,3 +1152,48 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_e6"), F.asc("token"))
         .limit(30)
     )
+
+
+@register(
+    "text_bpe_pair_census",
+    oracle="""
+    WITH toks AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS pair
+      FROM toks WHERE len(tk) >= 2),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs GROUP BY pair),
+    r AS (SELECT pair, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rk
+          FROM c)
+    SELECT pair, n, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20
+    """,
+)
+def text_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token pair census — the inner loop of BPE/WordPiece
+    tokenizer training (each merge round promotes the most frequent
+    adjacent pair): every document contributes its len-1 adjacent
+    pairs via one zip_with over the token array (no self-join, no
+    window), one map-side-combinable groupBy counts them, and the
+    top-20 merge candidates come off a TakeOrdered (rank re-derived
+    arithmetically on the report rows — the 20-row window is
+    report-sized, not corpus-sized). At 100 TB this is exactly the
+    one-pass-per-merge-round shape distributed tokenizer trainers run;
+    the census is re-runnable per round with the previous merges
+    applied upstream."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    toks = d.select(tokens_col().alias("tk")).filter(F.size("tk") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("pair")
+    )
+    c = pairs.groupBy("pair").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    top = c.orderBy(F.desc("n"), F.asc("pair")).limit(20)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.withColumn("rk", F.row_number().over(w).cast("bigint"))

@@ -194,3 +194,110 @@ def catalog_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE o_totalprice > 150000.0
+      AND o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL execution (``spark.sql(..., args=...)``):
+    named-parameter binding is the injection-safe client surface every
+    dashboard/API layer calls through, and the binding path (not
+    string splicing) is what this checks — the oracle states the same
+    query with the parameters INLINED, so a mis-bound or mis-coerced
+    parameter diverges. Catalyst folds bound parameters to literals at
+    plan time, so pushdown/pruning behave exactly as with inline
+    constants at any scale."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "mdx_orders_param_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM mdx_orders_param_v
+        WHERE o_totalprice > :min_total
+          AND o_orderdate >= CAST(:since AS TIMESTAMP)
+        GROUP BY o_orderpriority
+        """,
+        args={"min_total": 150000.0, "since": "1996-01-01"},
+    )
+
+
+#: fixture order-date years (the business horizon in the TPC-H-ish
+#: fixtures) and the five canonical region names.
+TRANSPOSE_YEARS = list(range(1992, 1999))
+TRANSPOSE_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+def _transpose_oracle() -> str:
+    arms = []
+    for y in TRANSPOSE_YEARS:
+        cols = ", ".join(
+            f"""CAST(SUM(CASE WHEN r.r_name = '{r}'
+                 AND year(o.o_orderdate) = {y}
+                THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS "{r}" """
+            for r in TRANSPOSE_REGIONS
+        )
+        arms.append(
+            f"""    SELECT 'y{y}' AS key, {cols}
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey"""
+        )
+    return "\n    UNION ALL\n".join(arms)
+
+
+@register("df_transpose", oracle=_transpose_oracle())
+def df_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix transpose of a pivoted rollup (``DataFrame.transpose``):
+    the region x year revenue matrix flipped so YEARS are rows and
+    REGIONS are columns — the report orientation spreadsheets want,
+    produced by the engine instead of client-side reshaping. The
+    pipeline is a customer join (AQE-sized; customer is
+    SF-proportional, so no forced hint) + broadcast nation/region
+    joins (constant-sized) -> one map-side-combinable cents rollup ->
+    pivot (explicit value list, so one pass, no value scan)
+    -> transpose. Scale: transpose collects COLUMN NAMES (the pivoted
+    year labels, bounded), never data; the matrix itself is
+    |regions| x |years| — a report, not a fact."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # customer is SF-proportional -- no broadcast hint (AQE decides);
+    # nation/region are constant-sized (25 / 5 rows): hint is safe.
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "r_name",
+            F.concat(F.lit("y"), F.year("o_orderdate")).alias("yr"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+                "cents"
+            ),
+        )
+    )
+    mat = (
+        base.groupBy("r_name")
+        .pivot("yr", [f"y{y}" for y in TRANSPOSE_YEARS])
+        .sum("cents")
+        .na.fill(0)
+        .orderBy("r_name")
+    )
+    return mat.transpose()

@@ -2731,3 +2731,65 @@ def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((syd - slope * sxd) / nD, 6).alias("intercept"),
         F.round((cov_n * cov_n) / (var_x_n * var_y_n), 6).alias("r2"),
     )
+
+
+#: declarative DQ rules: (rule_id, description, SQL predicate over
+#: orders). The predicate dialect is the ANSI intersection both engines
+#: parse identically -- rules are DATA (the reference README's "rules
+#: added to the schemas" posture, README.md:94, applied to quality).
+DQ_RULES: list[tuple[str, str, str]] = [
+    ("totalprice_positive", "order total must be positive",
+     "o_totalprice > 0"),
+    ("status_domain", "status within the documented domain",
+     "o_orderstatus IN ('O', 'F', 'P')"),
+    ("date_in_range", "order date inside the business horizon",
+     "o_orderdate BETWEEN TIMESTAMP '1992-01-01' "
+     "AND TIMESTAMP '1998-12-31'"),
+    ("priority_wellformed", "priority label carries a rank prefix",
+     "o_orderpriority LIKE '%-%'"),
+]
+
+
+def _rule_engine_oracle() -> str:
+    arms = "\n    UNION ALL\n".join(
+        f"""    SELECT '{rid}' AS rule_id, '{desc}' AS description,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN NOT ({pred}) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders"""
+        for rid, desc, pred in DQ_RULES
+    )
+    return arms
+
+
+@register("dq_rule_engine", oracle=_rule_engine_oracle())
+def dq_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule engine: boolean predicates live in
+    a RULES TABLE (expression-as-data), and ONE pass over the fact
+    evaluates all of them — each row explodes to |rules| (rule_id,
+    violated) pairs folded by a map-side-combinable groupBy, so adding
+    a rule never adds a scan. The predicate strings compile via
+    ``F.expr`` on the Spark side and are spliced verbatim into the
+    DuckDB oracle, so the rules' SEMANTICS (not a re-implementation)
+    are what both engines execute — any dialect divergence or
+    mis-binding surfaces as a value diff. The same shape at 100 TB:
+    rule count is bounded, the fact is touched once."""
+    o = load(spark, sf_dir, "orders")
+    checks = F.array(
+        *[
+            F.struct(
+                F.lit(rid).alias("rule_id"),
+                F.lit(desc).alias("description"),
+                (~F.expr(pred)).cast("int").alias("violated"),
+            )
+            for rid, desc, pred in DQ_RULES
+        ]
+    )
+    return (
+        o.select(F.explode(checks).alias("c"))
+        .groupBy("c.rule_id", "c.description")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+            F.sum("c.violated").cast("bigint").alias("n_violations"),
+        )
+    )

@@ -812,3 +812,36 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey")
     exc = c.subtract(s).select(F.lit("except").alias("op"), "nationkey")
     return inter.unionByName(exc)
+
+
+@register(
+    "sort_paginate",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(round(c_acctbal * 100) AS BIGINT)
+               AS bal_cents
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-stable pagination: page 3 of the balance leaderboard via
+    ORDER BY ... LIMIT/OFFSET (``DataFrame.offset``, the API surface
+    clients paginate with). The total order carries the key tiebreak so
+    pages are deterministic across engines and runs. Scale note: OFFSET
+    pagination is fine for UI-depth offsets (Spark plans it as a global
+    top-(offset+limit) TakeOrdered -- no full sort); DEEP pagination
+    (offset in the millions) belongs to keyset predicates
+    (WHERE (bal, key) < last_seen) which this same total order makes
+    correct."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        )
+        .orderBy(F.desc("bal_cents"), F.asc("c_custkey"))
+        .offset(40)
+        .limit(20)
+    )

@@ -1087,3 +1087,143 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.join(cand, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "rank_gap", "jaccard"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center diverse sampling (farthest-point coreset)
+# ---------------------------------------------------------------------------
+
+#: number of diverse exemplars selected.
+KCENTER_K = 5
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled DuckDB twin of the farthest-point traversal: identical
+    integer quantization and exact squared distances, selection rank
+    via ROW_NUMBER (DuckDB's arg_max rejects composite keys)."""
+    ctes = [
+        """x AS (
+      SELECT vec_id, u.j AS j,
+             CAST(floor(CAST(u.x AS DOUBLE) * 1e6) AS BIGINT) AS xq
+      FROM (SELECT vec_id,
+                   unnest(list_transform(embedding,
+                                         (x, i) -> {'j': i, 'x': x})) AS u
+            FROM embeddings))""",
+        "s1 AS (SELECT MIN(vec_id) AS id FROM embeddings)",
+        """m1 AS (
+      SELECT x.vec_id, SUM((x.xq - e.xq) * (x.xq - e.xq)) AS d
+      FROM x JOIN (SELECT x2.j, x2.xq FROM x x2 JOIN s1 ON x2.vec_id = s1.id)
+               e ON x.j = e.j
+      GROUP BY x.vec_id)""",
+    ]
+    for t in range(2, KCENTER_K + 1):
+        p = t - 1
+        ctes.append(f"""s{t} AS (
+      SELECT vec_id AS id, d AS sel_d
+      FROM (SELECT vec_id, d,
+                   ROW_NUMBER() OVER (ORDER BY d DESC, vec_id) AS rn
+            FROM m{p})
+      WHERE rn = 1)""")
+        if t < KCENTER_K:
+            ctes.append(f"""m{t} AS (
+      SELECT m{p}.vec_id, LEAST(m{p}.d, nd.d) AS d
+      FROM m{p}
+      JOIN (SELECT x.vec_id, SUM((x.xq - e.xq) * (x.xq - e.xq)) AS d
+            FROM x JOIN (SELECT x2.j, x2.xq FROM x x2
+                         JOIN s{t} ON x2.vec_id = s{t}.id) e
+                     ON x.j = e.j
+            GROUP BY x.vec_id) nd ON m{p}.vec_id = nd.vec_id)""")
+    arms = ["SELECT 1 AS rank, s1.id AS vec_id, CAST(NULL AS BIGINT) AS d2_at_selection FROM s1"]
+    for t in range(2, KCENTER_K + 1):
+        arms.append(
+            f"SELECT {t} AS rank, s{t}.id AS vec_id, "
+            f"CAST(s{t}.sel_d AS BIGINT) AS d2_at_selection FROM s{t}"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + "\n    UNION ALL ".join(arms)
+    )
+
+
+@register("sample_kcenter_diverse", oracle=_kcenter_oracle())
+def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling by farthest-point traversal (the greedy
+    2-approximation to the k-center problem): iteratively pick the
+    vector FARTHEST (max-min exact squared distance, ties to the lower
+    id) from everything selected so far — the coreset/exemplar
+    selection that buys maximum embedding-space coverage per labeling
+    or training slot, the diversity-side complement to
+    sample_hard_negatives' difficulty sampling.
+
+    Spark-first iterative shape (kmeans_train's family): the corpus
+    stays LONG (vec_id, j, xq); each of the K-1 unrolled rounds is one
+    distance pass against the SINGLE new center (joined by dimension —
+    never recomputing against all centers: the running min ``d``
+    carries forward) and one TakeOrdered argmax. All arithmetic is
+    exact int64 (1e-6-quantized components, squared-difference sums
+    bounded by 4e12 x dims), so every engine agrees bit-for-bit at any
+    partitioning. At 100 TB each round is a scan + a 1-row reduce;
+    K is the report size, not a data size."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xval")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("j"),
+        F.floor(F.col("xval").cast("double") * 1e6).cast("bigint").alias("xq"),
+    )
+
+    def dist_to(center_id_df: DataFrame) -> DataFrame:
+        ce = x.join(
+            center_id_df.select(F.col("id").alias("vec_id")), "vec_id"
+        ).select("j", F.col("xq").alias("cq"))
+        return (
+            x.join(F.broadcast(ce), "j")
+            .groupBy("vec_id")
+            .agg(
+                F.sum(
+                    (F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))
+                )
+                .cast("bigint")
+                .alias("nd")
+            )
+        )
+
+    s1 = e.agg(F.min("vec_id").alias("id"))
+    selected = [
+        s1.select(
+            F.lit(1).alias("rank"),
+            F.col("id").alias("vec_id"),
+            F.lit(None).cast("bigint").alias("d2_at_selection"),
+        )
+    ]
+    m = dist_to(s1).withColumnsRenamed({"nd": "d"})
+    for t in range(2, KCENTER_K + 1):
+        st = (
+            m.orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+            .select(F.col("vec_id").alias("id"), F.col("d").alias("sel_d"))
+        )
+        selected.append(
+            st.select(
+                F.lit(t).alias("rank"),
+                F.col("id").alias("vec_id"),
+                F.col("sel_d").cast("bigint").alias("d2_at_selection"),
+            )
+        )
+        if t < KCENTER_K:
+            nd = dist_to(st)
+            m = (
+                m.join(nd, "vec_id")
+                .select("vec_id", F.least("d", "nd").alias("d"))
+            )
+    out = selected[0]
+    for s in selected[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "d2_at_selection",
+    )

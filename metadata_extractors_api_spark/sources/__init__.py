@@ -14,3 +14,4 @@ from metadata_extractors_api_spark.sources import registry_json  # noqa: E402,F4
 from metadata_extractors_api_spark.sources import custom_source  # noqa: E402,F401
 from metadata_extractors_api_spark.sources import stream_source  # noqa: E402,F401
 from metadata_extractors_api_spark.sources import custom_sink  # noqa: E402,F401
+from metadata_extractors_api_spark.sources import xml_source  # noqa: E402,F401
