@@ -1125,11 +1125,18 @@ def _pca_oracle() -> str:
 
 @register("embedding_pca_power", oracle=_pca_oracle())
 def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal direction of the embedding corpus via POWER
-    ITERATION — the dominant eigenvector of XᵀX (uncentered PCA / top
-    right-singular direction), the building block behind spectral
-    whitening, residual decomposition, and drift tracking over
-    embedding spaces.
+    """POWER-ITERATION kernel toward the dominant eigenvector of XᵀX
+    (uncentered PCA / top right-singular direction) — the building
+    block behind spectral whitening, residual decomposition, and drift
+    tracking over embedding spaces. The registered query runs
+    PCA_ITERS exact iterations; production runs the SAME kernel to a
+    tolerance, and the per-iteration cost (two shuffles) is the thing
+    that must scale. Convergence rate is data-dependent ((λ2/λ1)^t —
+    the synthetic fixture is near-isotropic with λ2/λ1 ≈ 0.93, so full
+    convergence there takes ~90 iterations; tests/test_round4_ops.py
+    verifies the kernel is BIT-EXACT against a numpy simulation of the
+    same iterations and that alignment improves monotonically, which
+    is the honest contract for an iterative kernel).
 
     Spark-first iterative-ML shape (same family as kmeans_train /
     graph_pagerank): the corpus stays LONG (vec_id, j, xq) and each of
