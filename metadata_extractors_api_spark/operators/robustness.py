@@ -433,3 +433,86 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unchanged"),
     )
+
+
+# Quoted-CSV fixture: the corner semantics that break naive splitters.
+# (description, note) pairs -- description exercises embedded commas,
+# escaped quotes (RFC 4180 doubling), embedded NEWLINES inside a quoted
+# field, and leading/trailing spaces preserved by quoting.
+_CSVQ_ROWS: list[tuple[int, str, str]] = [
+    (1, "plain value", "simple"),
+    (2, "comma, inside", "embedded delimiter"),
+    (3, 'she said ""hi""', "escaped quotes"),
+    (4, "line one\nline two", "embedded newline"),
+    (5, "  padded  ", "quoted spaces kept"),
+]
+
+
+def _csvq_text() -> str:
+    lines = ["id,description,note"]
+    for i, desc, note in _CSVQ_ROWS:
+        lines.append(f'{i},"{desc}","{note}"')
+    return "\n".join(lines) + "\n"
+
+
+def _csvq_oracle() -> str:
+    vals = ", ".join(
+        "({}, '{}', '{}')".format(
+            i,
+            desc.replace('""', '"').replace("'", "''").replace("\n", "\\n"),
+            note,
+        )
+        for i, desc, note in _CSVQ_ROWS
+    )
+    return f"""
+    WITH rows(id, description, note) AS (VALUES {vals})
+    SELECT CAST(id AS BIGINT) AS id,
+           replace(description, '\\n', chr(10)) AS description,
+           note,
+           CAST(length(replace(description, '\\n', chr(10))) AS BIGINT)
+               AS n_chars,
+           CAST(CASE WHEN position(chr(10) IN
+                       replace(description, '\\n', chr(10))) > 0
+                     THEN 1 ELSE 0 END AS BOOLEAN) AS multiline
+    FROM rows
+    """
+
+
+_CSVQ_DIR: list[str] = []
+
+
+@register("scan_csv_quoted", oracle=_csvq_oracle())
+def scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 4180 quoting semantics under Spark's CSV reader: embedded
+    delimiters, doubled-quote escapes, quoted multiline fields
+    (``multiLine=true`` — the option that switches the scan from
+    line-splittable to whole-file parsing, the classic correctness/
+    parallelism trade), and whitespace preservation inside quotes. The
+    oracle re-states the five rows from the same constants the file is
+    generated from, so any dequoting/escape/newline mishandling in the
+    parse shows as a value diff. Scale note: multiLine CSV files are
+    NOT splittable (one task per file) — the docstringed trade is to
+    keep multiline corpora as many medium files, which this fixture's
+    one-file-per-scan shape mirrors."""
+    import os
+    import tempfile
+
+    if not _CSVQ_DIR:
+        d = tempfile.mkdtemp(prefix="mdx_csvq_")
+        with open(os.path.join(d, "quoted.csv"), "w") as fh:
+            fh.write(_csvq_text())
+        _CSVQ_DIR.append(d)
+    df = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .schema("id BIGINT, description STRING, note STRING")
+        .csv(_CSVQ_DIR[0])
+    )
+    return df.select(
+        "id",
+        "description",
+        "note",
+        F.length("description").cast("bigint").alias("n_chars"),
+        F.col("description").contains("\n").alias("multiline"),
+    )

@@ -297,54 +297,16 @@ def _cli_shim_source() -> str:
     )
 
 
-@register(
-    "extract_run",
-    oracle=f"""
-    WITH files AS (SELECT * FROM {reg.files_values_sql()}),
-         filetypes AS (SELECT * FROM {reg.filetypes_values_sql()}),
-         extractors AS (SELECT * FROM {reg.extractors_values_sql()}),
-    s1 AS (
-      SELECT f.file_id, f.path,
-             ft.registered_extractors[1] AS extractor_id
-      FROM files f JOIN filetypes ft ON f.filetype_id = ft.id
-      WHERE ft.registered_extractors[1] IS NOT NULL),
-    s2 AS (
-      SELECT s1.file_id, s1.path,
-             coalesce(list_filter(ex.usage, u -> u.method = 'python')[1],
-                      ex.usage[-1]) AS u
-      FROM s1 JOIN extractors ex ON ex.id = s1.extractor_id),
-    s3 AS (SELECT file_id, path, u.method AS method FROM s2),
-    channels(channel) AS (VALUES ('Ewe'), ('I'), ('cycle')),
-    points AS (SELECT unnest(range(0, 5)) AS point)
-    SELECT s3.file_id, s3.method, c.channel, CAST(p.point AS INT) AS point,
-           round(length(s3.path) + p.point + length(c.channel) * 0.25 +
-                 CASE WHEN s3.method = 'python' THEN 0.5 ELSE 0 END, 2) AS value
-    FROM s3 CROSS JOIN channels c CROSS JOIN points p
-    """,
-)
-def extract_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A15/A16/EP2 execution: every dispatched file is EXECUTED, not
-    simulated.
-
-    python rows (A16, reference ``_execute_python`` __init__.py:370-399):
-    the worker parses the RENDERED call string, resolves the registry's
-    ``setup`` to a registered extractor object, descends the function
-    tree and invokes the resolved callable — the extractor's output
-    values depend on the call's arguments, so the oracle catches any
-    mis-routing in the template -> parse -> resolve -> invoke chain.
-
-    cli rows (EP2, reference ``_execute_cli`` __init__.py:296-306): the
-    worker executes the RENDERED command line through a real
-    ``sh -c`` subprocess (one per file — per-file commands are the
-    reference's execution unit) against a deterministic stand-in
-    ``csvx`` binary, and parses the typed rows off stdout."""
+def execute_dispatched(dispatched: DataFrame) -> DataFrame:
+    """Execute a dispatch-ready relation (file_id, method, setup,
+    rendered): python rows by in-process dynamic invocation, cli rows
+    by subprocess — the shared A15/A16/EP2 execution stage used by the
+    batch query (extract_run) and its streaming twin
+    (stream_extract_run)."""
     from metadata_extractors_api_spark.plans.extractors_fixture import (
         execute_python_call,
     )
 
-    dispatched = extract_dispatch(spark, sf_dir).select(
-        "file_id", "method", "setup", "rendered"
-    )
     shim_source = _cli_shim_source()
 
     def run_python(batches):
@@ -395,6 +357,53 @@ def extract_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_cli, _RUN_SCHEMA
     )
     return py.unionByName(cli)
+
+
+@register(
+    "extract_run",
+    oracle=f"""
+    WITH files AS (SELECT * FROM {reg.files_values_sql()}),
+         filetypes AS (SELECT * FROM {reg.filetypes_values_sql()}),
+         extractors AS (SELECT * FROM {reg.extractors_values_sql()}),
+    s1 AS (
+      SELECT f.file_id, f.path,
+             ft.registered_extractors[1] AS extractor_id
+      FROM files f JOIN filetypes ft ON f.filetype_id = ft.id
+      WHERE ft.registered_extractors[1] IS NOT NULL),
+    s2 AS (
+      SELECT s1.file_id, s1.path,
+             coalesce(list_filter(ex.usage, u -> u.method = 'python')[1],
+                      ex.usage[-1]) AS u
+      FROM s1 JOIN extractors ex ON ex.id = s1.extractor_id),
+    s3 AS (SELECT file_id, path, u.method AS method FROM s2),
+    channels(channel) AS (VALUES ('Ewe'), ('I'), ('cycle')),
+    points AS (SELECT unnest(range(0, 5)) AS point)
+    SELECT s3.file_id, s3.method, c.channel, CAST(p.point AS INT) AS point,
+           round(length(s3.path) + p.point + length(c.channel) * 0.25 +
+                 CASE WHEN s3.method = 'python' THEN 0.5 ELSE 0 END, 2) AS value
+    FROM s3 CROSS JOIN channels c CROSS JOIN points p
+    """,
+)
+def extract_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15/A16/EP2 execution: every dispatched file is EXECUTED, not
+    simulated.
+
+    python rows (A16, reference ``_execute_python`` __init__.py:370-399):
+    the worker parses the RENDERED call string, resolves the registry's
+    ``setup`` to a registered extractor object, descends the function
+    tree and invokes the resolved callable — the extractor's output
+    values depend on the call's arguments, so the oracle catches any
+    mis-routing in the template -> parse -> resolve -> invoke chain.
+
+    cli rows (EP2, reference ``_execute_cli`` __init__.py:296-306): the
+    worker executes the RENDERED command line through a real
+    ``sh -c`` subprocess (one per file — per-file commands are the
+    reference's execution unit) against a deterministic stand-in
+    ``csvx`` binary, and parses the typed rows off stdout."""
+    dispatched = extract_dispatch(spark, sf_dir).select(
+        "file_id", "method", "setup", "rendered"
+    )
+    return execute_dispatched(dispatched)
 
 
 from metadata_extractors_api_spark.registry import ORACLE as _ORACLE_REG
@@ -718,3 +727,68 @@ def extract_test_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((s == "fail").cast("int")).cast("bigint").alias("n_fail"),
         F.sum((s == "error").cast("int")).cast("bigint").alias("n_error"),
     )
+
+
+_STREAM_RUN_MEMO: dict = {}
+
+
+@register("stream_extract_run", oracle=ORACLE_RUN_SQL)
+def stream_extract_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING twin of the Phase-4 centerpiece: the reference
+    README's "parallel/continuous processing of many files"
+    (README.md:95-96) applied to its OWN core flow — files ARRIVE (a
+    file-source stream over the staged files table, one file per
+    trigger) and each micro-batch runs the full resolve -> render ->
+    EXECUTE pipeline (shared ``extract_batch`` + ``execute_dispatched``
+    stages — zero logic duplicated against the batch path), appending
+    typed extraction rows to the result table. After the availableNow
+    drain the accumulated output must equal batch ``extract_run``
+    exactly; the oracle IS that query's oracle, verbatim. State is
+    nothing but the file-source ledger: each batch's work is
+    independent, which is what makes this the shape that ingests
+    forever on a cluster."""
+    import tempfile
+
+    key = (id(spark), sf_dir)
+    out_dir = _STREAM_RUN_MEMO.get(key)
+    if out_dir is None:
+        files = reg.files_df(spark)
+        stage_dir = tempfile.mkdtemp(prefix="mdx_stream_files_")
+        # stage the ingest queue deterministically: one file per
+        # micro-batch, split by file_id
+        for i in range(3):
+            files.filter(F.col("file_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(stage_dir)
+        out_dir = tempfile.mkdtemp(prefix="mdx_stream_run_out_")
+
+        def process(batch_df: DataFrame, _batch_id: int) -> None:
+            dispatched = extract_batch(spark, batch_df).filter(
+                F.col("extractor_id").isNotNull()
+            ).select("file_id", "method", "setup", "rendered")
+            execute_dispatched(dispatched).write.mode("append").parquet(
+                out_dir
+            )
+
+        stream = (
+            spark.readStream.schema(files.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        try:
+            q = (
+                stream.writeStream.foreachBatch(process)
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="mdx_ckpt_"),
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _STREAM_RUN_MEMO[key] = out_dir
+    return spark.read.schema(_RUN_SCHEMA).parquet(out_dir)
