@@ -1197,3 +1197,50 @@ def text_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = c.orderBy(F.desc("n"), F.asc("pair")).limit(20)
     w = Window.orderBy(F.desc("n"), F.asc("pair"))
     return top.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+@register(
+    "events_path_trigrams",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tri AS (
+      SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+      FROM ordered WHERE e2 IS NOT NULL AND e3 IS NOT NULL),
+    c AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY path),
+    r AS (SELECT path, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rk
+          FROM c)
+    SELECT path, n, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 15
+    """,
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-step behavioral path census: the most common consecutive
+    (e1 > e2 > e3) event sequences per user — the n-gram extension of
+    ``events_top_paths``' pair census, the shape funnel-discovery and
+    next-action models mine. One window partitioned BY USER (parallel,
+    keyed — never global) computes both leads off a single sort; the
+    census is a map-side-combinable groupBy; the top-15 report comes
+    off TakeOrdered with rank re-derived on report-sized rows.
+    Deterministic through (ts, event_id) tiebreak."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        ev.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+    )
+    c = tri.groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    top = c.orderBy(F.desc("n"), F.asc("path")).limit(15)
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return top.withColumn("rk", F.row_number().over(wr).cast("bigint"))

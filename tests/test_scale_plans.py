@@ -445,6 +445,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # bounded calendar / bucket grains (time-range- or constant-sized)
     "corpus_yield_curve": {"div_bucket"},  # fixed divergence buckets
     "text_bpe_pair_census": {"n,pair"},  # rank over the top-20 report
+    "events_path_trigrams": {"n,path"},  # rank over the top-15 report
     "orders_backlog_sweepline": {"day"},  # calendar days of history
     "orders_life_table": {"t"},  # lifetime-day buckets
     "orders_open_backlog": {"d"},  # calendar days of history
