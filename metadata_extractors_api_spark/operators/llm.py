@@ -2935,3 +2935,49 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nibble_diff") <= 3)
         .select("doc_a", "doc_b", "nibble_diff")
     )
+
+
+@register(
+    "sim_search_filtered",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe, {_sql_dot('embedding', 'embedding')} AS qn
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(({_sql_dot('embedding', 'qe')} / 1e12)
+                 / (sqrt({_sql_dot('embedding', 'embedding')} / 1e12) * sqrt(qn / 1e12)),
+                 6) AS score
+    FROM embeddings, q
+    WHERE label IN (2, 3) AND vec_id % 2 = 1
+    ORDER BY score DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: cosine top-k restricted by metadata
+    predicates (label ∈ {2,3}, odd ids here) — the shape every
+    production vector query actually takes ("nearest docs in THIS
+    language from THIS source"). The predicate applies BEFORE scoring
+    — pre-filtering, the exact-recall strategy — so selectivity cuts
+    scoring cost proportionally and recall is never sacrificed to the
+    filter (the post-filter-after-ANN alternative trades recall when
+    the filter is selective; with a partition-pruned index the same
+    predicate composes with the IVF/LSH family instead). Pushdown
+    means the scan itself skips non-matching row groups at 100 TB."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True).filter(
+        F.col("label").isin(2, 3) & (F.col("vec_id") % 2 == 1)
+    )
+    full = load(spark, sf_dir, "embeddings")
+    q = full.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("qn"),
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        cosine_from_scaled(
+            dot_scaled(F.col("embedding"), F.col("qe")),
+            dot_scaled(F.col("embedding"), F.col("embedding")),
+            F.col("qn"),
+        ).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)

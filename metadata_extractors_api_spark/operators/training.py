@@ -1227,3 +1227,155 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("bigint").alias("vec_id"),
         "d2_at_selection",
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture epoch planning + capacity sharding
+# ---------------------------------------------------------------------------
+
+#: target token budget for the mixture plan (tokens in the fixture's
+#: whitespace-token unit).
+MIX_TOKEN_BUDGET = 500_000
+
+
+def _mix_weight_sql(col: str) -> str:
+    """Deterministic per-source target weight in [1, 100]: md5-derived,
+    identical in both engines (stands in for a configured weights
+    table)."""
+    return (
+        f"(('0x' || substr(md5('mixw:' || {col}), 1, 6))::BIGINT % 100) + 1"
+    )
+
+
+@register(
+    "mix_epoch_plan",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    s AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS available
+      FROM tok GROUP BY source),
+    w AS (
+      SELECT source, available,
+             CAST({_mix_weight_sql('source')} AS BIGINT) AS weight
+      FROM s),
+    t AS (SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM w)
+    SELECT source, available, weight,
+           CAST(({MIX_TOKEN_BUDGET} * weight) // t.wsum AS BIGINT)
+               AS target_tokens,
+           CAST((({MIX_TOKEN_BUDGET} * weight) // t.wsum) * 1000000
+                // available AS BIGINT) AS epochs_e6,
+           ({MIX_TOKEN_BUDGET} * weight) // t.wsum > available AS upsampled
+    FROM w CROSS JOIN t
+    """,
+)
+def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture EPOCH PLAN: given per-source available tokens, a target
+    weight per source, and a total token budget, compute each source's
+    token allocation and repeat factor (epochs, exact millionths) —
+    the concrete artifact a training run consumes ("web x0.8 epochs,
+    code x2.3 epochs"), and the upsampling flag reviewers audit
+    (epochs > 1 means repetition, the known memorization trade).
+    One token census groupBy + a broadcast scalar weight-sum; every
+    allocation is exact integer arithmetic, so the plan is
+    reproducible bit-for-bit anywhere. The md5-derived weights stand
+    in for the configured weights dimension (same trick as the
+    sampling family's seeded draws)."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    s = (
+        d.select(
+            "source", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("available"))
+    )
+    weight = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mixw:"), F.col("source"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+        + 1
+    )
+    w = s.withColumn("weight", weight)
+    t = w.agg(F.sum("weight").cast("bigint").alias("wsum"))
+    target = F.expr(f"({MIX_TOKEN_BUDGET} * weight) div wsum")
+    return w.crossJoin(F.broadcast(t)).select(
+        "source",
+        "available",
+        "weight",
+        target.cast("bigint").alias("target_tokens"),
+        F.expr(
+            f"(({MIX_TOKEN_BUDGET} * weight) div wsum) * 1000000"
+            " div available"
+        )
+        .cast("bigint")
+        .alias("epochs_e6"),
+        (target > F.col("available")).alias("upsampled"),
+    )
+
+
+#: shard capacity in characters for the manifest builder.
+SHARD_CAP_CHARS = 20_000
+
+
+@register(
+    "pack_shard_manifest",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cw
+      FROM documents),
+    assigned AS (
+      SELECT doc_id, n_chars,
+             CAST((cw - 1) // {SHARD_CAP_CHARS} AS BIGINT) AS shard_id
+      FROM c)
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM assigned GROUP BY shard_id
+    """,
+)
+def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-sharded corpus MANIFEST (webdataset/tar-shard prep):
+    documents in stable doc_id order are assigned to fixed-capacity
+    shards by their cumulative END position ((cum - 1) div CAP — a
+    straddling doc belongs to the shard it finishes in, so shard sizes
+    hover around CAP without a sequential packer), and the manifest
+    reports each shard's doc count, byte mass, and [first, last] doc
+    range — exactly what a downstream loader needs to seek. The
+    cumulative position comes from the two-phase ``_global_cumsum``
+    (range repartition + parallel local windows), NEVER a
+    single-partition window, so the same plan shards a 100 TB corpus;
+    the oracle states the semantics with a plain window at fixture
+    scale."""
+    from metadata_extractors_api_spark.operators.quality import (
+        _global_cumsum,
+    )
+
+    d = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id", "n_chars"
+    )
+    c = _global_cumsum(d, "doc_id", "doc_id", "n_chars")
+    assigned = c.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"(cw - 1) div {SHARD_CAP_CHARS}").cast("bigint").alias(
+            "shard_id"
+        ),
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("shard_chars"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )
