@@ -363,3 +363,151 @@ def join_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn,
         "c_custkey bigint, knn_rank bigint, s_suppkey bigint, d2 bigint",
     )
+
+
+#: density threshold: a cell is DENSE when it holds >= this many points.
+DBSCAN_MIN_PTS = 4
+
+
+@register(
+    "geo_cluster_cells",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT {_sql_coord("cx", "c_custkey")} // {CELL} AS cell_x,
+             {_sql_coord("cy", "c_custkey")} // {CELL} AS cell_y
+      FROM customer),
+    cells AS (
+      SELECT cell_x, cell_y, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM pts GROUP BY cell_x, cell_y
+      HAVING COUNT(*) >= {DBSCAN_MIN_PTS}),
+    keyed AS (
+      SELECT cell_x * 1000 + cell_y AS k, cell_x, cell_y, n_points
+      FROM cells),
+    edges AS (
+      SELECT a.k AS u, b.k AS v
+      FROM keyed a JOIN keyed b
+        ON abs(a.cell_x - b.cell_x) <= 1 AND abs(a.cell_y - b.cell_y) <= 1
+       AND a.k <> b.k),
+    walk(u, lbl) AS (
+      SELECT k, k FROM keyed
+      UNION
+      SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v),
+    labels AS (SELECT u AS k, MIN(lbl) AS cluster_id FROM walk GROUP BY u)
+    SELECT CAST(l.cluster_id AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c.n_points) AS BIGINT) AS n_points,
+           CAST(MIN(c.cell_x) AS BIGINT) AS min_x,
+           CAST(MAX(c.cell_x) AS BIGINT) AS max_x,
+           CAST(MIN(c.cell_y) AS BIGINT) AS min_y,
+           CAST(MAX(c.cell_y) AS BIGINT) AS max_y
+    FROM labels l JOIN keyed c ON l.k = c.k
+    GROUP BY l.cluster_id
+    """,
+)
+def geo_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-connected spatial clustering (grid-DBSCAN's core):
+    DENSE grid cells (>= DBSCAN_MIN_PTS points) merge into clusters
+    through 8-neighbor adjacency, and each cluster reports its cell
+    count, point mass, and bounding box — the hotspot-REGION readout
+    (``geo_hotspot_cells`` flags cells; this stitches them into
+    contiguous areas).
+
+    Scale shape: the census bounds everything downstream by the GRID
+    (cells, not rows); adjacency is an equi-join on the 9-cell
+    neighborhood expansion (same coverage trick as join_geo_grid,
+    never cells x cells); components run the package's min-label
+    propagation loop (dedup_components' Pregel shape) with driver-side
+    convergence testing — one count per round, data never leaves the
+    cluster. The oracle recomputes the identical clustering with a
+    recursive min-label walk.
+
+    Design note: at THIS fixed 20x20 grid the census is provably <=400
+    rows and a driver-side union-find would be legitimate (bounded
+    report, like the ANN probe parameters); the distributed loop is
+    kept because the same operator must serve fine grids (geohash-7 is
+    ~10^10 cells) where the census is again data-sized."""
+    pts = load(spark, sf_dir, "customer").select(
+        _cell(_coord("cx", F.col("c_custkey"))).alias("cell_x"),
+        _cell(_coord("cy", F.col("c_custkey"))).alias("cell_y"),
+    )
+    cells = (
+        pts.groupBy("cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+        .filter(F.col("n_points") >= DBSCAN_MIN_PTS)
+        .withColumn("k", F.col("cell_x") * 1000 + F.col("cell_y"))
+        .localCheckpoint()
+    )
+    nine = cells.select(
+        "k",
+        F.explode(
+            F.sequence(F.col("cell_x") - 1, F.col("cell_x") + 1)
+        ).alias("nx"),
+        "cell_y",
+    ).select(
+        "k",
+        "nx",
+        F.explode(
+            F.sequence(F.col("cell_y") - 1, F.col("cell_y") + 1)
+        ).alias("ny"),
+    )
+    edges = (
+        nine.join(
+            cells.select(
+                F.col("k").alias("v"),
+                F.col("cell_x").alias("nx"),
+                F.col("cell_y").alias("ny"),
+            ),
+            ["nx", "ny"],
+        )
+        .filter(F.col("k") != F.col("v"))
+        .select(F.col("k").alias("u"), "v")
+        .localCheckpoint()
+    )
+    labels = cells.select(F.col("k").alias("node"), F.col("k").alias("lbl"))
+    labels = labels.localCheckpoint()
+    # neighbor-min PLUS pointer jumping (min with the label's own
+    # label) each round: distances halve, so convergence is
+    # O(log diameter) rounds instead of O(diameter) — the giant
+    # all-dense component at higher SFs spans the whole grid, where
+    # one-hop propagation alone needs ~40 rounds and this needs ~8.
+    # Early-exit on the driver-side changed count, as in
+    # dedup_components.
+    for _ in range(64):
+        nb = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        jump = labels.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("jump_lbl")
+        )
+        updated = (
+            labels.join(nb, labels.node == nb.u, "left")
+            .join(jump, "lbl", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("nb_lbl"), F.col("lbl")),
+                    F.coalesce(F.col("jump_lbl"), F.col("lbl")),
+                ).alias("new_lbl"),
+                "lbl",
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = updated.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return (
+        labels.join(cells, labels.node == cells.k)
+        .groupBy(F.col("lbl").cast("bigint").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("n_points").cast("bigint").alias("n_points"),
+            F.min("cell_x").cast("bigint").alias("min_x"),
+            F.max("cell_x").cast("bigint").alias("max_x"),
+            F.min("cell_y").cast("bigint").alias("min_y"),
+            F.max("cell_y").cast("bigint").alias("max_y"),
+        )
+    )

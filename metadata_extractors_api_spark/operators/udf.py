@@ -258,3 +258,48 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents,
         "l_orderkey long, l_linenumber long, price_cents long, line_cents long",
     )
+
+
+@register(
+    "udf_iterator_series",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('model-7:' || text), 1, 8))::BIGINT
+                % 1000 AS BIGINT) AS score
+    FROM documents
+    """,
+)
+def udf_iterator_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF — the rung of the Python ladder
+    built for EXPENSIVE ONE-TIME STATE: the function receives an
+    iterator over Arrow batches, so model loading / dictionary
+    construction happens ONCE per worker task and every batch reuses
+    it (a plain pandas UDF re-enters per batch with no init hook —
+    the difference between loading a tokenizer 1x vs 100x per task).
+    Here the "model" is a deterministic md5-based scorer whose
+    initialized prefix ('model-7:') stands in for loaded weights, so
+    the oracle can recompute the scores relationally and catch any
+    batch where the initialized state was wrong or missing."""
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # expensive init happens ONCE per task, before the first batch
+        model_prefix = "model-" + str(sum([7]))  # stands in for weights
+        for texts in batches:
+            yield texts.map(
+                lambda t: int(
+                    hashlib.md5((model_prefix + ":" + t).encode()).hexdigest()[
+                        :8
+                    ],
+                    16,
+                )
+                % 1000
+            )
+
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    return d.select("doc_id", score("text").alias("score"))
