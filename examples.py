@@ -41,6 +41,15 @@ def main() -> None:
     print("== Streaming: tumbling window over the event stream ==")
     eng.query("stream_tumbling").orderBy("window_start").show(3)
 
+    print("== File-type detection (README.md:94): unlabeled files -> types ==")
+    eng.query("extract_detect_filetype").orderBy("fname").show(truncate=False)
+
+    print("== Registry testing mode (README.md:92-93): per-extractor sweep ==")
+    eng.query("extract_test_sweep").orderBy("extractor_id").show()
+
+    print("== Streaming-state observability: checkpoint state as a table ==")
+    eng.query("stream_state_reader").orderBy("event_type").show()
+
     print(f"done: see SURVEY.md §8 for the full {len(QUERIES)}-query inventory")
 
 

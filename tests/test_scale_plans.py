@@ -435,6 +435,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "orders_abc_pareto": {"<global-unordered>", "_pid"},
     "orders_skyline_2d": {"_pid"},
     "pack_concat_chunks": {"_pid"},
+    "pack_shard_manifest": {"_pid"},
     "part_abc_pareto": {"<global-unordered>", "_pid"},
     "revenue_gini": {"<global-unordered>", "_pid"},
     "rfm_segmentation": {"<global-unordered>", "_pid"},
