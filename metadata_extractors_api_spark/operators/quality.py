@@ -2793,3 +2793,57 @@ def dq_rule_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c.violated").cast("bigint").alias("n_violations"),
         )
     )
+
+
+@register(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2, 3),
+    prof AS (
+      SELECT event_type, hod,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q
+      FROM daily GROUP BY 1, 2)
+    SELECT d.event_type, d.hod, d.day, d.x
+    FROM daily d JOIN prof p
+      ON d.event_type = p.event_type AND d.hod = p.hod
+    WHERE p.m >= 3
+      AND (d.x * p.m - p.s) * (d.x * p.m - p.s)
+          > 4 * (p.m * p.q - p.s * p.s)
+    """,
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly screen: daily (type, hour) counts
+    flagged when they sit more than 2 standard deviations from that
+    type-hour's own diurnal profile — the detector
+    ``events_seasonal_profile`` exists to feed, closed into one query.
+    EXACT integer test: |x - S/m| > 2σ cross-multiplies to
+    (x·m - S)² > 4·(m·Q - S²) with S=Σx, Q=Σx², m=days — no floats,
+    no engine-divergence surface, and the m>=3 guard drops degenerate
+    profiles. Two stacked combinable groupBys + one profile join
+    (profile is (types x 24)-bounded -> broadcast at any scale)."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("hod"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "hod", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    prof = daily.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    j = daily.join(F.broadcast(prof), ["event_type", "hod"])
+    resid = F.col("x") * F.col("m") - F.col("s")
+    return j.filter(
+        (F.col("m") >= 3)
+        & (resid * resid > 4 * (F.col("m") * F.col("q") - F.col("s") * F.col("s")))
+    ).select("event_type", "hod", "day", "x")

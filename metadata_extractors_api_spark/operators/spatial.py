@@ -511,3 +511,70 @@ def geo_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cell_y").cast("bigint").alias("max_y"),
         )
     )
+
+
+#: rectangular zones dimension: (zone_id, x0, x1, y0, y1) in meters.
+#: Deliberately overlapping and partial-coverage so points can fall in
+#: 0, 1, or 2 zones.
+ZONES: list[tuple[int, int, int, int, int]] = [
+    (1, 0, 3000, 0, 3000),
+    (2, 2000, 7000, 1000, 5000),
+    (3, 6000, 10000, 6000, 10000),
+    (4, 500, 1500, 8000, 9500),
+]
+
+
+@register(
+    "join_point_in_zone",
+    oracle=f"""
+    WITH zones(zone_id, x0, x1, y0, y1) AS (VALUES
+      {", ".join(f"({z}, {a}, {b}, {c}, {d})" for z, a, b, c, d in ZONES)}),
+    c AS (
+      SELECT c_custkey,
+             {_sql_coord("cx", "c_custkey")} AS cx,
+             {_sql_coord("cy", "c_custkey")} AS cy
+      FROM customer)
+    SELECT z.zone_id,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(c.c_custkey) AS BIGINT) AS first_cust
+    FROM c JOIN zones z
+      ON c.cx >= z.x0 AND c.cx < z.x1 AND c.cy >= z.y0 AND c.cy < z.y1
+    GROUP BY z.zone_id
+    """,
+)
+def join_point_in_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-region CONTAINMENT join — the third spatial join kind
+    after within-radius (join_geo_grid) and k-NN (join_spatial_knn):
+    count customers inside each rectangular zone (overlapping zones
+    allowed — a point can land in several).
+
+    Plan shape: zones are a dimension -> the range-predicate join is a
+    BroadcastNestedLoopJoin with all four comparisons evaluated
+    codegen-side per (point, zone) pair — bounded work per point by
+    |zones|. At larger zone counts the same query grid-partitions
+    (explode zones to covered cells, equi-join on cell, exact verify —
+    join_geo_grid's reduction); the dimension-sized form is stated
+    here because it IS the right plan at dimension cardinality: no
+    shuffle of the fact at all, one combinable rollup."""
+    zones = spark.createDataFrame(
+        ZONES, "zone_id INT, x0 INT, x1 INT, y0 INT, y1 INT"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _coord("cx", F.col("c_custkey")).alias("cx"),
+        _coord("cy", F.col("c_custkey")).alias("cy"),
+    )
+    inside = (
+        (F.col("cx") >= F.col("x0"))
+        & (F.col("cx") < F.col("x1"))
+        & (F.col("cy") >= F.col("y0"))
+        & (F.col("cy") < F.col("y1"))
+    )
+    return (
+        c.join(F.broadcast(zones), inside)
+        .groupBy("zone_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min("c_custkey").cast("bigint").alias("first_cust"),
+        )
+    )

@@ -1379,3 +1379,52 @@ def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+@register(
+    "sample_balanced_downsample",
+    oracle="""
+    WITH counts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY label),
+    k AS (SELECT MIN(n) AS k FROM counts),
+    ranked AS (
+      SELECT label, vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5('bal9:' || CAST(vec_id AS VARCHAR)), vec_id)
+                 AS rn
+      FROM embeddings)
+    SELECT r.label, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(r.vec_id) AS BIGINT) AS first_kept
+    FROM ranked r, k
+    WHERE r.rn <= k.k
+    GROUP BY r.label
+    """,
+)
+def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-count rows, chosen by a seeded hash order — the
+    imbalance fix applied before training a classifier on skewed
+    labels, with k derived FROM THE DATA (unlike
+    sample_stratified_exact's constant k). The per-label ranking is
+    the WindowGroupLimit-friendly seeded-hash window (partitioned by
+    label — parallel, never global), the min count is a broadcast
+    1-row scalar, and the keep filter composes them; reported per
+    label as (kept count, first kept id) so the oracle pins both the
+    cardinality and the membership head."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True).select(
+        "label", "vec_id"
+    )
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    k = counts.agg(F.min("n").alias("k"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.concat(F.lit("bal9:"), F.col("vec_id").cast("string"))),
+        "vec_id",
+    )
+    ranked = e.withColumn("rn", F.row_number().over(w))
+    kept = ranked.crossJoin(F.broadcast(k)).filter(F.col("rn") <= F.col("k"))
+    return kept.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.min("vec_id").cast("bigint").alias("first_kept"),
+    )
