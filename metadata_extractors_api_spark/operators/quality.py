@@ -2847,3 +2847,68 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("m") >= 3)
         & (resid * resid > 4 * (F.col("m") * F.col("q") - F.col("s") * F.col("s")))
     ).select("event_type", "hod", "day", "x")
+
+
+@register(
+    "dq_histogram_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS cohort,
+             LEAST(9, GREATEST(0,
+               CAST(floor(value / 10) AS BIGINT))) AS bucket
+      FROM events),
+    h AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN cohort = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1,
+             CAST(SUM(CASE WHEN cohort = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n2
+      FROM b GROUP BY bucket),
+    t AS (SELECT CAST(SUM(n1) AS BIGINT) AS t1,
+                 CAST(SUM(n2) AS BIGINT) AS t2 FROM h)
+    SELECT h.bucket, h.n1, h.n2,
+           abs(h.n1 * t.t2 - h.n2 * t.t1) * 100 > 5 * t.t1 * t.t2
+               AS drifted
+    FROM h CROSS JOIN t
+    """,
+)
+def dq_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift screen between two cohorts (the PSI/KS
+    question answered exactly): bucket the value channel, histogram
+    each cohort (even/odd event_id stands in for
+    reference-window/current-window), and flag buckets whose share
+    differs by more than 5 percentage points using the fully
+    CROSS-MULTIPLIED integer test |n1·T2 - n2·T1|·100 > 5·T1·T2 — no
+    divisions, no logs, no float drift surface (PSI's ln(p/q) is
+    deliberately avoided: libm differences across engines make it
+    unverifiable bit-for-bit). One combinable histogram groupBy + one
+    broadcast totals scalar; bucket count is fixed, so the report is
+    constant-sized at any SF."""
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 2 == 0, "a").otherwise("b").alias(
+            "cohort"
+        ),
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0), F.floor(F.col("value") / 10).cast("bigint")
+            ),
+        ).alias("bucket"),
+    )
+    h = ev.groupBy("bucket").agg(
+        F.sum((F.col("cohort") == "a").cast("int")).cast("bigint").alias("n1"),
+        F.sum((F.col("cohort") == "b").cast("int")).cast("bigint").alias("n2"),
+    )
+    t = h.agg(
+        F.sum("n1").cast("bigint").alias("t1"),
+        F.sum("n2").cast("bigint").alias("t2"),
+    )
+    return h.crossJoin(F.broadcast(t)).select(
+        "bucket",
+        "n1",
+        "n2",
+        (
+            F.abs(F.col("n1") * F.col("t2") - F.col("n2") * F.col("t1")) * 100
+            > 5 * F.col("t1") * F.col("t2")
+        ).alias("drifted"),
+    )
