@@ -82,3 +82,73 @@ def test_incremental_restart_no_dups_no_gaps(spark, sf_dir):
     df = mdx.QUERIES["stream_incremental_restart"](spark, sf_dir).toPandas()
     assert df["doc_id"].is_unique
     assert len(df) == load(spark, sf_dir, "documents").count()
+
+
+def test_stream_dedup_incremental_equals_batch_twin(spark, sf_dir):
+    # Final accumulated stream state must equal the batch operator
+    # row-for-row (both are deterministic relations).
+    s = (
+        mdx.QUERIES["stream_dedup_incremental"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        mdx.QUERIES["dedup_incremental_minhash"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert s.equals(b[s.columns])
+
+
+def test_stream_extract_run_equals_batch_twin(spark, sf_dir):
+    key = ["file_id", "method", "channel", "point"]
+    s = (
+        mdx.QUERIES["stream_extract_run"](spark, sf_dir)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        mdx.QUERIES["extract_run"](spark, sf_dir)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert s.equals(b[s.columns])
+
+
+def test_stream_detect_filetype_equals_batch_twin(spark, sf_dir):
+    s = (
+        mdx.QUERIES["stream_detect_filetype"](spark, sf_dir)
+        .toPandas()
+        .sort_values("fname")
+        .reset_index(drop=True)
+    )
+    b = (
+        mdx.QUERIES["extract_detect_filetype"](spark, sf_dir)
+        .toPandas()
+        .sort_values("fname")
+        .reset_index(drop=True)
+    )
+    assert s.equals(b[s.columns])
+
+
+def test_state_reader_matches_live_aggregation(spark, sf_dir):
+    # the statestore read must agree with a fresh batch aggregation
+    from metadata_extractors_api_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: r["n"]
+        for r in mdx.QUERIES["stream_state_reader"](spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+    }
+    assert got == want
