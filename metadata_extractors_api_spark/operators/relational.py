@@ -845,3 +845,50 @@ def sort_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(40)
         .limit(20)
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS n_finished,
+           CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                FILTER (WHERE o_totalprice > 200000), 0) AS BIGINT)
+               AS big_cents,
+           CAST(COUNT(DISTINCT o_custkey)
+                FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+               AS open_custs
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregates: several differently-predicated
+    aggregates off ONE table pass (`agg FILTER (WHERE ...)`), the SQL
+    surface clients use instead of N self-joined subqueries — Catalyst
+    plans each filtered aggregate as a conditional update inside the
+    same hash-aggregate operator, so adding a metric never adds a
+    scan. Stated through spark.sql to pin the PARSER surface (the
+    DataFrame when()-inside-agg equivalent is exercised elsewhere);
+    the distinct-under-filter arm covers the expand-path interaction."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "mdx_orders_filter_v"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                   AS n_finished,
+               CAST(COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_totalprice > 200000), 0) AS BIGINT)
+                   AS big_cents,
+               CAST(COUNT(DISTINCT o_custkey)
+                    FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+                   AS open_custs
+        FROM mdx_orders_filter_v
+        GROUP BY o_orderpriority
+        """
+    )

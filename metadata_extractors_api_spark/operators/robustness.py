@@ -516,3 +516,57 @@ def scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("description").cast("bigint").alias("n_chars"),
         F.col("description").contains("\n").alias("multiline"),
     )
+
+
+_CSVW_DIR: list[str] = []
+
+
+@register("sink_csv_roundtrip_quoted", oracle=_csvq_oracle())
+def sink_csv_roundtrip_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITER-side RFC 4180 quoting: the same five adversarial rows
+    (embedded delimiters, quotes, newlines, padding) are written by
+    Spark's CSV SINK and read back by its source — the full roundtrip
+    must reproduce every byte, proving the writer quotes/escapes what
+    the reader dequotes (the failure mode is silent column shift on
+    the NEXT consumer, which no write-side check catches). Shares
+    scan_csv_quoted's oracle: the roundtripped relation must equal
+    the original constants."""
+    import os
+    import tempfile
+
+    rows = [(i, d, n) for i, d, n in _CSVQ_ROWS]
+    # the fixture rows carry RFC-doubled quotes in the RAW file; the
+    # in-memory truth dequotes them (same transform the oracle states)
+    truth = [
+        (i, d.replace('""', '"'), n) for i, d, n in rows
+    ]
+    df = spark.createDataFrame(
+        truth, "id BIGINT, description STRING, note STRING"
+    )
+    if not _CSVW_DIR:
+        out = tempfile.mkdtemp(prefix="mdx_csvw_")
+        target = os.path.join(out, "written")
+        # the CSV WRITER trims whitespace by default
+        # (ignore*WhiteSpace=true on write, false on read) — a
+        # writer-only default that silently corrupts quoted padding;
+        # disabling it is part of what this roundtrip pins
+        df.coalesce(1).write.option("header", True).option(
+            "escape", '"'
+        ).option("ignoreLeadingWhiteSpace", False).option(
+            "ignoreTrailingWhiteSpace", False
+        ).mode("overwrite").csv(target)
+        _CSVW_DIR.append(target)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .schema("id BIGINT, description STRING, note STRING")
+        .csv(_CSVW_DIR[0])
+    )
+    return back.select(
+        "id",
+        "description",
+        "note",
+        F.length("description").cast("bigint").alias("n_chars"),
+        F.col("description").contains("\n").alias("multiline"),
+    )
