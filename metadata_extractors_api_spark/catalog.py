@@ -112,8 +112,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def session_key(spark: SparkSession) -> str:
+    """Stable identity for per-session memo keys.
+
+    ``id(spark)`` is unsafe here: CPython reuses object ids after
+    garbage collection, so a later SparkSession in the same process
+    could be served another (dead) session's memoized temp-dir results
+    instead of recomputing (round-4 ADVICE item 2). The Spark
+    application id is monotone per JVM (timestamp-derived in local
+    mode, cluster-unique on YARN/K8s) and shared by sibling sessions
+    of one SparkContext -- which is the correct sharing granularity
+    for these memos: they cache temp-dir artifacts and registered
+    helpers that live with the JVM, not with the Python wrapper."""
+    return spark.sparkContext.applicationId
+
+
 # (session, sf_dir) pairs whose stats tables are already analyzed.
-_STATS_MEMO: set[tuple[int, str]] = set()
+_STATS_MEMO: set[tuple[str, str]] = set()
 
 #: relational tables worth CBO stats (events needs the legacy ns read
 #: path and the doc/embedding tables join on nothing).
@@ -136,7 +151,7 @@ def create_stats_tables(spark: SparkSession, sf_dir: str, db: str = "mdx_stats")
     is the scheduled `ANALYZE TABLE ... COMPUTE STATISTICS` job that
     keeps CBO join-reordering and broadcast decisions honest as tables
     grow. Returns the database name; memoized per (session, sf_dir)."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key in _STATS_MEMO:
         return db
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")

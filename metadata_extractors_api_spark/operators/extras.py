@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.catalog import load, session_key
 from metadata_extractors_api_spark.registry import register
 
 
@@ -144,7 +144,7 @@ def cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     The persisted intermediate is memoized
     per (session, sf_dir): repeated invocations reuse ONE cached block
     set instead of pinning a new copy each call."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     base = _CACHE_MEMO.get(key)
     if base is None:
         li = load(spark, sf_dir, "lineitem")

@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.catalog import load, session_key
 from metadata_extractors_api_spark.operators.llm import (
     SCALE,
     _ann_memo,
@@ -507,9 +507,9 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return {"path": path, "probe": probe, "emb": q["embedding"], "qn": q["nn"]}
 
-    st = _ann_memo((id(spark), sf_dir, "ivf_trained"), build)
+    st = _ann_memo((session_key(spark), sf_dir, "ivf_trained"), build)
     idx_df = _ann_memo(
-        (id(spark), sf_dir, "ivf_trained_df"),
+        (session_key(spark), sf_dir, "ivf_trained_df"),
         lambda: spark.read.parquet(st["path"]),
     )
     qe = F.array(*[F.lit(float(v)) for v in st["emb"]])
@@ -742,7 +742,7 @@ def _pq_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings in PQ long format (vec_id, subspace, local dim, exact
     int64 coordinate), materialized once per (session, sf_dir)."""
     return _ann_memo(
-        (id(spark), sf_dir, "pq_pts"), lambda: _pq_pts_build(spark, sf_dir)
+        (session_key(spark), sf_dir, "pq_pts"), lambda: _pq_pts_build(spark, sf_dir)
     )
 
 
@@ -825,7 +825,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     serving deployment persists the index and pays only the ADC scan
     per query."""
     cent, codes = _ann_memo(
-        (id(spark), sf_dir, "pq_model"),
+        (session_key(spark), sf_dir, "pq_model"),
         lambda: _pq_train(spark, sf_dir),
     )
     pts = _pq_pts(spark, sf_dir)

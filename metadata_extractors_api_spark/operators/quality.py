@@ -2678,6 +2678,7 @@ def dq_books_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((syd - (cov_n / var_x_n) * sxd) / n, 6) AS intercept,
            ROUND((cov_n * cov_n) / (var_x_n * var_y_n), 6) AS r2
     FROM d
+    WHERE var_x_n > 0 AND var_y_n > 0
     """,
 )
 def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2724,6 +2725,13 @@ def agg_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_x_n = nD * F.col("sxx").cast("double") - sxd * sxd
     var_y_n = nD * F.col("syy").cast("double") - syd * syd
     slope = cov_n / var_x_n
+    # Degenerate-group guard (round-4 ADVICE item 3): a group with a
+    # single customer or constant x (or y) has zero variance, where the
+    # closed form divides by zero and Spark/DuckDB Inf/NaN (and
+    # round()-of-them) semantics are not guaranteed to agree. Both the
+    # Spark query and the oracle exclude such groups identically; the
+    # fixture previously avoided them only by data shape.
+    m = m.filter((var_x_n > 0) & (var_y_n > 0))
     return m.select(
         F.col("c_nationkey").cast("bigint").alias("nation"),
         "n",

@@ -12,7 +12,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.catalog import load, session_key
 from metadata_extractors_api_spark.registry import register
 
 
@@ -81,7 +81,7 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatch, §1.3; a 100 TB ingest quarantines instead). Returns the
     good/bad split; the oracle re-derives it from the same fixture rows
     with TRY_CAST rather than asserting constants."""
-    df = _CSV_MEMO.get(id(spark))
+    df = _CSV_MEMO.get(session_key(spark))
     if df is None:
         d = tempfile.mkdtemp(prefix="mdx_csv_")
         path = os.path.join(d, "in.csv")
@@ -100,7 +100,7 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         # after caching (it is filled during parsing, not derivable
         # from a re-parse of projected columns).
         df = df.cache()
-        _CSV_MEMO[id(spark)] = df
+        _CSV_MEMO[session_key(spark)] = df
     return df.agg(
         F.count("*").cast("int").alias("total"),
         F.count("_corrupt_record").cast("int").alias("quarantined"),
@@ -227,7 +227,7 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the identical salvage rule from the same fixture lines
     with json_valid + TRY_CAST, so the parsing POLICY (not literal
     counts) is what's checked."""
-    df = _JSONL_MEMO.get(id(spark))
+    df = _JSONL_MEMO.get(session_key(spark))
     if df is None:
         d = tempfile.mkdtemp(prefix="mdx_jsonl_")
         path = os.path.join(d, "in.jsonl")
@@ -239,7 +239,7 @@ def scan_jsonl_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .schema("id INT, name STRING, _corrupt_record STRING")
             .json(path)
         ).cache()
-        _JSONL_MEMO[id(spark)] = df
+        _JSONL_MEMO[session_key(spark)] = df
     return df.select(
         "id", "name", F.col("_corrupt_record").alias("corrupt_raw")
     )

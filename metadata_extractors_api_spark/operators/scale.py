@@ -23,7 +23,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.catalog import load, session_key
 from metadata_extractors_api_spark.operators.relational import dsum, money
 from metadata_extractors_api_spark.registry import register
 
@@ -501,7 +501,7 @@ def join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanning the table whenever the predicate arrives through a join,
     which is how real star-schema filters arrive. The partitioned
     layout is session-memoized setup; the measured query is the join."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     out = _DPP_DIR_MEMO.get(key)
     if out is None:
         out = os.path.join(tempfile.mkdtemp(prefix="mdx_dpp_"), "t")

@@ -368,6 +368,24 @@ def join_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: density threshold: a cell is DENSE when it holds >= this many points.
 DBSCAN_MIN_PTS = 4
 
+#: injective (cell_x, cell_y) -> int64 packing for cluster keys:
+#: k = (x + OFF) * MUL + (y + OFF). MUL = 2^31 and OFF = 2^30 make the
+#: packing collision-free for ANY |cell| < 2^30 (max k ~ 2^62 fits a
+#: bigint) -- geohash-7's ~10^10 cells are ~2^17 per axis, far inside.
+#: A fixed multiplier sized to the DOMAIN (not the data) keeps the key
+#: deterministic across runs; the old *1000 packing silently merged
+#: distinct cells whenever cell_y >= 1000 or went negative (round-4
+#: ADVICE item 1).
+_CELL_KEY_MUL = 1 << 31
+_CELL_KEY_OFF = 1 << 30
+
+
+def _cell_key(x, y):
+    """Collision-free bigint key for a grid cell (see _CELL_KEY_MUL)."""
+    return (x.cast("bigint") + F.lit(_CELL_KEY_OFF)) * F.lit(
+        _CELL_KEY_MUL
+    ) + y.cast("bigint") + F.lit(_CELL_KEY_OFF)
+
 
 @register(
     "geo_cluster_cells",
@@ -381,7 +399,9 @@ DBSCAN_MIN_PTS = 4
       FROM pts GROUP BY cell_x, cell_y
       HAVING COUNT(*) >= {DBSCAN_MIN_PTS}),
     keyed AS (
-      SELECT cell_x * 1000 + cell_y AS k, cell_x, cell_y, n_points
+      SELECT CAST((cell_x + {_CELL_KEY_OFF}) * CAST({_CELL_KEY_MUL} AS BIGINT)
+                  + cell_y + {_CELL_KEY_OFF} AS BIGINT) AS k,
+             cell_x, cell_y, n_points
       FROM cells),
     edges AS (
       SELECT a.k AS u, b.k AS v
@@ -434,7 +454,7 @@ def geo_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         pts.groupBy("cell_x", "cell_y")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
         .filter(F.col("n_points") >= DBSCAN_MIN_PTS)
-        .withColumn("k", F.col("cell_x") * 1000 + F.col("cell_y"))
+        .withColumn("k", _cell_key(F.col("cell_x"), F.col("cell_y")))
         .localCheckpoint()
     )
     nine = cells.select(

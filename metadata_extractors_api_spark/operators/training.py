@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.catalog import load, session_key
 from metadata_extractors_api_spark.operators.llm import (
     MAX_LSH_BUCKET,
     _cap_buckets,
@@ -397,7 +397,7 @@ _BUCKET_INDEX_MEMO: dict = {}
 
 
 def _minhash_bucket_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     idx = _BUCKET_INDEX_MEMO.get(key)
     if idx is None:
         d = load(spark, sf_dir, "documents", parallelize=True)

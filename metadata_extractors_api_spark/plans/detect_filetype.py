@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from metadata_extractors_api_spark.registry import register
 from metadata_extractors_api_spark.sources import registry as reg
+from metadata_extractors_api_spark.catalog import session_key
 
 #: bytes of payload the census inspects (magic prefixes are short).
 HEAD_LEN = 32
@@ -183,7 +184,7 @@ def stream_detect_filetype(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_extractor,
     )
 
-    key = id(spark)
+    key = session_key(spark)
     out_dir = _STREAM_MEMO.get(key)
     if out_dir is None:
         out_dir = tempfile.mkdtemp(prefix="mdx_detect_stream_out_")

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from metadata_extractors_api_spark.registry import register
 from metadata_extractors_api_spark.sources import registry as reg
+from metadata_extractors_api_spark.catalog import session_key
 
 
 def first_extractor(registered: Column) -> Column:
@@ -263,12 +264,12 @@ def extract_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved to (extractor, method, setup, rendered command, output
     path). The orphan file drops out at the extractor join, exactly as
     the reference raises before execution."""
-    df = _DISPATCH_MEMO.get(id(spark))
+    df = _DISPATCH_MEMO.get(session_key(spark))
     if df is None:
         df = extract_batch(spark, reg.files_df(spark)).filter(
             F.col("extractor_id").isNotNull()
         )
-        _DISPATCH_MEMO[id(spark)] = df
+        _DISPATCH_MEMO[session_key(spark)] = df
     return df
 
 
@@ -749,7 +750,7 @@ def stream_extract_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever on a cluster."""
     import tempfile
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     out_dir = _STREAM_RUN_MEMO.get(key)
     if out_dir is None:
         files = reg.files_df(spark)

@@ -29,7 +29,7 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 
-from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.catalog import load, session_key
 from metadata_extractors_api_spark.registry import register
 
 SINK_PARTS = 4  # explicit repartition -> deterministic shard count
@@ -111,9 +111,9 @@ def sink_custom_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same slice. Scale: shards stream row-by-row on executors (no
     partition materialization), the manifest is O(partitions), and the
     audit is an ordinary distributed scan of the written files."""
-    if id(spark) not in _SINK_REGISTERED:
+    if session_key(spark) not in _SINK_REGISTERED:
         spark.dataSource.register(AuditSinkDataSource)
-        _SINK_REGISTERED.add(id(spark))
+        _SINK_REGISTERED.add(session_key(spark))
     out_dir = os.path.join(
         tempfile.gettempdir(), f"mdx_audit_sink_{uuid.uuid4().hex}"
     )
@@ -223,10 +223,10 @@ def stream_custom_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nanos_conf,
     )
 
-    if id(spark) not in _SINK_REGISTERED:
+    if session_key(spark) not in _SINK_REGISTERED:
         spark.dataSource.register(AuditSinkDataSource)
-        _SINK_REGISTERED.add(id(spark))
-    key = ("stream", id(spark))
+        _SINK_REGISTERED.add(session_key(spark))
+    key = ("stream", session_key(spark))
     if key not in _SINK_REGISTERED:
         spark.dataSource.register(AuditStreamSinkDataSource)
         _SINK_REGISTERED.add(key)

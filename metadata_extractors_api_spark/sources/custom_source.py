@@ -16,6 +16,7 @@ from pyspark.sql.datasource import DataSource, DataSourceReader
 
 from metadata_extractors_api_spark.registry import register
 from metadata_extractors_api_spark.sources import registry as reg
+from metadata_extractors_api_spark.catalog import session_key
 
 REGISTRY_SOURCE_SCHEMA = (
     "id string, n_supported int, n_usage int, first_package string"
@@ -75,7 +76,7 @@ def scan_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the registry through the custom Python DataSource and check
     it against the same fixture literals rendered as SQL -- proving the
     pluggable-source path delivers identical typed content."""
-    if id(spark) not in _REGISTERED:
+    if session_key(spark) not in _REGISTERED:
         spark.dataSource.register(RegistryDataSource)
-        _REGISTERED.add(id(spark))
+        _REGISTERED.add(session_key(spark))
     return spark.read.format("mdx_registry").load()

@@ -14,6 +14,7 @@ identical registry content.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from metadata_extractors_api_spark.catalog import session_key
 
 # --- fixture literals -------------------------------------------------------
 
@@ -76,7 +77,7 @@ _DF_MEMO: dict[tuple[int, str], DataFrame] = {}
 
 
 def _memo(spark: SparkSession, name: str, rows, schema: str) -> DataFrame:
-    key = (id(spark), name)
+    key = (session_key(spark), name)
     df = _DF_MEMO.get(key)
     if df is None:
         df = spark.createDataFrame(rows, schema)

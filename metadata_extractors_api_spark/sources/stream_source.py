@@ -27,6 +27,7 @@ from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
 from metadata_extractors_api_spark.registry import register
 from metadata_extractors_api_spark.sources import registry as reg
+from metadata_extractors_api_spark.catalog import session_key
 
 FEED_SCHEMA = reg.FILES_SCHEMA
 FEED_BATCH = 3  # rows per micro-batch -> the 6-file fixture drains in 2
@@ -82,9 +83,9 @@ def stream_custom_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated it. The offset/readBetweenOffsets contract (not the
     fixture) is the deliverable: swap ROWS for an HTTP poll against a
     real registry and the exactly-once replay semantics carry over."""
-    if id(spark) not in _REGISTERED:
+    if session_key(spark) not in _REGISTERED:
         spark.dataSource.register(FileFeedDataSource)
-        _REGISTERED.add(id(spark))
+        _REGISTERED.add(session_key(spark))
     df = spark.readStream.format("mdx_file_feed").load()
     name = "s" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")

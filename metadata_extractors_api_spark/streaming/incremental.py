@@ -39,7 +39,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.catalog import load, session_key
 from metadata_extractors_api_spark.registry import register
 
 RESULT_SCHEMA = (
@@ -82,7 +82,7 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _minhash_bucket_index,
     )
 
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     out_dir = _RESULT_MEMO.get(key)
     if out_dir is None:
         d = load(spark, sf_dir, "documents", parallelize=True)

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from metadata_extractors_api_spark.registry import register
+from metadata_extractors_api_spark.catalog import session_key
 from metadata_extractors_api_spark.streaming.windows import (
     _events_stream,
     _nanos_conf,
@@ -46,7 +47,7 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     read the aggregation state back via the ``statestore`` data source
     and emit (event_type, n) from the STATE rows — which must equal
     the batch GROUP BY over the same fixture."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     ckpt = _CKPT_MEMO.get(key)
     if ckpt is None:
         ckpt = tempfile.mkdtemp(prefix="mdx_state_ckpt_")
@@ -98,7 +99,7 @@ def stream_state_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the drain path diverges."""
     # ensure the shared checkpoint exists (memoized drain)
     stream_state_reader(spark, sf_dir)
-    ckpt = _CKPT_MEMO[(id(spark), sf_dir)]
+    ckpt = _CKPT_MEMO[(session_key(spark), sf_dir)]
     md = spark.read.format("state-metadata").load(ckpt)
     return md.select(
         F.col("operatorId").cast("bigint").alias("operator_id"),
