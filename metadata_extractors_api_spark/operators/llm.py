@@ -2415,7 +2415,11 @@ def text_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_n = per_src.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
     tot = per_src.groupBy("token").agg(F.sum("c").cast("bigint").alias("ct"))
     grand = tot.agg(F.sum("ct").cast("bigint").alias("n"))
-    grid = src_n.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(grand))
+    # Broadcast the SOURCE-DOMAIN side (a handful of rows at any SF)
+    # and stream the vocab side: the previous hint broadcast the
+    # vocab-sized `tot`, which is corpus-derived and would OOM the
+    # broadcast at 100 TB (round-5 cartesian-audit finding).
+    grid = tot.crossJoin(F.broadcast(src_n)).crossJoin(F.broadcast(grand))
     cells = grid.join(per_src, ["source", "token"], "left").select(
         "source",
         "ns",
