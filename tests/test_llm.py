@@ -122,13 +122,45 @@ def test_langid_deterministic(spark, sf_dir):
     assert a["pred_lang"].tolist() == b["pred_lang"].tolist()
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_decode_real_ppm():
+    """Independent ground truth for the REAL decoder (not the shared
+    generation formula): a hand-written PPM with comments and odd
+    whitespace in the header must parse to the exact known raster, and
+    unsupported codecs must refuse loudly."""
     import pytest
 
-    from metadata_extractors_api_spark.operators.llm import decode_image
+    from metadata_extractors_api_spark.operators.llm import (
+        decode_image,
+        resize_nearest,
+    )
 
-    with pytest.raises(NotImplementedError):
+    raster = bytes(range(2 * 3 * 3))  # 2x3 image, values 0..17
+    payload = b"P6 # comment after magic\n# full-line comment\n 3\t2 255\n" + raster
+    m = decode_image(payload)
+    assert (m["width"], m["height"], m["maxval"]) == (3, 2, 255)
+    assert m["pixels"].shape == (2, 3, 3)
+    assert m["pixels"].tobytes() == raster
+
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG")
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n3 2\n255\n" + raster[:-1])  # truncated raster
+
+
+def test_multimodal_resize_nearest_known_values():
+    """resize_nearest against a hand-computed nearest-neighbor answer:
+    4x2 -> target 2 gives 2x1 sampling source columns 0,2 and row 0."""
+    import numpy as np
+
+    from metadata_extractors_api_spark.operators.llm import resize_nearest
+
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    out = resize_nearest(px, 2)
+    assert out.shape == (1, 2, 3)
+    assert out[0, 0].tolist() == px[0, 0].tolist()
+    assert out[0, 1].tolist() == px[0, 2].tolist()
+    # inside the budget: untouched passthrough
+    assert resize_nearest(px, 224) is px
 
 
 def _boilerplate_dir(spark, tmp_path_factory, n_docs=10_000):
