@@ -38,7 +38,7 @@ from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
 from metadata_extractors_api_spark.registry import register
 from metadata_extractors_api_spark.streaming.windows import (
-    _events_stream,
+    _events_stream_batched,
     _run_to_table,
 )
 
@@ -162,8 +162,13 @@ def stream_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependency is unavailable (see module docstring; the fixture
     container is such an environment). Every counter is monotone and
     order-insensitive, so the drained final state is deterministic and
-    hash-checked against the batch GROUP BY oracle either way."""
-    ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "value")
+    hash-checked against the batch GROUP BY oracle either way. Runs on
+    the MULTI-micro-batch source (three time-contiguous deliveries with
+    maxFilesPerTrigger=1), so the state genuinely persists and is
+    revisited across batches rather than being written once."""
+    ev = _events_stream_batched(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
     if HAS_TWS_DEPS:  # pragma: no cover - exercised on cluster images
         with _rocksdb_conf(spark):
             out = ev.groupBy("user_id").transformWithStateInPandas(
@@ -187,3 +192,200 @@ def stream_profile_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_types").alias("n_types"),
         F.max("max_value").alias("max_value"),
     )
+
+
+def _ewma_step(prev_kept, n_prev: int, n_emit: int, pdfs):
+    """Shared EWMA fold for both state APIs (one source of truth, so
+    the typed-state twin cannot drift from stream_ewma's semantics):
+    merge the batch's hourly counts into the kept last-16 window and
+    recompute the truncated closed form. Returns (kept pairs, n_obs,
+    n_emit, ewma_num, w_sum). See stream_ewma (windows.py) for the
+    derivation; hours only ever append at/after the kept window under
+    the time-contiguous batched source."""
+    counts = {int(b): int(c) for b, c in prev_kept}
+    n_kept_prev = len(counts)
+    for pdf in pdfs:
+        for bh, c in pdf.groupby("bh")["bh"].count().items():
+            counts[int(bh)] = counts.get(int(bh), 0) + int(c)
+    hours = sorted(counts)
+    n_obs = n_prev + max(len(hours) - n_kept_prev, 0)
+    kept = hours[-16:]
+    n = len(kept)
+    num = sum(counts[b] << (i + 16 - n) for i, b in enumerate(kept))
+    wsum = (1 << 16) - (1 << (16 - n))
+    return [(b, counts[b]) for b in kept], n_obs, n_emit + 1, num, wsum
+
+
+_EWMA_OUT_SCHEMA = (
+    "event_type string, bh bigint, n_obs bigint, "
+    "ewma_num bigint, w_sum bigint, n_emit bigint"
+)
+
+
+class HourlyEwmaProcessor(StatefulProcessor):
+    """Typed-state EWMA: the kept (hour, count) window lives in a
+    ListState (one list element per kept hour -- RocksDB appends are
+    O(1) per element, unlike the packed-struct fallback that rewrites
+    the whole blob) and the monotone counters in a ValueState. This is
+    the second production TWS shape next to UserProfileProcessor's
+    ValueState+MapState (round-4 verdict item 8)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.kept = handle.getListState("kept", "bh bigint, c bigint")
+        self.meta = handle.getValueState("meta", "n_obs bigint, n_emit bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        prev_kept = [(r[0], r[1]) for r in self.kept.get()]
+        m = self.meta.get()
+        n_prev, n_emit = m if m is not None else (0, 0)
+        kept, n_obs, n_emit, num, wsum = _ewma_step(
+            prev_kept, n_prev, n_emit, rows
+        )
+        self.kept.put(kept)
+        self.meta.update((n_obs, n_emit))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "bh": [kept[-1][0]],
+                "n_obs": [n_obs],
+                "ewma_num": [num],
+                "w_sum": [wsum],
+                "n_emit": [n_emit],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _ewma_update(key, pdfs, state):
+    """applyInPandasWithState fallback, same fold via _ewma_step."""
+    if state.exists:
+        bhs, cnts, n_prev, n_emit = state.get
+        prev_kept = list(zip(bhs, cnts))
+    else:
+        prev_kept, n_prev, n_emit = [], 0, 0
+    kept, n_obs, n_emit, num, wsum = _ewma_step(prev_kept, n_prev, n_emit, pdfs)
+    state.update(
+        ([b for b, _ in kept], [c for _, c in kept], n_obs, n_emit)
+    )
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "bh": [kept[-1][0]],
+            "n_obs": [n_obs],
+            "ewma_num": [num],
+            "w_sum": [wsum],
+            "n_emit": [n_emit],
+        }
+    )
+
+
+#: (session, sf_dir) -> checkpoint dir of the drained ewma-tws stream,
+#: so the state-metadata/statestore tests can audit the state schema.
+_EWMA_CKPT_MEMO: dict = {}
+
+
+@register(
+    "stream_ewma_tws",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS bh,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, bh),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bh) AS rn
+      FROM h),
+    mx AS (SELECT event_type, MAX(rn) AS mrn FROM r GROUP BY event_type),
+    j AS (
+      SELECT a.event_type, a.bh, m.mrn,
+             CAST(SUM(b.cnt * CAST(pow(2, 15 - (a.rn - b.rn)) AS BIGINT))
+                  AS BIGINT) AS ewma_num,
+             CAST(SUM(CAST(pow(2, 15 - (a.rn - b.rn)) AS BIGINT))
+                  AS BIGINT) AS w_sum
+      FROM r a
+      JOIN mx m ON m.event_type = a.event_type AND a.rn = m.mrn
+      JOIN r b ON b.event_type = a.event_type
+              AND b.rn BETWEEN a.rn - 15 AND a.rn
+      GROUP BY a.event_type, a.bh, m.mrn)
+    SELECT event_type, CAST(bh AS BIGINT) AS bh,
+           CAST(mrn AS BIGINT) AS n_obs, ewma_num, w_sum
+    FROM j
+    """,
+)
+def stream_ewma_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED-STATE twin of ``stream_ewma`` (round-4 verdict item 8):
+    the same per-event-type hourly-volume EWMA, but the kept
+    observation window is a named ListState and the monotone counters
+    a named ValueState via transformWithStateInPandas -- the
+    production Spark 4 shape, where RocksDB stores each list element
+    separately instead of rewriting one packed struct per update.
+    Falls back to applyInPandasWithState through the SAME ``_ewma_step``
+    fold where the TWS protobuf dependency is absent (this container),
+    so the semantics cannot fork. Drains the multi-micro-batch source
+    (three time-ordered deliveries), so cross-batch state restore is
+    genuinely exercised; the final emission per key must equal the
+    batch EWMA's last row -- stream_ewma's oracle verbatim. The drain
+    checkpoint is memoized for the state-schema audit tests."""
+    ev = _events_stream_batched(spark, sf_dir).select(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("bh")
+    )
+    if HAS_TWS_DEPS:  # pragma: no cover - exercised on cluster images
+        with _rocksdb_conf(spark):
+            out = ev.groupBy("event_type").transformWithStateInPandas(
+                HourlyEwmaProcessor(),
+                outputStructType=_EWMA_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+            updates, ckpt = _run_to_table_ckpt(out, spark)
+    else:
+        out = ev.groupBy("event_type").applyInPandasWithState(
+            _ewma_update,
+            outputStructType=_EWMA_OUT_SCHEMA,
+            stateStructType=(
+                "bhs array<bigint>, cnts array<bigint>, n_obs bigint, "
+                "n_emit bigint"
+            ),
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+        updates, ckpt = _run_to_table_ckpt(out, spark)
+    from metadata_extractors_api_spark.catalog import session_key
+
+    _EWMA_CKPT_MEMO[(session_key(spark), sf_dir)] = ckpt
+    return updates.groupBy("event_type").agg(
+        F.max_by("bh", "n_emit").cast("bigint").alias("bh"),
+        F.max_by("n_obs", "n_emit").cast("bigint").alias("n_obs"),
+        F.max_by("ewma_num", "n_emit").cast("bigint").alias("ewma_num"),
+        F.max_by("w_sum", "n_emit").cast("bigint").alias("w_sum"),
+    )
+
+
+def _run_to_table_ckpt(stream_df: DataFrame, spark: SparkSession):
+    """_run_to_table variant that also returns the checkpoint path (the
+    state-audit tests read it back through the statestore sources)."""
+    import tempfile
+    import uuid
+
+    from metadata_extractors_api_spark.streaming.windows import _nanos_conf
+
+    name = "s" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="mdx_tws_ckpt_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        with _nanos_conf(spark):
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name), ckpt

@@ -83,6 +83,72 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+#: (session, sf_dir, n_files) -> directory of the split events files.
+_EVSPLIT_MEMO: dict = {}
+
+
+def _events_stream_batched(
+    spark: SparkSession, sf_dir: str, n_files: int = 3
+) -> DataFrame:
+    """Events as a genuinely MULTI-micro-batch file stream.
+
+    The fixture ships events as ONE parquet file, so an availableNow
+    drain of ``_events_stream`` runs exactly one micro-batch and
+    ``state.exists`` never turns true -- the cross-batch branch of
+    every stateful fold was dead code (round 5 found a latent
+    TypeError there: ``state.get()`` called the property's tuple).
+    This helper splits events into ``n_files`` time-contiguous parquet
+    files with strictly increasing modification times and streams them
+    with ``maxFilesPerTrigger=1``: the drain runs ``n_files``
+    micro-batches in event-time order and per-key state is genuinely
+    revisited, so the stateful queries exercise the path their
+    docstrings claim. Time-contiguous (not round-robin) chunks keep
+    event-time monotone across batches -- the arrival order a
+    continuous production stream actually has, and the assumption the
+    EWMA fold documents."""
+    import os
+
+    from metadata_extractors_api_spark.catalog import load, session_key
+
+    key = (session_key(spark), sf_dir, n_files)
+    d = _EVSPLIT_MEMO.get(key)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="mdx_evsplit_")
+        ev = load(spark, sf_dir, "events")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) / n_files
+        for i in range(n_files):
+            if i == 0:
+                pred = F.col("ts") <= F.lit(lo + span)
+            elif i == n_files - 1:
+                pred = F.col("ts") > F.lit(lo + i * span)
+            else:
+                pred = (F.col("ts") > F.lit(lo + i * span)) & (
+                    F.col("ts") <= F.lit(lo + (i + 1) * span)
+                )
+            part_dir = os.path.join(d, f"_part{i}")
+            ev.filter(pred).coalesce(1).write.parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(d, f"ev_{i:03d}.parquet")
+            os.rename(os.path.join(part_dir, part), dst)
+            # FileStreamSource (latestFirst=false) orders by mod time:
+            # pin strictly increasing mtimes so batch i is chunk i.
+            os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+        _EVSPLIT_MEMO[key] = d
+    return (
+        spark.readStream.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "ev_*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(d)
+    )
+
+
 def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     """Drain the stream into a memory sink and return the result table.
 
@@ -322,7 +388,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     def update(key, pdfs, state):
-        n, vmax = state.get() if state.exists else (0, float("-inf"))
+        n, vmax = state.get if state.exists else (0, float("-inf"))
         for pdf in pdfs:
             n += len(pdf)
             if len(pdf):
@@ -332,7 +398,7 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "max_value": [vmax]}
         )
 
-    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    ev = _events_stream_batched(spark, sf_dir).select("user_id", "value")
     out = ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id bigint, n_events bigint, max_value double",
@@ -465,7 +531,7 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = _events_stream(spark, sf_dir).select(
+    ev = _events_stream_batched(spark, sf_dir).select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
@@ -594,7 +660,7 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_prev = 0
         n_emit = 0
         if state.exists:
-            bhs, cnts, n_prev, n_emit = state.get()
+            bhs, cnts, n_prev, n_emit = state.get
             counts = dict(zip(bhs, cnts))
         for pdf in pdfs:
             for bh, c in pdf.groupby("bh")["bh"].count().items():
@@ -604,7 +670,7 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hours newly appeared this batch (event-time replay only ever
         # appends at or after the kept window, so a dropped hour cannot
         # reappear and double-count).
-        n_kept_prev = len(state.get()[0]) if state.exists else 0
+        n_kept_prev = len(state.get[0]) if state.exists else 0
         n_obs = n_prev + max(len(hours) - n_kept_prev, 0)
         kept = hours[-16:]
         n = len(kept)
@@ -630,7 +696,7 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = _events_stream(spark, sf_dir).select(
+    ev = _events_stream_batched(spark, sf_dir).select(
         "event_type", F.expr("unix_micros(ts) div 3600000000").alias("bh")
     )
     out = ev.groupBy("event_type").applyInPandasWithState(

@@ -152,3 +152,56 @@ def test_state_reader_matches_live_aggregation(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_ewma_tws_state_schema_and_multibatch(spark, sf_dir):
+    """Round-4 verdict item 8's 'done' gate: the typed-state EWMA twin
+    must (a) hash-equal the batch EWMA (covered by the oracle sweep;
+    re-asserted here against stream_ewma directly), (b) leave a
+    checkpoint whose state-metadata names the stateful operator across
+    MULTIPLE micro-batches (maxBatchId >= 2 proves per-key state was
+    restored at least twice -- the property the single-file source
+    never exercised), and (c) expose the declared state schema through
+    the statestore source."""
+    from metadata_extractors_api_spark.streaming.tws import (
+        _EWMA_CKPT_MEMO,
+        HAS_TWS_DEPS,
+    )
+    from metadata_extractors_api_spark.catalog import session_key
+
+    a = {
+        tuple(r)
+        for r in mdx.QUERIES["stream_ewma_tws"](spark, sf_dir).collect()
+    }
+    b = {
+        tuple(r) for r in mdx.QUERIES["stream_ewma"](spark, sf_dir).collect()
+    }
+    assert a == b  # typed-state twin == packed-struct twin, final state
+
+    ckpt = _EWMA_CKPT_MEMO[(session_key(spark), sf_dir)]
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(md) == 1
+    row = md[0]
+    expected_op = (
+        "transformWithStateInPandasExec"
+        if HAS_TWS_DEPS
+        else "applyInPandasWithState"
+    )
+    assert expected_op in row["operatorName"], row["operatorName"]
+    assert row["minBatchId"] == 0
+    assert row["maxBatchId"] >= 2  # three time-ordered deliveries drained
+
+    state = spark.read.format("statestore").load(ckpt)
+    key_fields = set(state.schema["key"].dataType.fieldNames())
+    val_fields = set(state.schema["value"].dataType.fieldNames())
+    assert key_fields == {"event_type"}
+    if HAS_TWS_DEPS:  # pragma: no cover - cluster images
+        pass  # per-variable stores; default var asserted via options
+    else:
+        # applyInPandasWithState nests the declared struct one level
+        # down under value.groupState
+        assert val_fields == {"groupState"}, val_fields
+        gs = set(
+            state.schema["value"].dataType["groupState"].dataType.fieldNames()
+        )
+        assert {"bhs", "cnts", "n_obs", "n_emit"} <= gs, gs
