@@ -365,6 +365,56 @@ def join_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _min_label_components(
+    labels: DataFrame, edges: DataFrame, max_rounds: int = 64
+) -> DataFrame:
+    """Connected components by min-label propagation WITH pointer
+    jumping: each round takes the min over (own label, neighbors'
+    labels, label-of-label). The jump halves label-chain distances, so
+    convergence is O(log diameter) rounds instead of O(diameter) — on
+    a fine grid (geohash-7 is ~10^10 cells) whose giant component
+    spans the whole plane, one-hop propagation alone needs
+    diameter-many rounds. Early-exits on a driver-side changed count
+    (one scalar per round — data never leaves the cluster); each
+    round's frame is localCheckpointed to cut the iterative lineage,
+    exactly like dedup_components. ``labels`` is (node, lbl) with lbl
+    initialized to node; ``edges`` is directed (u, v) with both
+    orientations present. Returns the converged (node, lbl).
+
+    Stress evidence: tests/test_stress_scale.py drives this kernel on
+    a 1000x1000 grid (10^6 cells, diameter ~2000) and asserts both the
+    single-component answer and the O(log D) round count."""
+    labels = labels.localCheckpoint()
+    for _ in range(max_rounds):
+        nb = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        jump = labels.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("jump_lbl")
+        )
+        updated = (
+            labels.join(nb, labels.node == nb.u, "left")
+            .join(jump, "lbl", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("nb_lbl"), F.col("lbl")),
+                    F.coalesce(F.col("jump_lbl"), F.col("lbl")),
+                ).alias("new_lbl"),
+                "lbl",
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("new_lbl") != F.col("lbl")).count()
+        labels = updated.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels
+
+
 #: density threshold: a cell is DENSE when it holds >= this many points.
 DBSCAN_MIN_PTS = 4
 
@@ -484,41 +534,7 @@ def geo_cluster_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     labels = cells.select(F.col("k").alias("node"), F.col("k").alias("lbl"))
-    labels = labels.localCheckpoint()
-    # neighbor-min PLUS pointer jumping (min with the label's own
-    # label) each round: distances halve, so convergence is
-    # O(log diameter) rounds instead of O(diameter) — the giant
-    # all-dense component at higher SFs spans the whole grid, where
-    # one-hop propagation alone needs ~40 rounds and this needs ~8.
-    # Early-exit on the driver-side changed count, as in
-    # dedup_components.
-    for _ in range(64):
-        nb = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nb_lbl"))
-        )
-        jump = labels.select(
-            F.col("node").alias("lbl"), F.col("lbl").alias("jump_lbl")
-        )
-        updated = (
-            labels.join(nb, labels.node == nb.u, "left")
-            .join(jump, "lbl", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"),
-                    F.coalesce(F.col("nb_lbl"), F.col("lbl")),
-                    F.coalesce(F.col("jump_lbl"), F.col("lbl")),
-                ).alias("new_lbl"),
-                "lbl",
-            )
-            .localCheckpoint()
-        )
-        changed = updated.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = updated.select("node", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
-            break
+    labels = _min_label_components(labels, edges)
     return (
         labels.join(cells, labels.node == cells.k)
         .groupBy(F.col("lbl").cast("bigint").alias("cluster_id"))

@@ -332,3 +332,111 @@ def test_skewed_boilerplate_corpus_prefix_join_is_bounded(spark):
     )
     # exactly the boilerplate block's pairs -- nothing corpus-sized
     assert cand == n_boiler * (n_boiler - 1) // 2
+
+
+def test_vocab_growth_5m_docs_no_pair_blowup(spark, tmp_path_factory):
+    """Round-4 verdict item 7a: the rewritten text_vocab_growth at 5M
+    docs (10,000x the fixture). Corpus designed for a closed-form
+    answer: doc i = "w{i} common", so every doc contributes exactly 2
+    tokens and introduces exactly 1 new type (plus 'common' at doc 0).
+    At checkpoint c (c % 50 == 49): tokens_so_far = 2(c+1),
+    vocab_so_far = c + 2. Asserted on the REAL operator over a
+    generated documents.parquet -- independent ground truth, not the
+    shared oracle -- plus the plan-shape guarantee the rewrite exists
+    for: no CartesianProduct/BroadcastNestedLoopJoin anywhere."""
+    import metadata_extractors_api_spark as mdx
+
+    n = 5_000_000
+    d = str(tmp_path_factory.mktemp("vocab5m"))
+    spark.range(0, n, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), F.col("id"), F.lit(" common")).alias("text"),
+    ).write.parquet(f"{d}/documents.parquet")
+
+    df = mdx.QUERIES["text_vocab_growth"](spark, d)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    bad = df.filter(
+        (F.col("tokens_so_far") != 2 * (F.col("doc_id") + 1))
+        | (F.col("vocab_so_far") != F.col("doc_id") + 2)
+    ).count()
+    total = df.count()
+    assert bad == 0
+    assert total == n // 50
+
+
+def test_basket_affinity_survives_single_hot_basket(spark, tmp_path_factory):
+    """Round-4 verdict item 7b: orders_basket_affinity's per-order
+    self-join under an adversarial HOT basket -- one order holding
+    3,000 distinct parts (C(3000,2) ~ 4.5M pairs from a single key)
+    among 200k normal 2-part orders. The shuffle join must complete
+    under AQE skew handling and the pair arithmetic stay exact: the
+    hot basket's parts are unique to it (co_count 1 < 2 threshold), so
+    the report contains exactly the planted normal-pair signal."""
+    import metadata_extractors_api_spark as mdx
+
+    d = str(tmp_path_factory.mktemp("hotbasket"))
+    hot = spark.range(3_000).select(
+        F.lit(0).cast("long").alias("l_orderkey"),
+        (F.col("id") + 1_000_000).alias("l_partkey"),
+    )
+    # 200k normal orders, each buying parts (2k, 2k+1) for k = order % 500:
+    # every pair (2k, 2k+1) co-occurs 400 times; no cross-pair overlap.
+    normal = spark.range(1, 200_001).select(
+        F.col("id").alias("l_orderkey"),
+        F.explode(
+            F.array(
+                (F.col("id") % 500) * 2, (F.col("id") % 500) * 2 + 1
+            )
+        ).alias("l_partkey"),
+    ).withColumn("l_partkey", F.col("l_partkey").cast("long"))
+    hot.unionByName(normal).write.parquet(f"{d}/lineitem.parquet")
+
+    out = mdx.QUERIES["orders_basket_affinity"](spark, d)
+    rows = out.collect()
+    # only the 500 planted pairs survive the co_count >= 2 filter
+    assert len(rows) == 500
+    n_orders = 200_001
+    for r in rows:
+        assert r["part_b"] == r["part_a"] + 1
+        assert r["co_count"] == 400
+        # lift = co * N / (cnt_a * cnt_b); each planted part appears in
+        # 400 orders
+        assert r["lift_e6"] == 400 * n_orders * 1_000_000 // (400 * 400)
+
+
+def test_min_label_components_million_cell_grid_log_rounds(spark):
+    """Round-4 verdict item 7c: the pointer-jumping component kernel on
+    a 1000x1000 grid (10^6 cells -- 2,500x beyond the fixture's 400),
+    4-neighbor connected, i.e. ONE component of diameter ~2000. A
+    one-hop-only propagation needs ~2000 rounds; pointer jumping must
+    converge in O(log D): asserted <= 16 rounds (log2(2000) ~ 11 plus
+    slack), with every node labeled by the global min."""
+    from metadata_extractors_api_spark.operators import spatial
+
+    side = 1_000
+    nodes = spark.range(0, side * side, 1, 32)
+    labels = nodes.select(F.col("id").alias("node"), F.col("id").alias("lbl"))
+    # undirected 4-neighborhood as directed edges both ways
+    right = nodes.filter((F.col("id") % side) < side - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    down = nodes.filter(F.col("id") < side * (side - 1)).select(
+        F.col("id").alias("u"), (F.col("id") + side).alias("v")
+    )
+    fwd = right.unionByName(down)
+    edges = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    # round count asserted via budget: with max_rounds=16 the run can
+    # only produce the single-component answer if convergence is
+    # O(log D) -- one-hop-only propagation would still be ~99% short.
+    out = spatial._min_label_components(labels, edges, max_rounds=16)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("lbl").alias("n_lbl"),
+        F.max("lbl").alias("max_lbl"),
+    ).first()
+    assert agg["n"] == side * side
+    assert agg["n_lbl"] == 1 and agg["max_lbl"] == 0
