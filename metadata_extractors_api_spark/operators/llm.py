@@ -3155,3 +3155,191 @@ def sim_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
     )
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(10)
+
+
+#: paragraph proxy: fixed 10-token blocks (the fixture text is a flat
+#: word stream with no newline structure; real corpora split on \n\n
+#: with the identical plan downstream of the explode).
+_PARA_TOKENS = 10
+
+
+@register(
+    "dedup_paragraphs",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    b0 AS (
+      SELECT doc_id, t,
+             unnest(range(0, len(t) // {_PARA_TOKENS})) AS idx
+      FROM tk),
+    b AS (
+      SELECT doc_id, idx,
+             array_to_string(
+               t[(idx * {_PARA_TOKENS} + 1):(idx * {_PARA_TOKENS}
+                  + {_PARA_TOKENS})], ' ') AS blk
+      FROM b0),
+    r AS (
+      SELECT doc_id, idx,
+             ROW_NUMBER() OVER (PARTITION BY blk
+                                ORDER BY doc_id, idx) AS rn
+      FROM b)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_paras,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS dup_frac_e6
+    FROM r GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level dedup census (the CCNet shape): documents split
+    into paragraph units, each unit hashed corpus-wide, and every
+    occurrence after the FIRST (ordered by (doc_id, position) — a total
+    order, so the keeper is deterministic) counted as duplicated
+    boilerplate. Emits per-document paragraph counts and duplicated
+    fraction — the signal CCNet thresholds to strip boilerplate while
+    keeping the document (whole-doc dedup misses documents that are 40%
+    template). Units here are fixed {_PARA_TOKENS}-token blocks (see
+    _PARA_TOKENS); a newline split is the same plan.
+
+    Scale shape: one explode to (block, doc, idx) — the shuffle key is
+    the BLOCK HASH (dedup_exact's skew-impossible-by-construction
+    argument applies per paragraph); the first-occurrence rank is a
+    window partitioned by block (parallel, collision-bounded
+    partitions); the per-doc rollup is map-side combinable. No
+    pairwise anything: O(total paragraphs) end to end, which is why
+    CCNet runs it on full crawls."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= _PARA_TOKENS
+    )
+    blocks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"size(t) div {_PARA_TOKENS} - 1").cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice("t", i * _PARA_TOKENS + 1, _PARA_TOKENS), " "
+                ),
+            )
+        ).alias("idx", "blk"),
+    )
+    w = Window.partitionBy("blk").orderBy("doc_id", "idx")
+    r = blocks.withColumn("rn", F.row_number().over(w))
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("n_dup_paras"),
+        F.expr(
+            "cast(sum(cast(rn > 1 as int)) * 1000000 div count(1) as bigint)"
+        ).alias("dup_frac_e6"),
+    )
+
+
+@register(
+    "multimodal_gradient_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L, {_PPM_W} AS w, {_PPM_H} AS h
+      FROM documents WHERE doc_id < {_PIXEL_ORACLE_DOCS}),
+    flat AS (
+      SELECT doc_id, text, L, w, unnest(range(0, 3 * w * h)) AS j FROM d),
+    px AS (
+      SELECT doc_id, w, j, j % 3 AS c,
+             (ascii(substr(text, CAST((j * 31 + 7) % L AS INT) + 1, 1))
+              + j) % 256 AS val,
+             (ascii(substr(text, CAST(((j + 3) * 31 + 7) % L AS INT) + 1, 1))
+              + j + 3) % 256 AS val_right
+      FROM flat),
+    g AS (
+      SELECT doc_id, c, abs(val_right - val) AS dv
+      FROM px WHERE ((j // 3) % w) < w - 1)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN c = 0 THEN dv END) AS BIGINT) AS grad_r,
+           CAST(SUM(CASE WHEN c = 1 THEN dv END) AS BIGINT) AS grad_g,
+           CAST(SUM(CASE WHEN c = 2 THEN dv END) AS BIGINT) AS grad_b
+    FROM g GROUP BY doc_id
+    """,
+)
+def multimodal_gradient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal-gradient L1 energy per channel over REAL decoded
+    pixels — the cheap blur/flat-frame screen (a defocused or
+    synthetic-flat image has near-zero gradient mass; a textured one
+    does not) that multimodal curation thresholds before paying for
+    model-based filters. Exact integers: |px[y][x+1] - px[y][x]|
+    summed in int64 per channel, so the SQL replay of the raster
+    formula must match the numpy path bit-for-bit (a single off-by-one
+    in the decode or the row stride shifts a sum). Bounded to the
+    100-doc pixel-oracle slice like the other per-pixel audits; the
+    mapInPandas stage is corpus-capable."""
+
+    def grad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                px = decode_image(_ppm_payload(text))["pixels"].astype(np.int64)
+                g = np.abs(np.diff(px, axis=1)).sum(axis=(0, 1))
+                rows.append((doc_id, int(g[0]), int(g[1]), int(g[2])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "grad_r", "grad_g", "grad_b"]
+            )
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PIXEL_ORACLE_DOCS)
+        .select("doc_id", "text")
+    )
+    return d.mapInPandas(
+        grad_batches, "doc_id long, grad_r long, grad_g long, grad_b long"
+    )
+
+
+@register(
+    "multimodal_histogram",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L, {_PPM_W} AS w, {_PPM_H} AS h
+      FROM documents WHERE doc_id < {_PIXEL_ORACLE_DOCS}),
+    flat AS (
+      SELECT doc_id, text, L, unnest(range(0, 3 * w * h)) AS j FROM d),
+    px AS (
+      SELECT doc_id,
+             ((ascii(substr(text, CAST((j * 31 + 7) % L AS INT) + 1, 1))
+               + j) % 256) // 32 AS bin
+      FROM flat WHERE j % 3 = 0)
+    SELECT doc_id, CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM px GROUP BY doc_id, bin
+    """,
+)
+def multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bin red-channel intensity histogram per REAL decoded image —
+    the exposure/clipping profile (all-dark, all-bright, bimodal) that
+    drives cheap visual-quality buckets. Each image emits up to 8
+    (bin, count) rows computed by numpy bincount over the decoded
+    plane; the oracle replays the raster formula per pixel. Empty bins
+    emit no row (sparse histogram contract — matches the SQL GROUP BY
+    exactly). Same bounded pixel-oracle slice as the other per-pixel
+    audits."""
+
+    def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "bin": [], "n": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                px = decode_image(_ppm_payload(text))["pixels"]
+                counts = np.bincount(px[:, :, 0].ravel() >> 5, minlength=8)
+                for b in range(8):
+                    if counts[b]:
+                        out["doc_id"].append(doc_id)
+                        out["bin"].append(b)
+                        out["n"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PIXEL_ORACLE_DOCS)
+        .select("doc_id", "text")
+    )
+    return d.mapInPandas(hist_batches, "doc_id long, bin int, n bigint")

@@ -1428,3 +1428,42 @@ def sample_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_kept"),
         F.min("vec_id").cast("bigint").alias("first_kept"),
     )
+
+
+#: exact sample size for the bottom-k reservoir draw.
+RESERVOIR_K = 1000
+
+
+@register(
+    "sample_reservoir_bottomk",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderkey,
+             md5(CAST(o_orderkey AS VARCHAR)) AS hk
+      FROM orders)
+    SELECT o_orderkey, hk
+    FROM h
+    ORDER BY hk, o_orderkey
+    LIMIT {RESERVOIR_K}
+    """,
+)
+def sample_reservoir_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-size deterministic uniform sample via bottom-k by keyed
+    hash — the distributed equivalent of reservoir sampling.
+    sample_hash's threshold draw yields a BINOMIAL size (±sqrt(n)
+    jitter); pipelines that must emit exactly k rows (eval-set carving,
+    audit panels) take the k smallest md5(key) values instead: the hash
+    is a uniform permutation of keys, so the bottom-k IS a uniform
+    k-subset, reproducible across engines, runs, and cluster sizes.
+
+    Scale shape: TakeOrderedAndProject — each partition keeps a local
+    k-heap and the driver merges per-partition heaps, O(n) scan +
+    O(parts * k) merge, NO global sort (the naive ORDER BY ... LIMIT
+    plan the oracle states). At 100 TB the same plan holds; k rows fit
+    any driver."""
+    o = load(spark, sf_dir, "orders", parallelize=True)
+    h = o.select(
+        "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string")).alias("hk"),
+    )
+    return h.orderBy("hk", "o_orderkey").limit(RESERVOIR_K)
