@@ -3343,3 +3343,341 @@ def multimodal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     return d.mapInPandas(hist_batches, "doc_id long, bin int, n bigint")
+
+
+#: matryoshka truncation width audited by embedding_matryoshka_audit.
+MRL_DIM = 16
+
+
+@register(
+    "embedding_matryoshka_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding, embedding[1:{MRL_DIM}] AS te
+      FROM embeddings),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qe, te AS qte,
+             {_sql_dot('embedding', 'embedding')} AS qn,
+             {_sql_dot('te', 'te')} AS qtn
+      FROM e WHERE vec_id < 8),
+    s AS (
+      SELECT q.qid, e.vec_id,
+             round(({_sql_dot('e.embedding', 'q.qe')} / 1e12)
+                   / (sqrt({_sql_dot('e.embedding', 'e.embedding')} / 1e12)
+                      * sqrt(q.qn / 1e12)), 6) AS full_c,
+             round(({_sql_dot('e.te', 'q.qte')} / 1e12)
+                   / (sqrt({_sql_dot('e.te', 'e.te')} / 1e12)
+                      * sqrt(q.qtn / 1e12)), 6) AS trunc_c
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.qid),
+    rf AS (
+      SELECT qid, vec_id, full_c,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY full_c DESC, vec_id) AS rf
+      FROM s),
+    rt AS (
+      SELECT qid, vec_id, trunc_c,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY trunc_c DESC, vec_id) AS rt
+      FROM s),
+    ov AS (
+      SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM rf f JOIN rt t ON t.qid = f.qid AND t.vec_id = f.vec_id
+      WHERE f.rf <= 5 AND t.rt <= 5
+      GROUP BY f.qid)
+    SELECT f1.qid,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           CAST(f1.vec_id AS BIGINT) AS top1_full,
+           CAST(t1.vec_id AS BIGINT) AS top1_trunc,
+           CAST(CASE WHEN f1.vec_id = t1.vec_id THEN 1 ELSE 0 END AS INT)
+               AS top1_match
+    FROM (SELECT qid, vec_id FROM rf WHERE rf = 1) f1
+    JOIN (SELECT qid, vec_id FROM rt WHERE rt = 1) t1 ON t1.qid = f1.qid
+    LEFT JOIN ov ON ov.qid = f1.qid
+    """,
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: does retrieval by the FIRST
+    {MRL_DIM} of {{DIM}} dimensions agree with full-dimension retrieval?
+    Per probe, the top-5 overlap and top-1 agreement between the two
+    rankings — the evaluation every MRL/short-embedding rollout runs
+    before serving the cheap dimensionality (truncated vectors cut
+    index memory and dot-product cost 4x; this measures what that buys
+    away). ONE corpus pass computes both scaled-int64 dot products per
+    (probe, vector) — the truncated slice re-uses the already-loaded
+    array, no second scan — and both rankings come from the same
+    scored frame via two windows sharing one qid exchange. Rank keys
+    are the 6-dp-rounded cosines (+ vec_id tiebreak), so both engines
+    rank identical values identically. At 100 TB: probes broadcast,
+    corpus streams, per-probe ranking parallelism = |probes|."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id",
+        "embedding",
+        F.slice("embedding", 1, MRL_DIM).alias("te"),
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("te").alias("qte"),
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("qn"),
+        dot_scaled(F.col("te"), F.col("te")).alias("qtn"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_from_scaled(
+                dot_scaled(F.col("embedding"), F.col("qe")),
+                dot_scaled(F.col("embedding"), F.col("embedding")),
+                F.col("qn"),
+            ).alias("full_c"),
+            cosine_from_scaled(
+                dot_scaled(F.col("te"), F.col("qte")),
+                dot_scaled(F.col("te"), F.col("te")),
+                F.col("qtn"),
+            ).alias("trunc_c"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("full_c"), F.asc("vec_id"))
+    wt = Window.partitionBy("qid").orderBy(F.desc("trunc_c"), F.asc("vec_id"))
+    r = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
+        "rt", F.row_number().over(wt)
+    )
+    top_f = r.filter(F.col("rf") <= 5).select("qid", "vec_id")
+    top_t = r.filter(F.col("rt") <= 5).select("qid", "vec_id")
+    ov = top_f.join(top_t, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+    )
+    f1 = r.filter(F.col("rf") == 1).select(
+        "qid", F.col("vec_id").cast("bigint").alias("top1_full")
+    )
+    t1 = r.filter(F.col("rt") == 1).select(
+        "qid", F.col("vec_id").cast("bigint").alias("top1_trunc")
+    )
+    return (
+        f1.join(t1, "qid")
+        .join(ov, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias(
+                "n_overlap"
+            ),
+            "top1_full",
+            "top1_trunc",
+            (F.col("top1_full") == F.col("top1_trunc"))
+            .cast("int")
+            .alias("top1_match"),
+        )
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT p_partkey,
+             (CASE WHEN p_partkey % 2 = 0 THEN 'https://Example.COM'
+                   ELSE 'https://example.com' END)
+             || '/item/' || CAST(p_partkey // 4 AS VARCHAR)
+             || '?id=' || CAST(p_partkey // 4 AS VARCHAR)
+             || (CASE p_partkey % 3 WHEN 0 THEN '&utm_source=crawl'
+                 WHEN 1 THEN '&utm_campaign=promo' ELSE '' END) AS url
+      FROM part),
+    canon AS (
+      SELECT p_partkey,
+             regexp_replace(lower(url), '&utm_[a-z]+=[^&]*', '') AS curl
+      FROM raw)
+    SELECT curl AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(MIN(p_partkey) AS BIGINT) AS keeper_key
+    FROM canon
+    GROUP BY curl
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the crawl-frontier primitive: raw
+    URLs differing only in host case and tracking parameters
+    (utm_*) collapse to one canonical form (lowercase + tracking-param
+    strip), and the census reports every canonical URL fetched more
+    than once with its keeper. The fixture carries no URL column, so
+    raw URLs are SYNTHESIZED deterministically from the part table
+    (shared item ids planted via integer division; host case and utm
+    noise varied by key residue) — the canonicalization pipeline and
+    plan are the real thing: per-row string normalization is
+    whole-stage-codegen JVM work, the census is one map-side-combinable
+    groupBy on the canonical hash, skew-impossible by construction
+    exactly like dedup_exact. At 100 TB this is the frontier dedup
+    that keeps a crawler from re-fetching the same page through
+    tracking-tagged links."""
+    p = load(spark, sf_dir, "part", parallelize=True)
+    raw = p.select(
+        "p_partkey",
+        F.concat(
+            F.when(F.col("p_partkey") % 2 == 0, F.lit("https://Example.COM"))
+            .otherwise(F.lit("https://example.com")),
+            F.lit("/item/"),
+            F.expr("cast(p_partkey div 4 as string)"),
+            F.lit("?id="),
+            F.expr("cast(p_partkey div 4 as string)"),
+            F.when(F.col("p_partkey") % 3 == 0, F.lit("&utm_source=crawl"))
+            .when(F.col("p_partkey") % 3 == 1, F.lit("&utm_campaign=promo"))
+            .otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    canon = raw.select(
+        "p_partkey",
+        F.regexp_replace(
+            F.lower(F.col("url")), "&utm_[a-z]+=[^&]*", ""
+        ).alias("curl"),
+    )
+    return (
+        canon.groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.min("p_partkey").cast("bigint").alias("keeper_key"),
+        )
+        .filter(F.col("n_raw") > 1)
+    )
+
+
+#: nprobe settings swept by the IVF recall curve.
+RECALL_CURVE_NPROBES = [1, 2, 4, 8]
+
+
+def _recall_curve_oracle() -> str:
+    cdots = "\n      UNION ALL\n".join(
+        f"      SELECT {k} AS k, {_sql_plane_dot('q.embedding', CENTROIDS[k])}"
+        f" AS d FROM q"
+        for k in range(N_CENTROIDS)
+    )
+    pvals = ", ".join(f"({p})" for p in RECALL_CURVE_NPROBES)
+    return f"""
+    WITH q AS (
+      SELECT embedding, {_sql_dot('embedding', 'embedding')} AS qn
+      FROM embeddings WHERE vec_id = 0),
+    cdots AS (
+{cdots}),
+    probes AS (
+      SELECT k, ROW_NUMBER() OVER (ORDER BY d DESC, k) AS rk FROM cdots),
+    cl AS (
+      SELECT e.vec_id,
+             {_ivf_assign_sql('e.embedding')} AS cluster,
+             round(({_sql_dot('e.embedding', 'q.qe_')} / 1e12)
+                   / (sqrt({_sql_dot('e.embedding', 'e.embedding')} / 1e12)
+                      * sqrt(q.qn / 1e12)), 6) AS score
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding AS qe_, qn FROM q) q
+      WHERE e.vec_id <> 0),
+    brute AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rn
+        FROM cl) WHERE rn <= 5),
+    pv(p) AS (VALUES {pvals}),
+    cand AS (
+      SELECT pv.p, cl.vec_id, cl.score
+      FROM cl JOIN probes pr ON pr.k = cl.cluster, pv
+      WHERE pr.rk <= pv.p),
+    topp AS (
+      SELECT p, vec_id FROM (
+        SELECT p, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p
+                                  ORDER BY score DESC, vec_id) AS rn
+        FROM cand) WHERE rn <= 5),
+    sizes AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n_candidates
+              FROM cand GROUP BY p),
+    hits AS (
+      SELECT t.p, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM topp t JOIN brute b ON b.vec_id = t.vec_id GROUP BY t.p)
+    SELECT s.p AS nprobe, s.n_candidates,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) * 1000000 // 5 AS BIGINT) AS recall_e6
+    FROM sizes s LEFT JOIN hits h ON h.p = s.p
+    """
+
+
+@register("sim_ann_recall_curve", oracle=_recall_curve_oracle())
+def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe TUNING CURVE: measured recall@5 (vs exact brute
+    force) and candidate-set cost for nprobe in {1,2,4,8} — the
+    companion of dedup_lsh_recall_audit for the data-partitioned ANN
+    family, and the readout that picks the serving knob (every IVF
+    deployment trades n_candidates against recall on exactly this
+    curve; publishing the measured curve is how the knob gets chosen
+    honestly rather than by folklore).
+
+    Plan: the probe's centroid ranking is resolved driver-side (8
+    exact int dots on one cached row — probe parameters, the sanctioned
+    collect), each nprobe setting is a partition-pruned scan of the
+    SAME materialized index sim_ann_ivf built (memoized; PartitionFilters
+    plan-asserted there), per-setting top-5 via TakeOrdered-shaped
+    windows over report-sized candidates, and the brute-force truth is
+    one full pass. All cosines in the shared scaled-int64 arithmetic."""
+    idx = _ann_ivf_index(spark, sf_dir)
+    idx_df = _ann_memo(
+        (session_key(spark), sf_dir, "ivf_df"), lambda: spark.read.parquet(idx)
+    )
+
+    def centroid_dot(k: int) -> Column:
+        cen = F.array(*[F.lit(v) for v in CENTROIDS[k]])
+        return dot_scaled(F.col("embedding"), cen)
+
+    q_row = _ann_memo(
+        (session_key(spark), sf_dir, "ivf_q"),
+        lambda: load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(
+            "embedding",
+            dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
+            *[centroid_dot(k).alias(f"d{k}") for k in range(N_CENTROIDS)],
+        )
+        .collect()[0],
+    )
+    order = sorted(range(N_CENTROIDS), key=lambda k: (-q_row[f"d{k}"], k))
+    qe = F.array(*[F.lit(float(v)) for v in q_row["embedding"]])
+    scored = idx_df.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "cluster",
+        cosine_from_scaled(
+            dot_scaled(F.col("embedding"), qe),
+            dot_scaled(F.col("embedding"), F.col("embedding")),
+            F.lit(q_row["nn"]),
+        ).alias("score"),
+    )
+    brute = (
+        scored.orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id")
+    )
+    curves = []
+    for p in RECALL_CURVE_NPROBES:
+        probe = [int(c) for c in order[:p]]
+        cand = scored.filter(F.col("cluster").isin(probe))
+        topp = (
+            cand.orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(5)
+            .select("vec_id")
+        )
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+        )
+        n_hits = topp.join(brute, "vec_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        curves.append(
+            n_cand.crossJoin(n_hits).select(
+                F.lit(p).alias("nprobe"),
+                "n_candidates",
+                "n_hits",
+                F.expr("n_hits * 1000000 div 5").cast("bigint").alias(
+                    "recall_e6"
+                ),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out

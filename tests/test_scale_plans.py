@@ -595,6 +595,7 @@ _PAIR_JOIN_ALLOWLIST = {
     # (vec_id < k / 100-probe slices): one corpus pass per batch
     "sim_topk": {"BroadcastNestedLoopJoin:"},
     "sim_topk_batch": {"BroadcastNestedLoopJoin:qid,vec_id"},
+    "embedding_matryoshka_audit": {"BroadcastNestedLoopJoin:qid,vec_id"},
     "sim_knn_label_audit": {"BroadcastNestedLoopJoin:qid,vec_id"},
     "sim_search_filtered": {"BroadcastNestedLoopJoin:"},
     "sample_hard_negatives": {"BroadcastNestedLoopJoin:label,qlabel"},
