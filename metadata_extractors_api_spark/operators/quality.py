@@ -2920,3 +2920,159 @@ def dq_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 5 * F.col("t1") * F.col("t2")
         ).alias("drifted"),
     )
+
+
+@register(
+    "agg_ols_two_features",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS y,
+             CAST(COUNT(*) AS BIGINT) AS x2
+      FROM orders GROUP BY o_custkey),
+    j AS (
+      SELECT c.c_nationkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS x1, pc.x2, pc.y
+      FROM customer c JOIN pc ON c.c_custkey = pc.o_custkey),
+    m AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(x2) AS DECIMAL(38,0)) AS s2,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * x1) AS DECIMAL(38,0)) AS s11,
+             CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * x2) AS DECIMAL(38,0)) AS s12,
+             CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * x2) AS DECIMAL(38,0)) AS s22,
+             CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS s1y,
+             CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS s2y,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM j GROUP BY c_nationkey),
+    d AS (
+      SELECT c_nationkey, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+             CAST(sy AS DOUBLE) AS syd,
+             CAST(s11 AS DOUBLE) AS s11d, CAST(s12 AS DOUBLE) AS s12d,
+             CAST(s22 AS DOUBLE) AS s22d,
+             CAST(s1y AS DOUBLE) AS s1yd, CAST(s2y AS DOUBLE) AS s2yd,
+             CAST(syy AS DOUBLE) AS syyd
+      FROM m),
+    s AS (
+      SELECT c_nationkey, n, syd, s1yd, s2yd, syyd, nd,
+             nd * (s11d * s22d - s12d * s12d)
+               - s1d * (s1d * s22d - s12d * s2d)
+               + s2d * (s1d * s12d - s11d * s2d) AS det,
+             syd * (s11d * s22d - s12d * s12d)
+               - s1d * (s1yd * s22d - s12d * s2yd)
+               + s2d * (s1yd * s12d - s11d * s2yd) AS det0,
+             nd * (s1yd * s22d - s12d * s2yd)
+               - syd * (s1d * s22d - s12d * s2d)
+               + s2d * (s1d * s2yd - s1yd * s2d) AS det1,
+             nd * (s11d * s2yd - s1yd * s12d)
+               - s1d * (s1d * s2yd - s1yd * s2d)
+               + syd * (s1d * s12d - s11d * s2d) AS det2
+      FROM d),
+    f AS (
+      SELECT c_nationkey, n,
+             det0 / det AS b0, det1 / det AS b1, det2 / det AS b2,
+             syyd - syd * syd / nd AS sst,
+             syyd - (det0 / det) * syd - (det1 / det) * s1yd
+                  - (det2 / det) * s2yd AS sse
+      FROM s WHERE det > 0),
+    r AS (SELECT * FROM f WHERE sst > 0)
+    SELECT CAST(c_nationkey AS BIGINT) AS nation, n,
+           ROUND(b0, 6) AS intercept,
+           ROUND(b1, 6) AS beta_acctbal,
+           ROUND(b2, 6) AS beta_n_orders,
+           ROUND(1 - sse / sst, 6) AS r2
+    FROM r
+    """,
+)
+def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-feature grouped least squares (multiple regression): per
+    nation, regress customer lifetime revenue on (account balance,
+    order count) via the normal equations — solved in closed form with
+    Cramer's rule over the 3x3 Gram matrix of EXACT sufficient
+    statistics (integer cents, DECIMAL(19,0) pairwise products summed
+    in DECIMAL(38,0); one pass, map-side combinable, no per-row
+    residual pass — SSE comes from the same statistics). Only the
+    final determinant arithmetic drops to doubles, where both engines
+    execute the IDENTICAL operation tree on identical inputs, so 6-dp
+    rounding hash-matches. Degenerate groups (singular Gram matrix or
+    zero outcome variance) are excluded identically on both sides —
+    agg_ols_regression's guard, generalized. At 100 TB: the plan is
+    one fact groupBy + one dimension join + one moments groupBy,
+    nothing grows but key cardinality; adding features grows the
+    statistics vector O(k^2), never the pass count."""
+    o = load(spark, sf_dir, "orders")
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+        F.count(F.lit(1)).cast("bigint").alias("x2"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("x1"),
+    )
+    j = c.join(pc, c.c_custkey == pc.o_custkey).select(
+        "c_nationkey", "x1", "x2", "y"
+    )
+    d19 = lambda col: F.col(col).cast("decimal(19,0)")  # noqa: E731
+    m = j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("decimal(38,0)").alias("s1"),
+        F.sum("x2").cast("decimal(38,0)").alias("s2"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(d19("x1") * F.col("x1")).cast("decimal(38,0)").alias("s11"),
+        F.sum(d19("x1") * F.col("x2")).cast("decimal(38,0)").alias("s12"),
+        F.sum(d19("x2") * F.col("x2")).cast("decimal(38,0)").alias("s22"),
+        F.sum(d19("x1") * F.col("y")).cast("decimal(38,0)").alias("s1y"),
+        F.sum(d19("x2") * F.col("y")).cast("decimal(38,0)").alias("s2y"),
+        F.sum(d19("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    s1d, s2d, syd = (F.col(c_).cast("double") for c_ in ("s1", "s2", "sy"))
+    s11d, s12d, s22d = (
+        F.col(c_).cast("double") for c_ in ("s11", "s12", "s22")
+    )
+    s1yd, s2yd, syyd = (
+        F.col(c_).cast("double") for c_ in ("s1y", "s2y", "syy")
+    )
+    det = (
+        nd * (s11d * s22d - s12d * s12d)
+        - s1d * (s1d * s22d - s12d * s2d)
+        + s2d * (s1d * s12d - s11d * s2d)
+    )
+    det0 = (
+        syd * (s11d * s22d - s12d * s12d)
+        - s1d * (s1yd * s22d - s12d * s2yd)
+        + s2d * (s1yd * s12d - s11d * s2yd)
+    )
+    det1 = (
+        nd * (s1yd * s22d - s12d * s2yd)
+        - syd * (s1d * s22d - s12d * s2d)
+        + s2d * (s1d * s2yd - s1yd * s2d)
+    )
+    det2 = (
+        nd * (s11d * s2yd - s1yd * s12d)
+        - s1d * (s1d * s2yd - s1yd * s2d)
+        + syd * (s1d * s12d - s11d * s2d)
+    )
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    sst = syyd - syd * syd / nd
+    sse = syyd - b0 * syd - b1 * s1yd - b2 * s2yd
+    return (
+        m.filter(det > 0)
+        .filter(sst > 0)
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+            "n",
+            F.round(b0, 6).alias("intercept"),
+            F.round(b1, 6).alias("beta_acctbal"),
+            F.round(b2, 6).alias("beta_n_orders"),
+            F.round(1 - sse / sst, 6).alias("r2"),
+        )
+    )

@@ -570,3 +570,43 @@ def sink_csv_roundtrip_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("description").cast("bigint").alias("n_chars"),
         F.col("description").contains("\n").alias("multiline"),
     )
+
+
+@register("scan_parquet_footer_stats")
+def scan_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet FOOTER observability: per-(row group, column) row
+    counts and compressed/uncompressed chunk sizes read from the file
+    metadata alone — the audit that explains scan behavior (which
+    columns dominate I/O, whether row groups are sized for the
+    maxPartitionBytes split, whether min/max skipping can work)
+    without touching a single data page. The footer read is
+    metadata-sized driver work (pyarrow), exactly like catalog
+    ANALYZE. No SQL oracle: the driver's DuckDB views expose table
+    ROWS, not file metadata, so this is a rows-only entry — the value
+    differential runs in tests/test_robustness.py instead, against
+    DuckDB's INDEPENDENT parquet_metadata() implementation of the
+    footer spec (a misread field cannot pass). At 100 TB the same
+    read runs as a parallelized file-listing job over the manifest
+    (one footer per task); per-file output stays metadata-sized."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    rows = []
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            rows.append(
+                (
+                    i,
+                    col.path_in_schema,
+                    rg.num_rows,
+                    col.total_compressed_size,
+                    col.total_uncompressed_size,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "row_group bigint, column_name string, num_rows bigint, "
+        "compressed_bytes bigint, uncompressed_bytes bigint",
+    )

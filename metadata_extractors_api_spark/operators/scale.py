@@ -644,3 +644,49 @@ def sink_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.length("value")).cast("bigint").alias("min_len"),
         F.max(F.length("value")).cast("bigint").alias("max_len"),
     )
+
+
+@register(
+    "join_bloom_runtime",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join with a SELECTIVE build side — the shape
+    Spark's runtime row-level BLOOM FILTER optimization exists for:
+    the optimizer builds a bloom filter over the filtered orders keys
+    and pushes a MightContain probe into the lineitem scan, so the
+    shuffle carries only rows that can possibly join (~single-digit %
+    here) instead of the whole fact table. At fixture scale the
+    injection thresholds (creation side <= 10 MB, application side >=
+    10 GB scanned) correctly judge the bloom unnecessary — AQE
+    broadcasts instead — so the REGISTERED query asserts semantics;
+    tests/test_scale_plans.py::test_bloom_filter_injects_on_selective_join
+    lowers the thresholds to cluster-scale proportions and asserts the
+    BloomFilterMightContain probe appears in this exact plan. At
+    100 TB the defaults fire on their own; nothing in the query
+    changes."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )

@@ -89,3 +89,33 @@ def test_compaction_preserves_the_table_checksum(spark, sf_dir):
     assert row["n_rows"] == ref["n_rows"]
     assert row["checksum"] == ref["checksum"]
     assert row["files_before"] == 64 and row["files_after"] == 4
+
+
+def test_parquet_footer_stats_match_duckdb_metadata(spark, sf_dir):
+    """Value differential for the rows-only scan_parquet_footer_stats:
+    the pyarrow footer read must agree field-for-field with DuckDB's
+    independent parquet_metadata() implementation of the spec."""
+    import duckdb
+
+    got = sorted(
+        tuple(r)
+        for r in mdx.QUERIES["scan_parquet_footer_stats"](
+            spark, sf_dir
+        ).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT CAST(row_group_id AS BIGINT),
+                   path_in_schema,
+                   CAST(any_value(row_group_num_rows) AS BIGINT),
+                   CAST(any_value(total_compressed_size) AS BIGINT),
+                   CAST(any_value(total_uncompressed_size) AS BIGINT)
+            FROM parquet_metadata('{sf_dir}/lineitem.parquet')
+            GROUP BY row_group_id, path_in_schema
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) >= 11

@@ -638,3 +638,32 @@ def test_no_registered_query_pairs_data_with_data(spark, sf_dir):
         if not (state.get(n, set()) & allowed)
     }
     assert not stale, f"allowlist entries no longer exercised: {stale}"
+
+
+def test_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """join_bloom_runtime's 100 TB claim, made checkable at fixture
+    scale: with the injection thresholds scaled to the fixture (the
+    ratios a 100 TB cluster hits with the 10 MB / 10 GB defaults) and
+    broadcast disabled (both sides are fact tables at scale), the
+    optimizer must build a bloom filter over the selective orders side
+    and push a BloomFilterMightContain probe into the lineitem side."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = mdx.QUERIES["join_bloom_runtime"](spark, sf_dir)
+        plan = _plan(df)
+        assert "bloom" in plan.lower(), plan[:2000]
+        # and the filtered semantics survive the optimization
+        assert df.count() > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
