@@ -104,6 +104,20 @@ HEADLINE = [
     "dq_rule_engine",
     "text_bpe_pair_census",
     "sample_kcenter_diverse",
+    # round-6 additions: pair-blowup-free vocab growth, paragraph-level
+    # dedup, REAL pixel path (decode + resample + gradient), matryoshka
+    # truncation + IVF recall audits, bottom-k reservoir, URL
+    # canonicalization, multiple regression, runtime-bloom join
+    "text_vocab_growth",
+    "dedup_paragraphs",
+    "multimodal_resize",
+    "multimodal_gradient_stats",
+    "embedding_matryoshka_audit",
+    "sim_ann_recall_curve",
+    "sample_reservoir_bottomk",
+    "dedup_url_canonical",
+    "agg_ols_two_features",
+    "join_bloom_runtime",
 ]
 
 RUNS = 5
