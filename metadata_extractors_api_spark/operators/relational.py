@@ -892,3 +892,99 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "project_struct_nested",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             struct_pack(
+               cust := o_custkey,
+               money := struct_pack(
+                 cents := CAST(round(o_totalprice * 100) AS BIGINT),
+                 priority := o_orderpriority)) AS meta
+      FROM orders)
+    SELECT o_orderkey,
+           meta.cust AS cust,
+           meta.money.cents AS cents,
+           meta.money.priority AS priority,
+           CAST(meta.money.cents + 1 AS BIGINT) AS cents_bumped
+    FROM s
+    """,
+)
+def project_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-STRUCT projection surface: build a two-level struct
+    column, read fields back with dot paths, and REWRITE one inner
+    field with ``withField`` (the Spark 3.1+ primitive that updates a
+    leaf without exploding and rebuilding the tree — essential when
+    real schemas nest 5+ levels and a transform touches one leaf).
+    Catalyst collapses the construct/extract round trip into plain
+    column references (CreateNamedStruct elimination), so the plan is
+    a single codegen projection over the scan — struct nesting is a
+    SCHEMA shape, not an execution cost. The oracle builds the same
+    tree with struct_pack and dots it back out."""
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.struct(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("money"),
+        ).alias("meta"),
+    )
+    bumped = s.withColumn(
+        "meta",
+        F.col("meta").withField(
+            "money",
+            F.col("meta.money").withField(
+                "cents_bumped", F.col("meta.money.cents") + 1
+            ),
+        ),
+    )
+    return bumped.select(
+        "o_orderkey",
+        F.col("meta.cust").alias("cust"),
+        F.col("meta.money.cents").alias("cents"),
+        F.col("meta.money.priority").alias("priority"),
+        F.col("meta.money.cents_bumped").cast("bigint").alias("cents_bumped"),
+    )
+
+
+@register(
+    "set_union_evolved_schema",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 0),
+    new AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderpriority AS priority
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT o_orderkey, cents, NULL AS priority FROM old
+    UNION ALL
+    SELECT o_orderkey, cents, priority FROM new
+    """,
+)
+def set_union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-EVOLUTION union: an old extract (2 columns) and a new
+    extract that grew a column union into one relation with
+    ``unionByName(allowMissingColumns=True)`` — the alignment is BY
+    NAME with nulls filled for the missing column, not by position
+    (positional UNION silently mismatches the moment schemas drift —
+    the exact failure long-running ingestion pipelines hit on the day
+    a producer adds a field). Zero-shuffle: both sides stay map-side
+    scans; the union is a plan-level concatenation. The oracle states
+    the same by-name alignment explicitly."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", cents)
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", cents, F.col("o_orderpriority").alias("priority")
+    )
+    return old.unionByName(new, allowMissingColumns=True)
