@@ -3202,13 +3202,18 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     template). Units here are fixed {_PARA_TOKENS}-token blocks (see
     _PARA_TOKENS); a newline split is the same plan.
 
-    Scale shape: one explode to (block, doc, idx) — the shuffle key is
-    the BLOCK HASH (dedup_exact's skew-impossible-by-construction
-    argument applies per paragraph); the first-occurrence rank is a
-    window partitioned by block (parallel, collision-bounded
-    partitions); the per-doc rollup is map-side combinable. No
-    pairwise anything: O(total paragraphs) end to end, which is why
-    CCNet runs it on full crawls."""
+    Scale shape: one explode to (block, doc, idx); the first
+    occurrence per block is a MIN over the (doc_id, idx) struct — a
+    map-side-combinable groupBy, so a boilerplate block repeated in
+    10^6 documents costs partial aggregation, not a single hot task
+    (a window partitioned by block would sort that block's every
+    occurrence in ONE task: windows get no AQE skew split — the form
+    this operator deliberately avoids); occurrences then join their
+    block's minimum (AQE skew-splits the one hot join key) and the
+    per-doc rollup is map-side combinable. No pairwise anything:
+    O(total paragraphs) end to end, which is why CCNet runs it on
+    full crawls. Skew-stressed on an all-boilerplate corpus in
+    tests/test_stress_scale.py."""
     d = load(spark, sf_dir, "documents", parallelize=True)
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= _PARA_TOKENS
@@ -3227,13 +3232,18 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("idx", "blk"),
     )
-    w = Window.partitionBy("blk").orderBy("doc_id", "idx")
-    r = blocks.withColumn("rn", F.row_number().over(w))
+    firsts = blocks.groupBy("blk").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first")
+    )
+    r = blocks.join(firsts, "blk").withColumn(
+        "is_dup",
+        (F.struct("doc_id", "idx") != F.col("first")).cast("int"),
+    )
     return r.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_paras"),
-        F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("n_dup_paras"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_paras"),
         F.expr(
-            "cast(sum(cast(rn > 1 as int)) * 1000000 div count(1) as bigint)"
+            "cast(sum(is_dup) * 1000000 div count(1) as bigint)"
         ).alias("dup_frac_e6"),
     )
 

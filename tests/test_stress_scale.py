@@ -440,3 +440,36 @@ def test_min_label_components_million_cell_grid_log_rounds(spark):
     ).first()
     assert agg["n"] == side * side
     assert agg["n_lbl"] == 1 and agg["max_lbl"] == 0
+
+
+def test_dedup_paragraphs_survives_boilerplate_block(spark, tmp_path_factory):
+    """Skew stress for dedup_paragraphs: 100k documents all sharing
+    ONE boilerplate block (plus a unique block each). The shared
+    block's 100k occurrences hit a single key — the min-struct groupBy
+    form must complete via partial aggregation (a block-partitioned
+    window would sort all 100k in one task) and the counts must be
+    exact: the boilerplate block is a dup everywhere except doc 0."""
+    import metadata_extractors_api_spark as mdx
+
+    n = 100_000
+    d = str(tmp_path_factory.mktemp("boilerpara"))
+    boiler = " ".join(["terms"] * 10)
+    spark.range(0, n, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " "),
+            F.concat_ws(
+                " ", *[F.concat(F.lit(f"u{k}x"), F.col("id")) for k in range(10)]
+            ),
+        ).alias("text"),
+    ).write.parquet(f"{d}/documents.parquet")
+
+    df = mdx.QUERIES["dedup_paragraphs"](spark, d)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_paras").alias("paras"),
+        F.sum("n_dup_paras").alias("dups"),
+    ).first()
+    assert agg["docs"] == n
+    assert agg["paras"] == 2 * n  # boiler block + unique block per doc
+    assert agg["dups"] == n - 1  # every boiler occurrence but doc 0's
