@@ -721,3 +721,60 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("ewma_num", "n_emit").cast("bigint").alias("ewma_num"),
         F.max_by("w_sum", "n_emit").cast("bigint").alias("w_sum"),
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_nationkey FROM customer),
+    j AS (
+      SELECT n.n_name, e.value
+      FROM events e
+      JOIN cust c ON c.c_custkey = (e.user_id % 1500) + 1
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE e.event_type = 'purchase')
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM j GROUP BY n_name
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-to-STATIC enrichment join — the most common production
+    streaming join (every event stream is enriched against slowly
+    changing dimensions before aggregation; stream-STREAM joins are
+    the rare case): purchase events joined per micro-batch against the
+    static customer->nation dimensions, then a per-nation running
+    revenue aggregation. The static side needs no watermark and holds
+    no join state — Spark broadcasts it into each micro-batch (the
+    batch plan inside the micro-batch is a plain BroadcastHashJoin),
+    so state size is the AGGREGATION's, not the join's. The
+    user->customer key bridge is the fixture's synthetic FK (user_id
+    mod |customer|). At 100 TB the dimension refreshes by swapping the
+    static table between restarts, or graduates to a Delta-style CDC
+    stream — the plan shape here is the first rung. Drains the
+    multi-micro-batch source, so the enrichment genuinely runs once
+    per batch; final counts equal the batch join, stated by the
+    oracle."""
+    from metadata_extractors_api_spark.catalog import load
+
+    ev = _events_stream_batched(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n_cust = 1500  # fixture customer cardinality at the base SF unit
+    enriched = (
+        ev.withColumn("ckey", (F.col("user_id") % n_cust) + 1)
+        .join(F.broadcast(cust), F.col("ckey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    return _run_to_table(agg, spark, "complete")
