@@ -50,6 +50,20 @@ def main() -> None:
     print("== Streaming-state observability: checkpoint state as a table ==")
     eng.query("stream_state_reader").orderBy("event_type").show()
 
+    print("== REAL pixel path: decode -> resample -> channel stats ==")
+    eng.query("multimodal_resize").orderBy("doc_id").show(3)
+
+    print("== Paragraph-level dedup census (the CCNet shape) ==")
+    eng.query("dedup_paragraphs").orderBy(
+        "dup_frac_e6", ascending=False
+    ).show(3)
+
+    print("== Matryoshka truncation audit: 16-dim vs full retrieval ==")
+    eng.query("embedding_matryoshka_audit").orderBy("qid").show()
+
+    print("== IVF tuning curve: recall@5 vs candidate cost per nprobe ==")
+    eng.query("sim_ann_recall_curve").orderBy("nprobe").show()
+
     print(f"done: see SURVEY.md §8 for the full {len(QUERIES)}-query inventory")
 
 
