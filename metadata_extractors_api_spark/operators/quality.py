@@ -3076,3 +3076,97 @@ def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1 - sse / sst, 6).alias("r2"),
         )
     )
+
+
+@register(
+    "dq_ks_two_sample",
+    oracle="""
+    WITH pooled AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey AS rid,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    c AS (
+      SELECT cents,
+             SUM(is_a) OVER (ORDER BY cents, rid
+                             ROWS UNBOUNDED PRECEDING) AS cum_a,
+             ROW_NUMBER() OVER (ORDER BY cents, rid) AS i
+      FROM pooled),
+    lastv AS (
+      SELECT cents, MAX(cum_a) AS cum_a, MAX(i) AS i
+      FROM c GROUP BY cents),
+    n AS (
+      SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+             CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS n_b
+      FROM pooled),
+    d AS (
+      SELECT MAX(ABS(l.cum_a * n.n_b - (l.i - l.cum_a) * n.n_a)) AS ks_num
+      FROM lastv l CROSS JOIN n)
+    SELECT n.n_a, n.n_b,
+           CAST(d.ks_num AS BIGINT) AS ks_num,
+           CAST(d.ks_num * 1000000 // (n.n_a * n.n_b) AS BIGINT) AS ks_e6
+    FROM n CROSS JOIN d
+    """,
+)
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic, EXACT: the max
+    ECDF gap between urgent-priority and low-priority order values,
+    computed as max over distinct values of
+    |cum_a * n_b - cum_b * n_a| (integer cross-multiplication — no
+    float ECDFs, so the statistic hash-matches any engine; divide
+    once at the end for the e6-scaled D). The distribution-drift gate
+    between two cohorts/snapshots that dq_histogram_drift approximates
+    with fixed bins, done exactly.
+
+    Scale shape: ONE two-phase ``_global_cumsum`` computes BOTH
+    running counts via an encoded weight (is_a * 2^31 + 1: the
+    inclusive sum decodes as cum_a = cw div 2^31, pooled position
+    i = cw mod 2^31, cum_b = i - cum_a) — a single data-sized ordered
+    prefix sum, parallel per range partition, no single-partition
+    window. Tie groups collapse to their LAST row (per-cents MAX is
+    map-side combinable) so the ECDF is evaluated only after a whole
+    tie group, which is the KS definition. The encode holds to
+    ~3x10^9 pooled rows in int64; past that, split into two prefix
+    sums (one-line change, same plan family)."""
+    pooled = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.col("o_orderkey").alias("rid"),
+            (F.col("o_orderpriority") == "1-URGENT")
+            .cast("bigint")
+            .alias("is_a"),
+        )
+    )
+    big = F.lit(1 << 31).cast("bigint")
+    enc = pooled.withColumn("w", F.col("is_a") * big + 1)
+    c = _global_cumsum(enc, "cents", "rid", "w")
+    lastv = (
+        c.select(
+            "cents",
+            F.expr(f"cw div {1 << 31}").alias("cum_a"),
+            F.expr(f"cw % {1 << 31}").alias("i"),
+        )
+        .groupBy("cents")
+        .agg(F.max("cum_a").alias("cum_a"), F.max("i").alias("i"))
+    )
+    n = pooled.agg(
+        F.sum("is_a").cast("bigint").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("bigint").alias("n_b"),
+    )
+    d = lastv.crossJoin(F.broadcast(n)).agg(
+        F.max(
+            F.abs(
+                F.col("cum_a") * F.col("n_b")
+                - (F.col("i") - F.col("cum_a")) * F.col("n_a")
+            )
+        ).alias("ks_num")
+    )
+    return n.crossJoin(d).select(
+        "n_a",
+        "n_b",
+        F.col("ks_num").cast("bigint").alias("ks_num"),
+        F.expr("ks_num * 1000000 div (n_a * n_b)").cast("bigint").alias("ks_e6"),
+    )

@@ -222,3 +222,32 @@ def test_ols_two_features_matches_numpy_lstsq(spark, sf_dir):
         assert abs(r["intercept"] - beta[0]) < max(1e-4 * abs(beta[0]), 1e-3)
         assert abs(r["beta_acctbal"] - beta[1]) < max(1e-4 * abs(beta[1]), 1e-3)
         assert abs(r["beta_n_orders"] - beta[2]) < max(1e-4 * abs(beta[2]), 1e-3)
+
+
+def test_ks_two_sample_matches_numpy_ecdf(spark, sf_dir):
+    """KS statistic recomputed with a direct numpy ECDF construction
+    over the raw cents values — independent of the cross-multiplied
+    prefix-sum form."""
+    from pyspark.sql import functions as F
+    from metadata_extractors_api_spark.catalog import load
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c"),
+            (F.col("o_orderpriority") == "1-URGENT").alias("a"),
+        )
+        .collect()
+    )
+    xa = np.sort(np.array([r["c"] for r in o if r["a"]], dtype=np.int64))
+    xb = np.sort(np.array([r["c"] for r in o if not r["a"]], dtype=np.int64))
+    grid = np.unique(np.concatenate([xa, xb]))
+    fa = np.searchsorted(xa, grid, side="right")
+    fb = np.searchsorted(xb, grid, side="right")
+    ks_num = int(np.max(np.abs(fa * len(xb) - fb * len(xa))))
+
+    r = mdx.QUERIES["dq_ks_two_sample"](spark, sf_dir).first()
+    assert r["n_a"] == len(xa) and r["n_b"] == len(xb)
+    assert r["ks_num"] == ks_num
+    assert r["ks_e6"] == ks_num * 1_000_000 // (len(xa) * len(xb))

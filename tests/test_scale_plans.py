@@ -431,6 +431,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "agg_percentile_cont": {"<global-unordered>", "_pid"},
     "agg_weighted_median": {"<global-unordered>", "_pid"},
     "dedup_sorted_neighborhood": {"_pid"},
+    "dq_ks_two_sample": {"_pid"},
     "fn_surrogate_key": {"_pid"},
     "orders_abc_pareto": {"<global-unordered>", "_pid"},
     "orders_skyline_2d": {"_pid"},
