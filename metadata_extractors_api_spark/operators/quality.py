@@ -3127,8 +3127,11 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. Tie groups collapse to their LAST row (per-cents MAX is
     map-side combinable) so the ECDF is evaluated only after a whole
     tie group, which is the KS definition. The encode holds to
-    ~3x10^9 pooled rows in int64; past that, split into two prefix
-    sums (one-line change, same plan family)."""
+    2^31 pooled rows (~2.1x10^9): the packed position ``i = cw mod
+    2^31`` wraps into the cum_a bits at exactly 2^31 rows, so past
+    that, split into two prefix sums (one-line change, same plan
+    family). The assert below makes the migration trigger fire loudly
+    instead of silently corrupting cum_a."""
     pooled = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
@@ -3164,9 +3167,22 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ks_num")
     )
+    # Refuse loudly at the encoding's true limit: position i wraps into
+    # the cum_a bits once n_a + n_b reaches 2^31.  assert_true returns
+    # NULL on success, so folding it into the kept column forces the
+    # check to survive column pruning without changing the output.
+    guard = F.assert_true(
+        F.col("n_a") + F.col("n_b") < F.lit(1 << 31).cast("bigint"),
+        F.lit(
+            "dq_ks_two_sample: pooled rows >= 2^31 — the packed "
+            "prefix-sum encoding wraps; split into two prefix sums"
+        ),
+    )
     return n.crossJoin(d).select(
         "n_a",
         "n_b",
-        F.col("ks_num").cast("bigint").alias("ks_num"),
+        F.when(guard.isNull(), F.col("ks_num"))
+        .cast("bigint")
+        .alias("ks_num"),
         F.expr("ks_num * 1000000 div (n_a * n_b)").cast("bigint").alias("ks_e6"),
     )

@@ -73,7 +73,7 @@ FILES_SCHEMA = "file_id BIGINT, path STRING, filetype_id STRING, size_bytes BIGI
 # Per-session memo: createDataFrame pays a driver-side Py->JVM
 # conversion every call; the fixtures are immutable, so one DataFrame
 # per (session, table) suffices.
-_DF_MEMO: dict[tuple[int, str], DataFrame] = {}
+_DF_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _memo(spark: SparkSession, name: str, rows, schema: str) -> DataFrame:

@@ -20,6 +20,7 @@ continuously on a cluster with bounded memory.
 from __future__ import annotations
 
 import contextlib
+import shutil
 import tempfile
 import uuid
 
@@ -136,6 +137,10 @@ def _events_stream_batched(
             # FileStreamSource (latestFirst=false) orders by mod time:
             # pin strictly increasing mtimes so batch i is chunk i.
             os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+            # Drop the writer scaffolding (_SUCCESS/.crc) so nothing but
+            # the renamed ev_*.parquet files can ever match a glob, and
+            # temp usage stays bounded to the chunks themselves.
+            shutil.rmtree(part_dir, ignore_errors=True)
         _EVSPLIT_MEMO[key] = d
     return (
         spark.readStream.schema(

@@ -211,17 +211,35 @@ def test_ols_two_features_matches_numpy_lstsq(spark, sf_dir):
         r["nation"]: r
         for r in mdx.QUERIES["agg_ols_two_features"](spark, sf_dir).collect()
     }
+    compared = 0
     for nation, g in pdf.groupby("c_nationkey"):
         X = np.column_stack(
             [np.ones(len(g)), g["x1"].to_numpy(float), g["x2"].to_numpy(float)]
         )
-        beta, *_ = np.linalg.lstsq(X, g["y"].to_numpy(float), rcond=None)
+        y = g["y"].to_numpy(float)
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
         if nation not in got:
-            continue  # degenerate group excluded by the guard
+            # A skipped nation must be GENUINELY degenerate under the
+            # query's own guard (singular Gram matrix or zero outcome
+            # variance), recomputed here from the raw rows — otherwise
+            # a guard bug that drops healthy groups would pass silently.
+            gram = X.T @ X
+            gram_det = float(np.linalg.det(gram))
+            diag_scale = float(np.prod(np.diag(gram))) or 1.0
+            sst = float(np.sum((y - y.mean()) ** 2))
+            assert gram_det <= 1e-8 * diag_scale or sst <= 0.0, (
+                f"nation {nation} missing from query output but "
+                f"non-degenerate (det={gram_det}, sst={sst})"
+            )
+            continue
+        compared += 1
         r = got[nation]
         assert abs(r["intercept"] - beta[0]) < max(1e-4 * abs(beta[0]), 1e-3)
         assert abs(r["beta_acctbal"] - beta[1]) < max(1e-4 * abs(beta[1]), 1e-3)
         assert abs(r["beta_n_orders"] - beta[2]) < max(1e-4 * abs(beta[2]), 1e-3)
+    # The TPC-H fixture has 25 nations with varied balances/counts: the
+    # overwhelming majority must survive the guard and be compared.
+    assert compared >= 20, f"only {compared} nations compared"
 
 
 def test_ks_two_sample_matches_numpy_ecdf(spark, sf_dir):
