@@ -11,6 +11,7 @@ from metadata_extractors_api_spark.operators import relational  # noqa: F401
 from metadata_extractors_api_spark.operators import robustness  # noqa: F401
 from metadata_extractors_api_spark.operators import scale  # noqa: F401
 from metadata_extractors_api_spark.operators import spatial  # noqa: F401
+from metadata_extractors_api_spark.operators import stats  # noqa: F401
 from metadata_extractors_api_spark.operators import training  # noqa: F401
 from metadata_extractors_api_spark.operators import udf  # noqa: F401
 from metadata_extractors_api_spark.operators import udtf_ops  # noqa: F401

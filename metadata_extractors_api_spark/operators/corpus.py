@@ -1245,3 +1245,89 @@ def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = c.orderBy(F.desc("n"), F.asc("path")).limit(15)
     wr = Window.orderBy(F.desc("n"), F.asc("path"))
     return top.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+
+
+#: Fixed merge table applied by tokenizer_bpe_encode, in priority
+#: order -- the shape of a LEARNED BPE vocabulary's merges.txt (these
+#: target the fixture corpus's head words so multi-level merges:
+#: t+a, b+l, ta+bl, tabl+e genuinely cascade).
+BPE_MERGES = [
+    ("t", "a"), ("b", "l"), ("ta", "bl"), ("tabl", "e"),
+    ("v", "a"), ("l", "u"), ("va", "lu"), ("valu", "e"),
+    ("s", "c"), ("a", "n"), ("sc", "an"),
+    ("r", "o"), ("o", "w"), ("ro", "w"),
+]
+
+#: sentencepiece-style word-boundary marker symbol.
+BPE_MARKER = "▁"
+
+
+def _bpe_symbol_sql(text_expr: str) -> str:
+    """The engine-portable symbolization + merge chain: spaces become
+    the marker symbol, the text splits into single-codepoint symbols
+    joined by single spaces (with a leading/trailing space so merge
+    patterns can anchor on symbol boundaries), then each merge rule
+    applies as ONE left-to-right non-overlapping literal replace of
+    ' a b ' -> ' ab '. Identical function names and semantics in Spark
+    SQL and DuckDB (translate / split+array_join vs string_split /
+    array_to_string / replace), so the oracle replays the exact chain."""
+    s = f"' ' || array_join(split(translate({text_expr}, ' ', '{BPE_MARKER}'), ''), ' ') || ' '"
+    for a, b in BPE_MERGES:
+        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return s
+
+
+@register(
+    "tokenizer_bpe_encode",
+    oracle=f"""
+    WITH enc AS (
+      SELECT doc_id, length(text) AS n_chars,
+             {_bpe_symbol_sql('text').replace('array_join(split(', 'array_to_string(string_split(')} AS sym
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_tokens,
+           round(CAST(n_chars AS DOUBLE)
+                 / len(string_split(trim(sym), ' ')), 6) AS compression
+    FROM enc
+    """,
+)
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference-time BPE merge application: each document becomes a
+    sentencepiece-style symbol stream (spaces -> U+2581 marker, one
+    symbol per codepoint) and a fixed learned merge table applies in
+    priority order; the output is per-document token count and
+    chars-per-token compression -- the tokenizer-cost estimate every
+    training-data budget (and every "will this corpus blow the token
+    budget?" check) needs before the real tokenizer runs.
+
+    Merge semantics, precisely: each rule is ONE left-to-right
+    non-overlapping boundary-anchored literal replace (' a b ' ->
+    ' ab '), so immediately-adjacent repeats of the same pair merge
+    alternately within a rule pass (the classic fast sed-BPE
+    approximation; exhaustive per-rule fixpoint would re-run each
+    replace O(log n) times -- same plan family, deliberately not paid
+    here). The boundary spaces in the pattern guarantee merges only
+    ever join two complete symbols. Deterministic, engine-portable,
+    and replayed verbatim by the oracle.
+
+    Scale shape: pure per-row string expressions inside whole-stage
+    codegen -- zero shuffles, zero UDFs; the 14-deep replace chain is
+    a single projection. At 100 TB this is one map pass, the same
+    profile as the other per-document screens in this module."""
+    d = load(spark, sf_dir, "documents", parallelize=True).filter(
+        F.length("text") > 0
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        F.expr(
+            f"CAST(size(split(trim({_bpe_symbol_sql('text')}), ' ')) AS BIGINT)"
+        ).alias("n_tokens"),
+        F.round(
+            F.expr(
+                f"CAST(length(text) AS DOUBLE)"
+                f" / size(split(trim({_bpe_symbol_sql('text')}), ' '))"
+            ),
+            6,
+        ).alias("compression"),
+    )

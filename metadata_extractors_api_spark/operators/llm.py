@@ -3691,3 +3691,153 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in curves[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "multimodal_tile_stats",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L, {_PPM_W} AS w, {_PPM_H} AS h
+      FROM documents WHERE doc_id < {_PIXEL_ORACLE_DOCS}),
+    flat AS (
+      SELECT doc_id, text, L, w, h, unnest(range(0, 3 * w * h)) AS j FROM d),
+    px AS (
+      SELECT doc_id, j % 3 AS c,
+             2 * CAST(((j // 3) // w) >= (h // 2) AS INT)
+               + CAST(((j // 3) % w) >= (w // 2) AS INT) AS q,
+             (ascii(substr(text, CAST((j * 31 + 7) % L AS INT) + 1, 1))
+              + j) % 256 AS val
+      FROM flat)
+    SELECT doc_id, CAST(q AS INT) AS quadrant,
+           CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_px,
+           CAST(SUM(CASE WHEN c = 0 THEN val END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN val END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN val END) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, q
+    """,
+)
+def multimodal_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 tile (quadrant) channel sums over REAL decoded pixels --
+    the cheapest spatial-pooling feature (vignetting, split-frame,
+    letterbox detection all read off quadrant asymmetry) and the
+    degenerate case of the patch-grid pooling a vision tower's
+    preprocessor runs. Quadrant q = 2*(row >= h//2) + (col >= w//2),
+    so odd dimensions give the bottom/right halves the extra line --
+    the exact convention the oracle replays per pixel from the raster
+    formula. Exact int64 sums; same bounded pixel-oracle slice as the
+    other per-pixel audits (the mapInPandas stage is corpus-capable)."""
+
+    def tile_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "quadrant", "n_px", "sum_r", "sum_g", "sum_b")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                px = decode_image(_ppm_payload(text))["pixels"].astype(np.int64)
+                h, w, _ = px.shape
+                h2, w2 = h // 2, w // 2
+                tiles = (
+                    (0, px[:h2, :w2]), (1, px[:h2, w2:]),
+                    (2, px[h2:, :w2]), (3, px[h2:, w2:]),
+                )
+                for q, t in tiles:
+                    s = t.sum(axis=(0, 1))
+                    out["doc_id"].append(doc_id)
+                    out["quadrant"].append(q)
+                    out["n_px"].append(t.shape[0] * t.shape[1])
+                    out["sum_r"].append(int(s[0]))
+                    out["sum_g"].append(int(s[1]))
+                    out["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(out)
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PIXEL_ORACLE_DOCS)
+        .select("doc_id", "text")
+    )
+    return d.mapInPandas(
+        tile_batches,
+        "doc_id long, quadrant int, n_px long, sum_r long, sum_g long, "
+        "sum_b long",
+    )
+
+
+#: (name, bw, bh, 144//bh) -- aspect-ratio buckets for batch shaping;
+#: the scale factor makes |w/h - bw/bh| comparisons exact integers:
+#: |w*bh - h*bw| * (144/bh) = 144*h * |w/h - bw/bh|, and 144*h is a
+#: per-image constant so the argmin over buckets is unchanged.
+ASPECT_BUCKETS = [
+    ("square", 1, 1, 144),
+    ("landscape", 4, 3, 48),
+    ("wide", 16, 9, 16),
+    ("portrait", 3, 4, 36),
+    ("tall", 9, 16, 9),
+]
+
+
+def _aspect_bucket_case() -> str:
+    """Engine-portable nearest-aspect CASE: pick the first bucket (in
+    declaration order) whose scaled integer distance is <= every later
+    bucket's -- a deterministic priority tie-break with no floats."""
+    ms = {
+        name: f"(abs(w * {bh} - h * {bw}) * {s})"
+        for name, bw, bh, s in ASPECT_BUCKETS
+    }
+    names = [b[0] for b in ASPECT_BUCKETS]
+    branches = []
+    for i, name in enumerate(names[:-1]):
+        rest = ", ".join(ms[n] for n in names[i + 1:])
+        least = f"least({rest})" if "," in rest else rest
+        branches.append(f"WHEN {ms[name]} <= {least} THEN '{name}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+
+
+@register(
+    "multimodal_aspect_bucket",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_PPM_W} AS w, {_PPM_H} AS h FROM documents),
+    b AS (
+      SELECT doc_id, w, h, {_aspect_bucket_case()} AS bucket FROM d)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(SUM(w * h) AS BIGINT) AS sum_px,
+           CAST((COUNT(*) + 31) // 32 AS BIGINT) AS n_batches32,
+           CAST(((COUNT(*) + 31) // 32) * 32 - COUNT(*) AS BIGINT)
+             AS pad_waste
+    FROM b GROUP BY bucket
+    """,
+)
+def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for multimodal batch shaping: every
+    image is assigned to the nearest of five canonical aspect buckets
+    (square / landscape / wide / portrait / tall) and each bucket
+    reports its image count, pixel mass, batch count at batch size 32,
+    and padding waste -- the planning table an SDXL-style trainer
+    builds so same-shaped images batch together instead of padding to
+    a global max.
+
+    Nearest-bucket is EXACT integer arithmetic: comparing
+    |w/h - bw/bh| across buckets multiplies through by 144*h (the lcm
+    of the bucket denominators times the shared h), giving
+    |w*bh - h*bw| * (144/bh) -- no float ratios, no boundary drift;
+    ties break by fixed bucket priority. Dimensions come from the
+    fixture's generation formula (the decode parity of which
+    multimodal_meta already oracle-checks), so this runs corpus-wide,
+    not slice-bounded.
+
+    Scale shape: one map pass computing the CASE, one
+    map-side-combinable groupBy into <= 5 groups. Nothing else."""
+    d = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id",
+        F.expr(_PPM_W).alias("w"),
+        F.expr(_PPM_H).alias("h"),
+    )
+    b = d.withColumn("bucket", F.expr(_aspect_bucket_case()))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum(F.col("w") * F.col("h")).cast("bigint").alias("sum_px"),
+        F.expr("CAST((COUNT(*) + 31) div 32 AS BIGINT)").alias("n_batches32"),
+        F.expr(
+            "CAST(((COUNT(*) + 31) div 32) * 32 - COUNT(*) AS BIGINT)"
+        ).alias("pad_waste"),
+    )

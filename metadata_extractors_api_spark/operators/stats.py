@@ -1,0 +1,641 @@
+"""Statistical-inference and corpus-statistics operators: independence
+and rank tests, information-theoretic dependency and entropy measures,
+power-law fits, and structural audits of graphs and embedding matrices.
+
+These are the hypothesis-test / distribution-shape primitives a data
+platform runs between ingestion and training: "did the segment mix
+change?" (chi-square), "did the paid cohort shift?" (Mann-Whitney),
+"does event type depend on hour?" (mutual information), "is this
+corpus natural language?" (entropy, Zipf), "are embedding dimensions
+alive?" (per-dimension variance).
+
+Cross-engine exactness discipline (same as the rest of the package):
+counts stay integers end to end; every logarithm is quantized
+``floor(ln(x) * 1e9)`` to an int64 BEFORE any cross-row summation so
+parallel aggregation order can't drift a float sum; final test
+statistics are computed once, from exact moments, with the IDENTICAL
+double expression tree on the Spark and DuckDB sides (every IEEE
++,-,*,/,sqrt on identical inputs is correctly rounded, so the trees
+agree bitwise) and rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from metadata_extractors_api_spark.catalog import load
+from metadata_extractors_api_spark.operators.quality import _global_cumsum
+from metadata_extractors_api_spark.registry import register
+
+
+@register(
+    "dq_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM customer GROUP BY 1, 2),
+    rowt AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+    colt AS (SELECT nat, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_seg,
+             CAST(COUNT(DISTINCT nat) AS BIGINT) AS n_nat
+      FROM obs),
+    cells AS (
+      SELECT o.o, r.rt, c.ct, t.n, t.n_seg, t.n_nat
+      FROM obs o JOIN rowt r USING (seg) JOIN colt c USING (nat)
+      CROSS JOIN tot t)
+    SELECT CAST(MIN(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MIN((n_seg - 1) * (n_nat - 1)) AS BIGINT) AS dof,
+           CAST(SUM(CAST(floor(
+             (o - CAST(rt AS DOUBLE) * ct / n)
+             * (o - CAST(rt AS DOUBLE) * ct / n)
+             / (CAST(rt AS DOUBLE) * ct / n) * 1e6) AS BIGINT)) AS BIGINT)
+             AS chi2_e6,
+           round(sqrt(
+             (CAST(SUM(CAST(floor(
+               (o - CAST(rt AS DOUBLE) * ct / n)
+               * (o - CAST(rt AS DOUBLE) * ct / n)
+               / (CAST(rt AS DOUBLE) * ct / n) * 1e6) AS BIGINT)) AS DOUBLE)
+              / 1e6)
+             / (CAST(MIN(n) AS DOUBLE)
+                * least(MIN(n_seg) - 1, MIN(n_nat) - 1))), 6) AS cramers_v
+    FROM cells
+    """,
+)
+def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between market segment
+    and nation over the customer dimension, plus Cramer's V effect
+    size — the categorical-drift gate (is the segment mix the same
+    across nations / across two snapshots?) that complements
+    dq_histogram_drift's numeric bins.
+
+    Exactness: observed counts are integers; each cell's contribution
+    (o - e)^2 / e (e = row*col/n in double) is quantized to an e6
+    int64 BEFORE the sum, so the 125-term reduction is
+    order-independent and both engines add the same integers. The
+    expected-count expression is inlined verbatim in both engines —
+    identical IEEE tree, bitwise-identical cells.
+
+    Scale shape: ONE map-side-combinable groupBy over the fact
+    (seg x nat cells: |segments| x |nations|, a constant-bounded
+    contingency table); margins and totals re-aggregate the CELLS, not
+    the data, and every join after the first groupBy is
+    broadcast-sized. At 100 TB nothing but the first aggregation
+    touches the fact table."""
+    cust = load(spark, sf_dir, "customer")
+    obs = (
+        cust.groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rowt = obs.groupBy("seg").agg(F.sum("o").cast("bigint").alias("rt"))
+    colt = obs.groupBy("nat").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = obs.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count_distinct("seg").cast("bigint").alias("n_seg"),
+        F.count_distinct("nat").cast("bigint").alias("n_nat"),
+    )
+    cells = (
+        obs.join(F.broadcast(rowt), "seg")
+        .join(F.broadcast(colt), "nat")
+        .crossJoin(F.broadcast(tot))
+    )
+    cell_e6 = (
+        "CAST(floor((o - CAST(rt AS DOUBLE) * ct / n)"
+        " * (o - CAST(rt AS DOUBLE) * ct / n)"
+        " / (CAST(rt AS DOUBLE) * ct / n) * 1e6) AS BIGINT)"
+    )
+    return cells.agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.min((F.col("n_seg") - 1) * (F.col("n_nat") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        F.sum(F.expr(cell_e6)).cast("bigint").alias("chi2_e6"),
+        F.round(
+            F.sqrt(
+                (F.sum(F.expr(cell_e6)).cast("double") / F.lit(1e6))
+                / (
+                    F.min("n").cast("double")
+                    * F.least(F.min("n_seg") - 1, F.min("n_nat") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "dq_mann_whitney",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    g AS (
+      SELECT cents, CAST(SUM(a) AS BIGINT) AS cnt_a,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM v GROUP BY cents),
+    c AS (
+      SELECT cents, cnt_a, cnt,
+             SUM(cnt) OVER (ORDER BY cents) AS cw
+      FROM g),
+    s AS (
+      SELECT CAST(SUM(cnt_a * (2 * (cw - cnt) + cnt + 1)) AS BIGINT) AS ra2,
+             CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+             CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_sum
+      FROM c)
+    SELECT n_a, n_b,
+           CAST(ra2 - n_a * (n_a + 1) AS BIGINT) AS u2,
+           tie_sum,
+           round(
+             (CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2
+              - CAST(n_a AS DOUBLE) * n_b / 2)
+             / sqrt(CAST(n_a AS DOUBLE) * n_b / 12
+                    * ((n_a + n_b + 1)
+                       - CAST(tie_sum AS DOUBLE)
+                         / (CAST(n_a + n_b AS DOUBLE)
+                            * (n_a + n_b - 1)))), 6) AS z
+    FROM s
+    """,
+)
+def dq_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between urgent- and low-priority
+    order values — the nonparametric location-shift companion to
+    dq_ks_two_sample's max-gap statistic (same cohorts, different
+    question: KS asks "any distributional difference?", U asks "does
+    one cohort stochastically dominate?").
+
+    Exact integer ranks with ties: group by distinct value, prefix-sum
+    the group sizes, and give every member of a tie group the DOUBLED
+    midrank 2*start + t + 1 (an integer even when the classical
+    midrank is a half), so the rank sum ra2 = 2*R_a and the statistic
+    u2 = 2*U are exact int64s that hash-match any engine. The z-score
+    (with the standard tie-corrected variance) is one double tree over
+    five exact moments, identical on both sides, rounded to 6 dp.
+
+    Scale shape: groupBy distinct value (map-side combinable), then
+    ``_global_cumsum`` over the value-grouped relation — the two-phase
+    range-partitioned prefix sum, so no stage serializes the data
+    through one partition (needs its _GLOBAL_WINDOW_ALLOWLIST entry
+    like every _global_cumsum user). The final reduction is a single
+    map-side-combinable global agg."""
+    pooled = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            (F.col("o_orderpriority") == "1-URGENT")
+            .cast("bigint")
+            .alias("a"),
+        )
+    )
+    g = pooled.groupBy("cents").agg(
+        F.sum("a").cast("bigint").alias("cnt_a"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+    )
+    c = _global_cumsum(g, "cents", "cents", "cnt")
+    s = c.agg(
+        F.sum(
+            F.col("cnt_a")
+            * (2 * (F.col("cw") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("ra2"),
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("tie_sum"),
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        (F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("u2"),
+        "tie_sum",
+        F.round(
+            F.expr(
+                "(CAST(ra2 - n_a * (n_a + 1) AS DOUBLE) / 2"
+                " - CAST(n_a AS DOUBLE) * n_b / 2)"
+                " / sqrt(CAST(n_a AS DOUBLE) * n_b / 12"
+                "        * ((n_a + n_b + 1)"
+                "           - CAST(tie_sum AS DOUBLE)"
+                "             / (CAST(n_a + n_b AS DOUBLE)"
+                "                * (n_a + n_b - 1))))"
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+@register(
+    "dq_mutual_information",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS x, hour(ts) AS y FROM events),
+    joint AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cxy FROM e GROUP BY 1, 2),
+    mx AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS cx FROM joint GROUP BY 1),
+    my AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM joint GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM joint),
+    cells AS (
+      SELECT j.cxy, x.cx, y.cy, t.n
+      FROM joint j JOIN mx x USING (x) JOIN my y USING (y) CROSS JOIN tot t)
+    SELECT CAST(MIN(n) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(cxy * CAST(floor(ln(
+             CAST(cxy AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy))
+             * 1e9) AS BIGINT)) AS BIGINT) AS mi_e9_sum,
+           round(CAST(SUM(cxy * CAST(floor(ln(
+             CAST(cxy AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy))
+             * 1e9) AS BIGINT)) AS DOUBLE) / 1e9 / MIN(n), 6) AS mi_nats
+    FROM cells
+    """,
+)
+def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; hour-of-day) in nats — the
+    model-free dependency measure between two categorical columns
+    ("does WHAT users do depend on WHEN?"), the screening statistic
+    feature stores run to rank candidate features and leakage checks
+    run to catch a label sneaking into a timestamp.
+
+    Exactness: every cell's pointwise term ln(p(x,y)/(p(x)p(y))) is
+    computed on the exact count ratio (one double tree, inlined
+    identically in both engines), quantized to an e9 int64, and
+    weighted by the INTEGER joint count before summation — the
+    same quantize-then-sum discipline as text_doc_logprob, so the
+    reduction order can't drift the statistic.
+
+    Scale shape: one map-side-combinable groupBy over events into a
+    |types| x 24 contingency table; marginals re-aggregate the cells;
+    all joins after the first aggregation are broadcast-sized."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"), F.hour("ts").alias("y")
+    )
+    joint = e.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cxy")
+    )
+    mx = joint.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
+    my = joint.groupBy("y").agg(F.sum("cxy").cast("bigint").alias("cy"))
+    tot = joint.agg(F.sum("cxy").cast("bigint").alias("n"))
+    cells = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    term = (
+        "cxy * CAST(floor(ln("
+        "CAST(cxy AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy)) * 1e9)"
+        " AS BIGINT)"
+    )
+    return cells.agg(
+        F.min("n").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum(F.expr(term)).cast("bigint").alias("mi_e9_sum"),
+        F.round(
+            F.sum(F.expr(term)).cast("double") / F.lit(1e9) / F.min("n"), 6
+        ).alias("mi_nats"),
+    )
+
+
+@register(
+    "text_entropy_unigram",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS token
+      FROM documents WHERE length(text) > 0),
+    tc AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM occ GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(cnt * CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9)
+                                 AS BIGINT)) AS BIGINT) AS s1_e9
+      FROM tc GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           round(ln(CAST(n_tokens AS DOUBLE))
+                 - CAST(s1_e9 AS DOUBLE) / 1e9 / n_tokens, 6) AS entropy,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+    FROM d
+    """,
+)
+def text_entropy_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) and type-token
+    ratio — the lexical-diversity quality signals (near-zero entropy =
+    a single token repeated = boilerplate/spam; natural prose sits in
+    a narrow band) that corpus filters threshold alongside
+    text_repetition_ratio and text_gopher_rules.
+
+    Uses H = ln(n) - (1/n) * sum(c_w * ln(c_w)): the inner sum is
+    quantized per TERM (floor(ln(cnt)*1e9), int64) before aggregation
+    so cross-row float order can't drift it; the outer expression is
+    one identical double tree per doc, rounded to 6 dp. cnt = 1 terms
+    contribute exactly 0 in both engines (ln 1 == 0).
+
+    Scale shape: explode + two map-side-combinable groupBys keyed
+    (doc, token) then (doc) — the same heavy-aggregation profile as
+    text_term_df; per-doc token counts are bounded by document length,
+    so no skew tricks are needed."""
+    d = load(spark, sf_dir, "documents", parallelize=True).filter(
+        F.length("text") > 0
+    )
+    occ = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tc = occ.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(
+            F.col("cnt")
+            * F.expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT)")
+        )
+        .cast("bigint")
+        .alias("s1_e9"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(
+            F.expr(
+                "ln(CAST(n_tokens AS DOUBLE))"
+                " - CAST(s1_e9 AS DOUBLE) / 1e9 / n_tokens"
+            ),
+            6,
+        ).alias("entropy"),
+        F.round(F.expr("CAST(n_types AS DOUBLE) / n_tokens"), 6).alias("ttr"),
+    )
+
+
+ZIPF_TOP_TERMS = 1000  # report-sized head of the frequency spectrum
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+    tc AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM occ GROUP BY token
+      ORDER BY cnt DESC, token LIMIT {ZIPF_TOP_TERMS}),
+    rk AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM tc),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT) AS y
+      FROM rk),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy
+      FROM pts)
+    SELECT n AS n_terms,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1e9, 6) AS intercept_ln,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+    FROM m
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the corpus frequency spectrum: OLS of
+    ln(frequency) on ln(rank) over the top-1000 terms — natural
+    language sits near slope -1 with high r2; machine-generated or
+    template text bends the curve. The corpus-level companion to the
+    per-document entropy signal.
+
+    Exactness: ranks and counts are exact integers; ln() of each is
+    quantized to e9 int64 per TERM; the five regression moments
+    accumulate in DECIMAL(38,0) (x^2 ~ 5e19 overflows int64), and
+    slope/intercept/r2 are one identical double tree over the exact
+    moments, rounded to 6 dp.
+
+    Scale shape: the vocabulary aggregation is map-side combinable;
+    the top-1000 head is a TakeOrdered (no global sort materializes
+    the vocab), and the rank window runs over the LIMIT-bounded
+    1000-row report — pinned in _GLOBAL_WINDOW_ALLOWLIST like
+    text_bpe_pair_census's top-20 rank."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    tc = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "token")
+        .limit(ZIPF_TOP_TERMS)
+    )
+    rk = tc.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), "token"))
+    )
+    pts = rk.select(
+        F.expr("CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1e9) AS BIGINT)").alias(
+            "x"
+        ),
+        F.expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT)").alias(
+            "y"
+        ),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    num = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    den_x = (
+        "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    den_y = (
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    )
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(F.expr(f"{num} / {den_x}"), 6).alias("slope"),
+        F.round(
+            F.expr(
+                f"(CAST(sy AS DOUBLE) - {num} / {den_x} * CAST(sx AS DOUBLE))"
+                " / CAST(n AS DOUBLE) / 1e9"
+            ),
+            6,
+        ).alias("intercept_ln"),
+        F.round(F.expr(f"{num} * {num} / ({den_x} * {den_y})"), 6).alias(
+            "r2"
+        ),
+    )
+
+
+@register(
+    "graph_degree_stats",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    deg AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src)
+    SELECT CAST(length(bin(CAST(deg AS INT))) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg,
+           CAST(SUM(deg) AS BIGINT) AS sum_deg
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer->supplier trade graph in
+    power-of-two buckets — the first structural audit run on any graph
+    before iterative algorithms (pagerank, components): a heavy-tailed
+    histogram warns that edge joins need skew handling, a missing tail
+    says broadcast is safe.
+
+    Bucketing is exact integer bit-length (length of the binary
+    representation: deg 1 -> bucket 1, 2-3 -> 2, 4-7 -> 3, ...) — no
+    float log2 at bucket boundaries, so both engines bin identically.
+
+    Scale shape: edge dedup is one shuffle on (src, dst); degree is a
+    map-side-combinable groupBy on src; the histogram re-aggregates
+    the per-node relation by a computed constant-range key. The join
+    itself keys on orderkey — the co-partitioned fact-to-fact join
+    every TPC-H plan already pays."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    return deg.groupBy(
+        F.expr("CAST(length(bin(CAST(deg AS INT))) AS INT)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.min("deg").cast("bigint").alias("min_deg"),
+        F.max("deg").cast("bigint").alias("max_deg"),
+        F.sum("deg").cast("bigint").alias("sum_deg"),
+    )
+
+
+@register(
+    "embedding_dim_variance_audit",
+    oracle="""
+    WITH flat AS (
+      SELECT unnest(range(1, len(embedding) + 1)) AS dim, embedding
+      FROM embeddings),
+    q AS (
+      SELECT CAST(dim AS INT) AS dim,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1e6) AS BIGINT) AS vq
+      FROM flat),
+    m AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(vq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(vq AS DECIMAL(19,0)) * vq) AS DECIMAL(38,0)) AS ss
+      FROM q GROUP BY dim)
+    SELECT dim, n,
+           round(CAST(s AS DOUBLE) / n / 1e6, 6) AS mean,
+           round((CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                 / n / 1e12, 6) AS variance,
+           (round((CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                  / n / 1e12, 6) < 1e-6) AS is_dead
+    FROM m
+    """,
+)
+def embedding_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the embedding matrix with a
+    dead-dimension flag — the health check run before ANN indexing and
+    PCA (a collapsed dimension wastes index bits and breaks whitening;
+    a huge-variance one dominates L2). Complements embedding_norm_audit
+    (per-ROW norms) with the per-COLUMN view.
+
+    Exactness: each float32 component widens to double exactly and is
+    quantized floor(v*1e6) to int64 BEFORE cross-row aggregation;
+    moments accumulate in DECIMAL(38,0) (headroom past int64 at corpus
+    scale); mean/variance are one identical double tree, 6 dp.
+
+    Scale shape: posexplode fans N rows into N*64; the groupBy on dim
+    is map-side combinable into exactly 64 groups — the aggregate
+    output is dimension-sized, never data-sized. At 100 TB this is the
+    textbook partial-agg profile; no skew (dims are uniform by
+    construction)."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    q = e.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.expr("CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)").alias("vq"),
+    )
+    m = q.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("vq").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.sum(F.col("vq").cast("decimal(19,0)") * F.col("vq"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    var_expr = (
+        "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+        " / n / 1e12"
+    )
+    return m.select(
+        "dim",
+        "n",
+        F.round(F.expr("CAST(s AS DOUBLE) / n / 1e6"), 6).alias("mean"),
+        F.round(F.expr(var_expr), 6).alias("variance"),
+        (F.round(F.expr(var_expr), 6) < 1e-6).alias("is_dead"),
+    )

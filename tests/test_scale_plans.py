@@ -432,6 +432,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "agg_weighted_median": {"<global-unordered>", "_pid"},
     "dedup_sorted_neighborhood": {"_pid"},
     "dq_ks_two_sample": {"_pid"},
+    "dq_mann_whitney": {"_pid"},
     "fn_surrogate_key": {"_pid"},
     "orders_abc_pareto": {"<global-unordered>", "_pid"},
     "orders_skyline_2d": {"_pid"},
@@ -447,6 +448,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # bounded calendar / bucket grains (time-range- or constant-sized)
     "corpus_yield_curve": {"div_bucket"},  # fixed divergence buckets
     "text_bpe_pair_census": {"n,pair"},  # rank over the top-20 report
+    "text_zipf_slope": {"cnt,token"},  # rank over the LIMIT-1000 head
     "events_path_trigrams": {"n,path"},  # rank over the top-15 report
     "orders_backlog_sweepline": {"day"},  # calendar days of history
     "orders_life_table": {"t"},  # lifetime-day buckets
