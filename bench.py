@@ -118,6 +118,20 @@ HEADLINE = [
     "dedup_url_canonical",
     "agg_ols_two_features",
     "join_bloom_runtime",
+    # round-7 additions: statistical inference (rank test over the
+    # two-phase prefix sum, information-theoretic dependency), per-doc
+    # entropy, BPE merge chain, per-dim embedding audit, real-pixel
+    # tile pooling, rolling-distinct window
+    "dq_mann_whitney",
+    "dq_mutual_information",
+    "text_entropy_unigram",
+    "text_zipf_slope",
+    "tokenizer_bpe_encode",
+    "embedding_dim_variance_audit",
+    "multimodal_tile_stats",
+    "win_distinct_rolling",
+    "sim_distribution_audit",
+    "text_vocab_coverage_curve",
 ]
 
 RUNS = 5

@@ -3841,3 +3841,127 @@ def multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(((COUNT(*) + 31) div 32) * 32 - COUNT(*) AS BIGINT)"
         ).alias("pad_waste"),
     )
+
+
+#: Probe-batch bound for the similarity-distribution audit (a literal
+#: id-range slice, the same bounded-probe convention as sim_topk_batch).
+SIM_DIST_PROBES = 32
+
+
+@register(
+    "sim_distribution_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (
+      SELECT vec_id AS pid, embedding AS pe,
+             {_sql_dot('embedding', 'embedding')} AS pn
+      FROM e WHERE vec_id < {SIM_DIST_PROBES}),
+    s AS (
+      SELECT round(({_sql_dot('e.embedding', 'p.pe')} / 1e12)
+                   / (sqrt({_sql_dot('e.embedding', 'e.embedding')} / 1e12)
+                      * sqrt(p.pn / 1e12)), 6) AS cos
+      FROM e CROSS JOIN p WHERE e.vec_id <> p.pid)
+    SELECT CAST(least(15, greatest(0,
+             CAST(floor((cos + 1) * 8) AS BIGINT))) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MIN(cos) AS min_cos,
+           MAX(cos) AS max_cos
+    FROM s GROUP BY 1
+    """,
+)
+def sim_distribution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution profile: a bounded probe batch
+    (vec_id < 32) scored against the whole corpus, histogrammed into
+    16 bins over [-1, 1] — the calibration table every similarity
+    threshold (dedup cutoffs, ANN candidate filters, hard-negative
+    bands) is read off of BEFORE committing to a pipeline constant.
+    Where sim_topk asks "what are the nearest?", this asks "what does
+    the similarity landscape look like?".
+
+    Exactness: the scaled-int64 dot products and the 6-dp-rounded
+    cosine are the package's standard portable similarity arithmetic;
+    binning floor((cos+1)*8) runs on the ROUNDED value so both engines
+    bin the identical double.
+
+    Scale shape: one corpus pass per probe batch — a
+    crossJoin(broadcast(probes)) bounded by the literal id filter
+    (needs its _PAIR_JOIN_ALLOWLIST pin like the other probe-batch
+    queries), then a map-side-combinable groupBy into 16 groups. At
+    100 TB the probe batch is a stratified sample and the pass
+    piggybacks on any other full scan."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    p = e.filter(F.col("vec_id") < SIM_DIST_PROBES).select(
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").alias("pe"),
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("pn"),
+    )
+    s = (
+        e.crossJoin(F.broadcast(p))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            cosine_from_scaled(
+                dot_scaled(F.col("embedding"), F.col("pe")),
+                dot_scaled(F.col("embedding"), F.col("embedding")),
+                F.col("pn"),
+            ).alias("cos")
+        )
+    )
+    return s.groupBy(
+        F.expr(
+            "CAST(least(15, greatest(0,"
+            " CAST(floor((cos + 1) * 8) AS BIGINT))) AS INT)"
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.min("cos").alias("min_cos"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
+from metadata_extractors_api_spark.registry import ORACLE as _ORACLE
+
+#: text_langid's registered oracle, spliced verbatim into the
+#: confusion-matrix oracle so classifier and evaluation share ONE
+#: definition on the DuckDB side exactly as they do on the Spark side.
+_LANGID_ORACLE = _ORACLE["text_langid"]
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS ({_LANGID_ORACLE}),
+    cells AS (
+      SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2),
+    rowt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rt FROM cells GROUP BY 1)
+    SELECT c.lang, c.pred_lang, c.n,
+           round(CAST(c.n AS DOUBLE) / r.rt, 6) AS row_frac
+    FROM cells c JOIN rowt r USING (lang)
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-profile language classifier
+    against the corpus's labeled lang column — the evaluation table
+    (per-language recall off the diagonal, confusion mass off it) a
+    pipeline publishes whenever a heuristic classifier gates data.
+    Composes the REGISTERED text_langid query (and its oracle SQL,
+    spliced verbatim as a CTE) so classifier and evaluation can never
+    drift apart.
+
+    Scale shape: text_langid's zero-shuffle scoring pass, then one
+    map-side-combinable groupBy into a |langs|^2-bounded matrix; the
+    row-total join is cell-sized. Nothing data-sized after the scan."""
+    pred = text_langid(spark, sf_dir)
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    rowt = cells.groupBy("lang").agg(F.sum("n").cast("bigint").alias("rt"))
+    return (
+        cells.join(F.broadcast(rowt), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            F.round(F.expr("CAST(n AS DOUBLE) / rt"), 6).alias("row_frac"),
+        )
+    )

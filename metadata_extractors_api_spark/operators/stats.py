@@ -639,3 +639,94 @@ def embedding_dim_variance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(var_expr), 6).alias("variance"),
         (F.round(F.expr(var_expr), 6) < 1e-6).alias("is_dead"),
     )
+
+
+#: Vocabulary-size checkpoints reported by the coverage curve.
+VOCAB_COVERAGE_KS = (10, 100, 1000)
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+    tc AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM occ GROUP BY token),
+    c AS (
+      SELECT cnt,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token) AS cum_tokens,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS i,
+             SUM(cnt) OVER () AS total_tokens,
+             COUNT(*) OVER () AS vocab_n
+      FROM tc)
+    SELECT CAST(i AS BIGINT) AS rank_k,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(vocab_n AS BIGINT) AS vocab_n,
+           round(CAST(cum_tokens AS DOUBLE) / total_tokens, 6) AS coverage
+    FROM c
+    WHERE i IN ({", ".join(str(k) for k in VOCAB_COVERAGE_KS)})
+       OR i = vocab_n
+    """,
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of the corpus's token
+    mass is covered by the top-10 / top-100 / top-1000 most frequent
+    terms (plus the full-vocabulary row) — THE table a tokenizer
+    budget is designed from ("how big must the vocab be before OOV
+    mass is negligible?"), and the corpus-concentration companion to
+    text_zipf_slope's parametric fit.
+
+    Scale shape: the frequency-ranked cumulative sum runs as ONE
+    two-phase ``_global_cumsum`` with dq_ks_two_sample's encoded-weight
+    trick (w = cnt * 2^31 + 1: the inclusive prefix decodes as
+    cum_tokens = cw div 2^31 and rank i = cw mod 2^31), so rank and
+    cumulative mass come out of a single range-partitioned prefix sum
+    — no single-partition window over the vocabulary (allowlisted
+    offsets branch only). The encode is exact while total tokens
+    < 2^32 and vocab < 2^31; the assert_true guard folded into the
+    kept column refuses loudly past that, where the one-line split
+    into two prefix sums applies (same migration note as the KS
+    statistic).
+
+    Ranked DESCENDING by frequency via the negated-count sort key
+    (the prefix-sum primitive orders ascending)."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    tc = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    big = F.lit(1 << 31).cast("bigint")
+    enc = tc.select(
+        (-F.col("cnt")).alias("nc"),
+        "token",
+        (F.col("cnt") * big + 1).alias("w"),
+    )
+    c = _global_cumsum(enc, "nc", "token", "w")
+    ks = ", ".join(str(k) for k in VOCAB_COVERAGE_KS)
+    dec = c.select(
+        F.expr(f"cw div {1 << 31}").alias("cum_tokens"),
+        F.expr(f"cw % {1 << 31}").alias("i"),
+        F.expr(f"tw div {1 << 31}").alias("total_tokens"),
+        F.expr(f"tw % {1 << 31}").alias("vocab_n"),
+    ).filter(F.expr(f"i IN ({ks}) OR i = vocab_n"))
+    guard = F.assert_true(
+        F.col("total_tokens") < F.lit(1 << 32).cast("bigint"),
+        F.lit(
+            "text_vocab_coverage_curve: total tokens >= 2^32 — the packed "
+            "prefix-sum encoding wraps; split into two prefix sums"
+        ),
+    )
+    return dec.select(
+        F.col("i").cast("bigint").alias("rank_k"),
+        F.when(guard.isNull(), F.col("cum_tokens"))
+        .cast("bigint")
+        .alias("cum_tokens"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("vocab_n").cast("bigint").alias("vocab_n"),
+        F.round(
+            F.expr("CAST(cum_tokens AS DOUBLE) / total_tokens"), 6
+        ).alias("coverage"),
+    )

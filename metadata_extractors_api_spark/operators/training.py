@@ -1467,3 +1467,75 @@ def sample_reservoir_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("o_orderkey").cast("string")).alias("hk"),
     )
     return h.orderBy("hk", "o_orderkey").limit(RESERVOIR_K)
+
+
+#: Character budget that saturates the importance-sampling keep
+#: probability: docs at or above this length are always kept.
+IMPORTANCE_CHAR_TARGET = 4096
+
+
+@register(
+    "sample_importance_hash",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars,
+             ('0x' || substr(md5('imp|' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % 1000000 AS u6,
+             least(1000000, CAST(floor(
+               CAST(length(text) AS DOUBLE) * 1000000
+               / {IMPORTANCE_CHAR_TARGET}) AS BIGINT)) AS p_e6
+      FROM documents)
+    SELECT doc_id, source, n_chars, CAST(u6 AS BIGINT) AS u6, p_e6
+    FROM d WHERE u6 < p_e6
+    """,
+)
+def sample_importance_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance (weight-proportional Bernoulli) sampling with a
+    deterministic hash draw: each document keeps with probability
+    proportional to its length (capped at 1), decided by comparing a
+    salted md5 draw u in [0, 1e6) against the e6-quantized keep
+    probability — the "sample long documents preferentially" primitive
+    a curation pipeline uses to reweight a corpus without an RNG, so
+    the SAME documents are kept on every engine, run, and cluster size
+    (the property sample_pps_systematic provides for systematic
+    sampling, done here with independent per-row draws: no ordering,
+    no prefix sum, embarrassingly parallel).
+
+    The salt ('imp|') decorrelates this draw from every other md5
+    keyed on doc_id in the pipeline — without it, downstream hash
+    gates would keep exactly the same documents and silently compound
+    selection bias.
+
+    Scale shape: one zero-shuffle filter pass; at 100 TB the keep
+    decision runs inside the scan's codegen stage."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    u6 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("imp|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    p_e6 = F.least(
+        F.lit(1000000).cast("bigint"),
+        F.floor(
+            F.length("text").cast("double")
+            * 1000000
+            / IMPORTANCE_CHAR_TARGET
+        ).cast("bigint"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.length("text").cast("bigint").alias("n_chars"),
+            u6.alias("u6"),
+            p_e6.alias("p_e6"),
+        )
+        .filter(F.col("u6") < F.col("p_e6"))
+    )

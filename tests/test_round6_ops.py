@@ -417,3 +417,129 @@ def test_win_distinct_rolling_matches_pandas_rolling(spark, sf_dir):
         for r in mdx.QUERIES["win_distinct_rolling"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_importance_hash_matches_hashlib(spark, sf_dir):
+    """Keep set recomputed with Python hashlib md5 and exact integer
+    keep probabilities — plus the semantic property that keep RATE
+    rises with document length."""
+    import hashlib
+
+    from metadata_extractors_api_spark.operators.training import (
+        IMPORTANCE_CHAR_TARGET,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    expected = {}
+    for d in docs:
+        u6 = (
+            int(hashlib.md5(f"imp|{d['doc_id']}".encode()).hexdigest()[:8], 16)
+            % 1_000_000
+        )
+        p_e6 = min(
+            1_000_000,
+            math.floor(len(d["text"]) * 1_000_000 / IMPORTANCE_CHAR_TARGET),
+        )
+        if u6 < p_e6:
+            expected[d["doc_id"]] = (len(d["text"]), u6, p_e6)
+    got = {
+        r["doc_id"]: (r["n_chars"], r["u6"], r["p_e6"])
+        for r in mdx.QUERIES["sample_importance_hash"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    assert 0 < len(got) < len(docs)  # neither empty nor keep-everything
+
+
+def test_vocab_coverage_matches_counter(spark, sf_dir):
+    """Coverage rows recomputed from a plain Counter + sorted
+    cumulative sum (no prefix-sum encoding)."""
+    from metadata_extractors_api_spark.operators.stats import (
+        VOCAB_COVERAGE_KS,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    tc = collections.Counter()
+    for d in docs:
+        tc.update(d["text"].split(" "))
+    ordered = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(tc.values())
+    cum = 0
+    expected = {}
+    for i, (_, c) in enumerate(ordered, start=1):
+        cum += c
+        if i in VOCAB_COVERAGE_KS or i == len(ordered):
+            expected[i] = cum
+    got = {
+        r["rank_k"]: r
+        for r in mdx.QUERIES["text_vocab_coverage_curve"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k, cum_k in expected.items():
+        r = got[k]
+        assert r["cum_tokens"] == cum_k
+        assert r["total_tokens"] == total
+        assert r["vocab_n"] == len(ordered)
+        assert abs(r["coverage"] - cum_k / total) < 1e-6
+
+
+def test_langid_confusion_consistency(spark, sf_dir):
+    """The confusion matrix must exactly re-aggregate the registered
+    classifier's per-document output, cover every document, and have
+    row fractions that sum to 1 per labeled language."""
+    pred = mdx.QUERIES["text_langid"](spark, sf_dir).collect()
+    cells = collections.Counter((r["lang"], r["pred_lang"]) for r in pred)
+    rows = collections.Counter(r["lang"] for r in pred)
+    got = mdx.QUERIES["text_langid_confusion"](spark, sf_dir).collect()
+    assert sum(r["n"] for r in got) == len(pred)
+    for r in got:
+        assert r["n"] == cells[(r["lang"], r["pred_lang"])]
+        assert abs(r["row_frac"] - r["n"] / rows[r["lang"]]) < 1e-6
+    by_lang = collections.defaultdict(float)
+    for r in got:
+        by_lang[r["lang"]] += r["row_frac"]
+    for lang, s in by_lang.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+def test_sim_distribution_matches_numpy_histogram(spark, sf_dir):
+    """Cosine histogram recomputed with plain numpy float dot products
+    (not the scaled-int64 arithmetic), binned on the 6-dp-rounded
+    value exactly as specified."""
+    from metadata_extractors_api_spark.operators.llm import SIM_DIST_PROBES
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows])
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    probes = np.where(ids < SIM_DIST_PROBES)[0]
+    counts = collections.Counter()
+    for pi in probes:
+        cos = m @ m[pi] / (norms * norms[pi])
+        cos = np.round(np.delete(cos, np.where(ids == ids[pi])[0]), 6)
+        bins = np.clip(np.floor((cos + 1) * 8).astype(int), 0, 15)
+        counts.update(bins.tolist())
+    got = {
+        r["bin"]: r
+        for r in mdx.QUERIES["sim_distribution_audit"](spark, sf_dir).collect()
+    }
+    assert sum(r["n_pairs"] for r in got.values()) == sum(counts.values())
+    for b, n in counts.items():
+        # scaled-int vs float cosine can flip a pair across a bin edge
+        # only within the 6-dp rounding quantum; allow 1% slack per bin
+        assert abs(got[b]["n_pairs"] - n) <= max(2, 0.01 * n), (b, n)

@@ -443,6 +443,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "rfm_segmentation": {"<global-unordered>", "_pid"},
     "sample_pps_systematic": {"<global-unordered>", "_pid"},
     "shuffle_deterministic": {"_pid"},
+    "text_vocab_coverage_curve": {"<global-unordered>", "_pid"},
     "text_vocab_growth": {"_pid"},
     "win_ntile_percent": {"<global-unordered>", "_pid"},
     # bounded calendar / bucket grains (time-range- or constant-sized)
@@ -601,6 +602,7 @@ _PAIR_JOIN_ALLOWLIST = {
     "embedding_matryoshka_audit": {"BroadcastNestedLoopJoin:qid,vec_id"},
     "sim_knn_label_audit": {"BroadcastNestedLoopJoin:qid,vec_id"},
     "sim_search_filtered": {"BroadcastNestedLoopJoin:"},
+    "sim_distribution_audit": {"BroadcastNestedLoopJoin:pid,vec_id"},
     "sample_hard_negatives": {"BroadcastNestedLoopJoin:label,qlabel"},
     # calendar x domain grids (gap-fill spines): the broadcast side is
     # the calendar/domain grain, bounded by time range or vocabulary
