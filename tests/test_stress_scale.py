@@ -473,3 +473,116 @@ def test_dedup_paragraphs_survives_boilerplate_block(spark, tmp_path_factory):
     assert agg["docs"] == n
     assert agg["paras"] == 2 * n  # boiler block + unique block per doc
     assert agg["dups"] == n - 1  # every boiler occurrence but doc 0's
+
+
+def test_mann_whitney_heavy_ties_1m_closed_form(spark, tmp_path_factory):
+    """Round-7 stress: dq_mann_whitney at 1M pooled rows with only 100
+    distinct values (10,000-deep tie groups — the adversarial shape for
+    a rank statistic). Corpus designed closed-form: value v = id % 100
+    in dollars, cohort A at even v (id parity == v parity). Then U
+    counts, per even v, the 10,000 A-rows against the 10,000 B-rows at
+    each odd value below it: U = 1e8 * sum_{j<50} j = 1.225e11, with
+    zero A==B ties, and tie_sum = 100 * (10000^3 - 10000). Asserted on
+    the REAL operator over a generated orders.parquet — independent
+    ground truth, not the shared prefix-sum identity."""
+    import metadata_extractors_api_spark as mdx
+
+    n = 1_000_000
+    d = str(tmp_path_factory.mktemp("mw1m"))
+    spark.range(0, n, 1, 32).select(
+        (F.col("id") % 100).cast("double").alias("o_totalprice"),
+        F.when(F.col("id") % 2 == 0, "1-URGENT")
+        .otherwise("5-LOW")
+        .alias("o_orderpriority"),
+    ).write.parquet(f"{d}/orders.parquet")
+
+    r = mdx.QUERIES["dq_mann_whitney"](spark, d).first()
+    assert r["n_a"] == n // 2 and r["n_b"] == n // 2
+    u = 10_000 * 10_000 * sum(range(50))
+    assert r["u2"] == 2 * u
+    assert r["tie_sum"] == 100 * (10_000**3 - 10_000)
+
+
+def test_vocab_coverage_million_token_vocab(spark, tmp_path_factory):
+    """Round-7 stress: text_vocab_coverage_curve over a 1M-type
+    vocabulary (the encoded prefix sum runs vocab-sized, 25,000x the
+    fixture's ~40 types). Closed form: 1M single-occurrence tokens
+    t0000000..t0999999 plus one doc 'zzz zzz', so rank 1 is zzz
+    (cnt 2) and rank k>1 is t{k-2} — cumulative mass at rank k is
+    k + 1, total 1,000,002 over 1,000,001 types."""
+    import metadata_extractors_api_spark as mdx
+
+    n = 1_000_000
+    d = str(tmp_path_factory.mktemp("vocab1m"))
+    docs = spark.range(0, n, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("t%07d", F.col("id")).alias("text"),
+    )
+    extra = spark.range(n, n + 1).select(
+        F.col("id").alias("doc_id"), F.lit("zzz zzz").alias("text")
+    )
+    docs.unionAll(extra).write.parquet(f"{d}/documents.parquet")
+
+    rows = {
+        r["rank_k"]: r
+        for r in mdx.QUERIES["text_vocab_coverage_curve"](spark, d).collect()
+    }
+    assert set(rows) == {10, 100, 1000, n + 1}
+    for k in (10, 100, 1000):
+        assert rows[k]["cum_tokens"] == k + 1
+        assert rows[k]["total_tokens"] == n + 2
+        assert rows[k]["vocab_n"] == n + 1
+    assert rows[n + 1]["cum_tokens"] == n + 2  # full-vocab row
+
+
+def test_win_distinct_rolling_single_hot_user(spark, tmp_path_factory):
+    """Round-7 stress: win_distinct_rolling when ONE user owns all 1M
+    events — the hot-key shape for any per-key ordered window (the
+    per-user sort inherently serializes that user's history through
+    one task; the frame keeps state O(10), so it completes — the same
+    bound sessionization lives with). Closed form: event types cycle
+    t0,t1,t2 in ts order, so the 10-row rolling distinct is 1 at the
+    first row, 2 at the second, 3 everywhere after."""
+    import metadata_extractors_api_spark as mdx
+
+    n = 1_000_000
+    d = str(tmp_path_factory.mktemp("hotuser"))
+    spark.range(0, n, 1, 32).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        F.lit(7).cast("bigint").alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3)).alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(f"{d}/events.parquet")
+
+    counts = dict(
+        mdx.QUERIES["win_distinct_rolling"](spark, d)
+        .groupBy("n_distinct10")
+        .count()
+        .collect()
+    )
+    assert counts == {1: 1, 2: 1, 3: n - 2}
+
+
+def test_bpe_encode_adversarial_repeat_chain(spark, tmp_path_factory):
+    """Round-7 stress: tokenizer_bpe_encode on a 200k-char document of
+    'ta' repeated — the worst case for the single-pass replace chain
+    (every adjacent pair matches the highest-priority merge). The
+    documented alternation semantics give a closed form: of k = 100k
+    't a' pairs a pass merges every other one (k/2), so tokens =
+    2k - k/2 = 150,000 and compression = 4/3. Also proves the 200k-char
+    replace chain completes as one codegen projection."""
+    import metadata_extractors_api_spark as mdx
+
+    k = 100_000
+    d = str(tmp_path_factory.mktemp("bpe200k"))
+    spark.range(0, 1).select(
+        F.col("id").alias("doc_id"),
+        F.expr(f"repeat('ta', {k})").alias("text"),
+    ).write.parquet(f"{d}/documents.parquet")
+
+    r = mdx.QUERIES["tokenizer_bpe_encode"](spark, d).first()
+    assert r["n_chars"] == 2 * k
+    assert r["n_tokens"] == 2 * k - k // 2
+    assert abs(r["compression"] - (2 * k) / (2 * k - k // 2)) < 1e-6
