@@ -132,6 +132,10 @@ HEADLINE = [
     "win_distinct_rolling",
     "sim_distribution_audit",
     "text_vocab_coverage_curve",
+    "text_winnowing_fingerprint",
+    "text_bigram_cond_entropy",
+    "join_asof_tolerance",
+    "multimodal_channel_correlation",
 ]
 
 RUNS = 5

@@ -3965,3 +3965,194 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("CAST(n AS DOUBLE) / rt"), 6).alias("row_frac"),
         )
     )
+
+
+@register(
+    "multimodal_channel_correlation",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L, {_PPM_W} AS w, {_PPM_H} AS h
+      FROM documents WHERE doc_id < {_PIXEL_ORACLE_DOCS}),
+    flat AS (
+      SELECT doc_id, text, L, unnest(range(0, w * h)) AS p FROM d),
+    px AS (
+      SELECT doc_id,
+             (ascii(substr(text, CAST((3*p * 31 + 7) % L AS INT) + 1, 1))
+              + 3*p) % 256 AS r,
+             (ascii(substr(text, CAST(((3*p+1) * 31 + 7) % L AS INT) + 1, 1))
+              + 3*p+1) % 256 AS g,
+             (ascii(substr(text, CAST(((3*p+2) * 31 + 7) % L AS INT) + 1, 1))
+              + 3*p+2) % 256 AS b
+      FROM flat),
+    m AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r) AS BIGINT) AS sr, CAST(SUM(g) AS BIGINT) AS sg,
+             CAST(SUM(b) AS BIGINT) AS sb,
+             CAST(SUM(r*r) AS BIGINT) AS srr, CAST(SUM(g*g) AS BIGINT) AS sgg,
+             CAST(SUM(b*b) AS BIGINT) AS sbb,
+             CAST(SUM(r*g) AS BIGINT) AS srg, CAST(SUM(g*b) AS BIGINT) AS sgb
+      FROM px GROUP BY doc_id)
+    SELECT doc_id, n,
+           round(CAST(n * srg - sr * sg AS DOUBLE)
+                 / sqrt(CAST(n * srr - sr * sr AS DOUBLE)
+                        * CAST(n * sgg - sg * sg AS DOUBLE)), 6) AS corr_rg,
+           round(CAST(n * sgb - sg * sb AS DOUBLE)
+                 / sqrt(CAST(n * sgg - sg * sg AS DOUBLE)
+                        * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS corr_gb
+    FROM m
+    """,
+)
+def multimodal_channel_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-channel Pearson correlation (R-G and G-B) over REAL
+    decoded pixels — the grayscale / color-cast detector (a grayscale
+    image has corr ~ 1.0 on both pairs; a heavy color cast shows
+    asymmetric correlation) that multimodal curation uses to route
+    images before expensive model-based filters.
+
+    Exactness: the mapInPandas stage emits EXACT int64 pixel moments
+    (sums and cross-products; 255^2 * 147k px stays far inside int64)
+    and the correlation is computed JVM-side with the literal SQL
+    expression tree the oracle uses — not in numpy — so both engines
+    run the identical IEEE ops on identical integers. n*srr - sr*sr
+    fits int64; only the PRODUCT of the two variance terms needs the
+    double cast, applied identically on both sides.
+
+    Bounded to the standard pixel-oracle slice; the decode stage is
+    corpus-capable like its siblings."""
+
+    def mom_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "n", "sr", "sg", "sb", "srr", "sgg", "sbb",
+                "srg", "sgb"]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                px = decode_image(_ppm_payload(text))["pixels"].astype(np.int64)
+                r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+                rows.append((
+                    doc_id, r.size,
+                    int(r.sum()), int(g.sum()), int(b.sum()),
+                    int((r * r).sum()), int((g * g).sum()),
+                    int((b * b).sum()),
+                    int((r * g).sum()), int((g * b).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=cols)
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PIXEL_ORACLE_DOCS)
+        .select("doc_id", "text")
+    )
+    m = d.mapInPandas(
+        mom_batches,
+        "doc_id long, n long, sr long, sg long, sb long, srr long, "
+        "sgg long, sbb long, srg long, sgb long",
+    )
+    return m.select(
+        "doc_id",
+        "n",
+        F.round(
+            F.expr(
+                "CAST(n * srg - sr * sg AS DOUBLE)"
+                " / sqrt(CAST(n * srr - sr * sr AS DOUBLE)"
+                "        * CAST(n * sgg - sg * sg AS DOUBLE))"
+            ),
+            6,
+        ).alias("corr_rg"),
+        F.round(
+            F.expr(
+                "CAST(n * sgb - sg * sb AS DOUBLE)"
+                " / sqrt(CAST(n * sgg - sg * sg AS DOUBLE)"
+                "        * CAST(n * sbb - sb * sb AS DOUBLE))"
+            ),
+            6,
+        ).alias("corr_gb"),
+    )
+
+
+#: Winnowing parameters: k-gram size and window width (MOSS defaults
+#: scaled to the fixture's short documents).
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    kg AS (
+      SELECT doc_id, len(tk) - {WINNOW_K - 1} AS n_kgrams,
+             unnest(range(1, len(tk) - {WINNOW_K - 1} + 1)) AS pos,
+             tk
+      FROM toks WHERE len(tk) >= {WINNOW_K}),
+    h AS (
+      SELECT doc_id, n_kgrams, pos,
+             ('0x' || substr(md5(array_to_string(
+               tk[pos:pos+{WINNOW_K - 1}], ' ')), 1, 8))::BIGINT AS kh
+      FROM kg),
+    wm AS (
+      SELECT doc_id, pos, n_kgrams,
+             MIN(kh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW
+                           AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM h)
+    SELECT DISTINCT doc_id, CAST(fp AS BIGINT) AS fp
+    FROM wm
+    WHERE pos <= greatest(1, n_kgrams - {WINNOW_W - 1})
+    """,
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    3-token shingle, slide a width-4 window over the hash sequence,
+    keep each window's minimum, emit the distinct selected hashes per
+    document. Winnowing guarantees any shared run of >= k+w-1 tokens
+    between two documents shares at least one selected fingerprint —
+    the position-robust substring-dedup index that plain MinHash (which
+    samples globally) cannot give, and the standard plagiarism /
+    near-copy detector.
+
+    Documents shorter than the window emit the single global minimum
+    (the window at pos 1 spans whatever exists — the standard
+    degenerate case). Hashes are the package's portable md5-prefix
+    int64, identical in both engines.
+
+    Scale shape: explode to k-gram positions (one map pass), one
+    doc-partitioned bounded-frame window (state O(w)), one distinct
+    keyed on (doc, fp). No global order, no pair
+    space; the output is the fingerprint INDEX a downstream equi-join
+    buckets on, exactly like the LSH band tables."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    toks = d.select("doc_id", F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= WINNOW_K
+    )
+    kg = toks.select(
+        "doc_id",
+        (F.size("tk") - (WINNOW_K - 1)).alias("n_kgrams"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(tk) - {WINNOW_K - 1}),"
+                f" i -> array_join(slice(tk, i, {WINNOW_K}), ' '))"
+            )
+        ).alias("pos0", "kgram"),
+    ).select(
+        "doc_id",
+        "n_kgrams",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("kgram"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("kh"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    wm = kg.withColumn("fp", F.min("kh").over(w))
+    return (
+        wm.filter(
+            F.col("pos")
+            <= F.greatest(F.lit(1), F.col("n_kgrams") - (WINNOW_W - 1))
+        )
+        .select("doc_id", F.col("fp").cast("bigint").alias("fp"))
+        .distinct()
+    )

@@ -988,3 +988,105 @@ def set_union_evolved_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", cents, F.col("o_orderpriority").alias("priority")
     )
     return old.unionByName(new, allowMissingColumns=True)
+
+
+#: Tolerance for join_asof_tolerance, in seconds (pandas
+#: merge_asof(tolerance=...) semantics).
+ASOF_TOLERANCE_S = 600
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'),
+    purchases AS (
+      SELECT user_id, ts, event_id
+      FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT p.event_id, p.user_id, c.click_id,
+             (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS lag_s,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.click_id DESC) AS rn
+      FROM purchases p
+      JOIN clicks c ON c.user_id = p.user_id AND c.ts <= p.ts)
+    SELECT p.event_id, p.user_id,
+           CASE WHEN j.lag_s * 1000000 <= {ASOF_TOLERANCE_S} * 1000000
+                THEN j.click_id END AS click_id,
+           CAST(CASE WHEN j.lag_s * 1000000 <= {ASOF_TOLERANCE_S} * 1000000
+                THEN j.lag_s END AS BIGINT) AS lag_s
+    FROM purchases p
+    LEFT JOIN j ON j.event_id = p.event_id AND j.rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a tolerance bound (pandas merge_asof(tolerance)
+    semantics): each purchase matches its most recent same-user click
+    at-or-before its timestamp, but only if the gap is <= 600 s —
+    beyond it the match is NULL rather than a stale attribution. The
+    missing mode of join_asof, and the one production attribution
+    actually wants (a click from last month should not claim credit).
+
+    Same scale-first construction as join_asof: union both sides, ONE
+    user-partitioned ordered window carrying the last click id AND its
+    timestamp (a packed struct, so one window not two), then the
+    tolerance check is a post-window column predicate. One shuffle on
+    user_id, no pairwise blowup; the oracle states the same semantics
+    with the naive join + ROW_NUMBER form DuckDB can afford at oracle
+    scale."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(1).alias("is_click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    merged = purchases.withColumns(
+        {"click_id": F.lit(None).cast("long"), "is_click": F.lit(0)}
+    ).unionByName(clicks.withColumn("purchase_id", F.lit(None).cast("long")))
+    # clicks sort before purchases at equal ts (ties included), and
+    # equal-ts clicks order by click_id so "most recent" is
+    # deterministic: the LAST row in the frame is the max click_id,
+    # matching the oracle's ORDER BY c.ts DESC, c.click_id DESC pick.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_click"), "click_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lastc = F.last(
+        F.when(
+            F.col("is_click") == 1,
+            F.struct(F.col("ts").alias("cts"), F.col("click_id").alias("cid")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        merged.withColumn("lc", lastc)
+        .filter(F.col("is_click") == 0)
+        .withColumn(
+            # lag floored to whole seconds from the EXACT microsecond
+            # difference (both sides positive): fractional-second
+            # truncation per-operand (unix_timestamp) disagrees with
+            # the oracle's fractional difference, so divide once.
+            "lag_us",
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("lc.cts")),
+        )
+        .select(
+            F.col("purchase_id").alias("event_id"),
+            "user_id",
+            F.when(
+                F.col("lag_us") <= ASOF_TOLERANCE_S * 1_000_000,
+                F.col("lc.cid"),
+            ).alias("click_id"),
+            F.when(
+                F.col("lag_us") <= ASOF_TOLERANCE_S * 1_000_000,
+                F.expr("lag_us div 1000000"),
+            )
+            .cast("bigint")
+            .alias("lag_s"),
+        )
+    )

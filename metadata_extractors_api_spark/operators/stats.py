@@ -730,3 +730,96 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(cum_tokens AS DOUBLE) / total_tokens"), 6
         ).alias("coverage"),
     )
+
+
+@register(
+    "text_bigram_cond_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM toks WHERE len(tk) >= 2),
+    bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+    uc AS (
+      SELECT str_split(bigram, ' ')[1] AS w1,
+             CAST(SUM(c) AS BIGINT) AS n1,
+             CAST(COUNT(*) AS BIGINT) AS n_successors
+      FROM bc GROUP BY 1),
+    terms AS (
+      SELECT bc.c,
+             CAST(floor(ln(CAST(bc.c AS DOUBLE) / uc.n1) * 1e9) AS BIGINT)
+               AS lnq
+      FROM bc JOIN uc ON str_split(bc.bigram, ' ')[1] = uc.w1)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM uc) AS n_contexts,
+           CAST(-SUM(c * lnq) AS BIGINT) AS s_e9,
+           round(CAST(-SUM(c * lnq) AS DOUBLE) / 1e9 / SUM(c), 6) AS h_cond
+    FROM terms
+    """,
+)
+def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram conditional entropy H(W2 | W1) in nats — the
+    entropy RATE of the corpus under its own bigram model, the
+    single-number predictability measure ("how compressible / how
+    templated is this corpus?") that complements the per-document
+    unigram entropy: natural text sits well above machine-generated
+    boilerplate, whose next-token distribution is near-deterministic.
+
+    H(W2|W1) = -sum over bigrams of (c/N) * ln(c / n1), with c the
+    bigram count and n1 its context's total continuations. Same
+    quantize-then-sum discipline as text_doc_logprob: each ln of an
+    exact count ratio is floored to an e9 int64 and weighted by the
+    INTEGER bigram count before any cross-row sum.
+
+    Scale shape: two map-side-combinable aggregations (bigram counts,
+    then context totals re-aggregating the BIGRAM relation, not the
+    corpus), one vocabulary-keyed join, one global reduction. The
+    joins key on n-gram hashes — the LM-building profile
+    text_doc_logprob already established, minus its per-doc scoring
+    pass."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    toked = d.select(F.split("text", " ").alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    bg = toked.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> concat(tk[i-1], ' ', tk[i]))"
+            )
+        ).alias("bigram")
+    )
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    uc = (
+        bc.groupBy(F.split(F.col("bigram"), " ").getItem(0).alias("w1"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n1"),
+            F.count(F.lit(1)).cast("bigint").alias("n_successors"),
+        )
+    )
+    terms = bc.join(
+        uc, F.split(bc.bigram, " ").getItem(0) == uc.w1
+    ).select(
+        "c",
+        F.expr(
+            "CAST(floor(ln(CAST(c AS DOUBLE) / n1) * 1e9) AS BIGINT)"
+        ).alias("lnq"),
+    )
+    n_contexts = uc.agg(F.count(F.lit(1)).cast("bigint").alias("n_contexts"))
+    return (
+        terms.agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            (-F.sum(F.col("c") * F.col("lnq"))).cast("bigint").alias("s_e9"),
+        )
+        .crossJoin(F.broadcast(n_contexts))
+        .select(
+            "n_bigrams",
+            "n_contexts",
+            "s_e9",
+            F.round(
+                F.expr("CAST(s_e9 AS DOUBLE) / 1e9 / n_bigrams"), 6
+            ).alias("h_cond"),
+        )
+    )

@@ -543,3 +543,156 @@ def test_sim_distribution_matches_numpy_histogram(spark, sf_dir):
         # scaled-int vs float cosine can flip a pair across a bin edge
         # only within the 6-dp rounding quantum; allow 1% slack per bin
         assert abs(got[b]["n_pairs"] - n) <= max(2, 0.01 * n), (b, n)
+
+
+def test_channel_correlation_matches_numpy_corrcoef(spark, sf_dir):
+    """Channel correlations recomputed with np.corrcoef over decoded
+    float pixel planes (not the integer-moment Cramer form)."""
+    from metadata_extractors_api_spark.operators.llm import (
+        _PIXEL_ORACLE_DOCS,
+        _ppm_payload,
+        decode_image,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(f"doc_id < {_PIXEL_ORACLE_DOCS}")
+        .limit(8)
+        .collect()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in mdx.QUERIES["multimodal_channel_correlation"](
+            spark, sf_dir
+        ).collect()
+    }
+    for d in docs:
+        px = decode_image(_ppm_payload(d["text"]))["pixels"].astype(float)
+        r = got[d["doc_id"]]
+        assert r["n"] == px.shape[0] * px.shape[1]
+        crg = np.corrcoef(px[:, :, 0].ravel(), px[:, :, 1].ravel())[0, 1]
+        cgb = np.corrcoef(px[:, :, 1].ravel(), px[:, :, 2].ravel())[0, 1]
+        assert abs(r["corr_rg"] - crg) < 1e-5
+        assert abs(r["corr_gb"] - cgb) < 1e-5
+
+
+def test_winnowing_reference_implementation(spark, sf_dir):
+    """Fingerprints recomputed with the textbook winnowing loop
+    (hashlib k-gram hashes, explicit sliding-window min) for 20 docs,
+    and the structural guarantee: two documents sharing a run of
+    k+w-1 tokens share at least one fingerprint."""
+    import hashlib
+
+    from metadata_extractors_api_spark.operators.llm import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    def winnow(text: str) -> set:
+        toks = text.split(" ")
+        if len(toks) < WINNOW_K:
+            return set()
+        hs = [
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + WINNOW_K]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        out = set()
+        for i in range(max(1, len(hs) - WINNOW_W + 1)):
+            out.add(min(hs[i : i + WINNOW_W]))
+        return out
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(20)
+        .collect()
+    )
+    got = collections.defaultdict(set)
+    for r in mdx.QUERIES["text_winnowing_fingerprint"](
+        spark, sf_dir
+    ).collect():
+        got[r["doc_id"]].add(r["fp"])
+    for d in docs:
+        assert got[d["doc_id"]] == winnow(d["text"]), d["doc_id"]
+    # shared-run guarantee on a constructed pair
+    shared = " ".join(f"s{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    a = winnow("x1 x2 x3 " + shared)
+    b = winnow(shared + " y1 y2 y3")
+    assert a & b
+
+
+def test_bigram_cond_entropy_matches_float_construction(spark, sf_dir):
+    """H(W2|W1) recomputed with plain float joint/conditional
+    probabilities over an independently built bigram table."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    )
+    bc = collections.Counter()
+    for d in docs:
+        toks = d["text"].split(" ")
+        bc.update(zip(toks, toks[1:]))
+    n1 = collections.Counter()
+    for (w1, _), c in bc.items():
+        n1[w1] += c
+    n = sum(bc.values())
+    h = -sum(c / n * math.log(c / n1[w1]) for (w1, _), c in bc.items())
+    r = mdx.QUERIES["text_bigram_cond_entropy"](spark, sf_dir).first()
+    assert r["n_bigrams"] == n
+    assert r["n_contexts"] == len(n1)
+    assert abs(r["h_cond"] - h) < 1e-6
+    assert 0 <= r["h_cond"] <= math.log(len(n1) + 1) + 1
+
+
+def test_asof_tolerance_matches_pandas_merge_asof(spark, sf_dir):
+    """Tolerance as-of matches recomputed with a per-user sorted scan
+    in plain python (pandas merge_asof semantics: latest click at or
+    before each purchase, null beyond the tolerance)."""
+    from metadata_extractors_api_spark.operators.relational import (
+        ASOF_TOLERANCE_S,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    expected = {}
+    for rows in by_user.values():
+        # clicks before purchases at equal ts; equal-ts clicks by id
+        rows.sort(
+            key=lambda r: (r["ts"], r["event_type"] != "click", r["event_id"])
+        )
+        last_click = None
+        for r in rows:
+            if r["event_type"] == "click":
+                last_click = r
+            elif r["event_type"] == "purchase":
+                if last_click is not None:
+                    lag_us = int(
+                        (
+                            r["ts"] - last_click["ts"]
+                        ).total_seconds() * 1_000_000
+                    )
+                    if lag_us <= ASOF_TOLERANCE_S * 1_000_000:
+                        expected[r["event_id"]] = (
+                            last_click["event_id"],
+                            lag_us // 1_000_000,
+                        )
+                        continue
+                expected[r["event_id"]] = (None, None)
+    got = {
+        r["event_id"]: (r["click_id"], r["lag_s"])
+        for r in mdx.QUERIES["join_asof_tolerance"](spark, sf_dir).collect()
+    }
+    assert got == expected
