@@ -136,6 +136,7 @@ HEADLINE = [
     "text_bigram_cond_entropy",
     "join_asof_tolerance",
     "multimodal_channel_correlation",
+    "events_markov_attribution",
 ]
 
 RUNS = 5

@@ -1331,3 +1331,228 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("compression"),
     )
+
+
+#: Absorption-recursion horizon for events_markov_attribution: every
+#: path longer than this contributes nothing to the e9-quantized
+#: probabilities (transition mass decays geometrically), and BOTH
+#: engines run exactly these unrolled integer steps, so the truncation
+#: is part of the operator's definition, not an approximation gap
+#: between them.
+MARKOV_K = 16
+
+
+def _markov_oracle() -> str:
+    """Generate the DuckDB oracle: the same transition-count CTEs and
+    the same MARKOV_K unrolled exact-integer value-iteration steps the
+    Spark plan builds — one shared constant, zero drift."""
+    steps = ["r0 AS (SELECT removed, s, CAST(0 AS BIGINT) AS pqv FROM states)"]
+    for k in range(1, MARKOV_K + 1):
+        steps.append(f"""r{k} AS (
+      SELECT e.removed, e.s,
+             CAST(SUM(e.p6 * (CASE WHEN e.t = 'conv' THEN 1000000000
+                                   WHEN e.t = 'null' THEN 0
+                                   ELSE COALESCE(r.pqv, 0) END))
+                  // 1000000 AS BIGINT) AS pqv
+      FROM ex e LEFT JOIN r{k - 1} r ON r.removed = e.removed AND r.s = e.t
+      GROUP BY e.removed, e.s)""")
+    step_ctes = ",\n    ".join(steps)
+    return f"""
+    WITH ord AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    fp AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS prn
+      FROM ord GROUP BY user_id),
+    kept AS (
+      SELECT o.user_id, o.rn, f.prn,
+             CASE WHEN o.event_type = 'purchase'
+                  THEN 'conv' ELSE o.event_type END AS state
+      FROM ord o JOIN fp f USING (user_id)
+      WHERE f.prn IS NULL OR o.rn <= f.prn),
+    st AS (
+      SELECT user_id, rn, prn, state,
+             COALESCE(LAG(state) OVER (PARTITION BY user_id ORDER BY rn),
+                      'start') AS prev
+      FROM kept),
+    lastr AS (
+      SELECT user_id, MAX(rn) AS lrn FROM st
+      WHERE prn IS NULL GROUP BY user_id),
+    edges AS (
+      SELECT prev AS s, state AS t FROM st
+      UNION ALL
+      SELECT st.state, 'null' FROM st
+      JOIN lastr l ON l.user_id = st.user_id AND st.rn = l.lrn),
+    tc AS (
+      SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM edges GROUP BY s, t),
+    outc AS (SELECT s, CAST(SUM(c) AS BIGINT) AS o FROM tc GROUP BY s),
+    pq AS (
+      SELECT tc.s, tc.t, (tc.c * 1000000) // outc.o AS p6
+      FROM tc JOIN outc USING (s)),
+    ch AS (
+      SELECT DISTINCT event_type AS removed FROM events
+      WHERE event_type <> 'purchase'
+      UNION ALL SELECT '<none>'),
+    ex AS (
+      SELECT ch.removed, pq.s, pq.t, pq.p6
+      FROM pq CROSS JOIN ch WHERE pq.t <> ch.removed),
+    states AS (
+      SELECT DISTINCT ch.removed, pq.s FROM pq CROSS JOIN ch),
+    {step_ctes},
+    fin AS (
+      SELECT removed, pqv FROM r{MARKOV_K} WHERE s = 'start'),
+    base AS (SELECT pqv AS p_conv_e9 FROM fin WHERE removed = '<none>'),
+    eff AS (
+      SELECT f.removed AS channel, b.p_conv_e9, f.pqv AS p_removed_e9,
+             b.p_conv_e9 - f.pqv AS effect_e9
+      FROM fin f CROSS JOIN base b WHERE f.removed <> '<none>'),
+    tot AS (SELECT CAST(SUM(effect_e9) AS BIGINT) AS te FROM eff)
+    SELECT e.channel, e.p_conv_e9, e.p_removed_e9, e.effect_e9,
+           CASE WHEN t.te > 0
+                THEN round(CAST(e.effect_e9 AS DOUBLE) / t.te, 6) END AS share
+    FROM eff e CROSS JOIN tot t
+    """
+
+
+@register("events_markov_attribution", oracle=_markov_oracle())
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) multi-touch attribution — the
+    principled successor to attribution_last_touch: build the
+    first-order journey chain (start -> channels -> conv/null, each
+    user's path truncated at their first purchase), compute the
+    absorption probability P(conv | start) by MARKOV_K unrolled value-
+    iteration steps, then re-compute it with each channel removed
+    (its inbound transition mass absorbed by null); a channel's credit
+    share is its relative drop in conversion probability.
+
+    Exactness, the hard part of attribution: the whole recursion is
+    INTEGER — transition probabilities quantized to e6 by integer
+    division, absorption values carried at e9, each step
+    floor(sum(p6 * pq9) / 1e6) with products bounded by 1e15 * |states|
+    (int64-safe) — and the oracle generates the IDENTICAL unrolled
+    steps from the same MARKOV_K constant, so the result hash-matches
+    bit-for-bit with no float-order or convergence ambiguity.
+
+    Scale shape: path construction is one user-partitioned ordered
+    window pass over events (the sessionize profile); everything after
+    the (s, t) groupBy lives on the CHANNEL-DOMAIN-sized chain
+    (|channels|+3 states squared, times |channels|+1 removal variants
+    — bounded by the event-type domain, not by SF), so the 16
+    iterations shuffle a few hundred rows. The removal grid's
+    crossJoin is domain-bounded (allowlisted); iterates are
+    localCheckpointed every 4 rounds like graph_pagerank's ranks."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wu = Window.partitionBy("user_id")
+    ordd = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "prn",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).over(wu),
+    )
+    kept = ordd.filter(
+        F.col("prn").isNull() | (F.col("rn") <= F.col("prn"))
+    ).withColumn(
+        "state",
+        F.when(F.col("event_type") == "purchase", "conv").otherwise(
+            F.col("event_type")
+        ),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("rn")
+    st = kept.withColumn(
+        "prev", F.coalesce(F.lag("state").over(w2), F.lit("start"))
+    )
+    e1 = st.select(F.col("prev").alias("s"), F.col("state").alias("t"))
+    lastr = (
+        st.filter(F.col("prn").isNull())
+        .groupBy("user_id")
+        .agg(F.max("rn").alias("lrn"))
+    )
+    e2 = (
+        st.join(
+            lastr,
+            (st.user_id == lastr.user_id) & (st.rn == lastr.lrn),
+        )
+        .select(F.col("state").alias("s"), F.lit("null").alias("t"))
+    )
+    tc = (
+        e1.unionByName(e2)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    outc = tc.groupBy("s").agg(F.sum("c").cast("bigint").alias("o"))
+    pq = tc.join(outc, "s").select(
+        "s", "t", F.expr("(c * 1000000) div o").alias("p6")
+    )
+    ch = (
+        ev.filter(F.col("event_type") != "purchase")
+        .select(F.col("event_type").alias("removed"))
+        .distinct()
+        .unionByName(
+            load(spark, sf_dir, "events")
+            .limit(1)
+            .select(F.lit("<none>").alias("removed"))
+        )
+    )
+    ex = pq.crossJoin(ch).filter(F.col("t") != F.col("removed"))
+    ex = ex.localCheckpoint()
+    states = pq.select("s").distinct().crossJoin(ch.select("removed"))
+    rec = states.select(
+        "removed", "s", F.lit(0).cast("bigint").alias("pqv")
+    )
+    for k in range(1, MARKOV_K + 1):
+        r = rec.select(
+            F.col("removed").alias("r_removed"),
+            F.col("s").alias("r_s"),
+            "pqv",
+        )
+        term = (
+            "p6 * (CASE WHEN t = 'conv' THEN 1000000000"
+            " WHEN t = 'null' THEN 0"
+            " ELSE COALESCE(pqv, 0) END)"
+        )
+        rec = (
+            ex.join(
+                r,
+                (r.r_removed == ex.removed) & (r.r_s == ex.t),
+                "left",
+            )
+            .groupBy("removed", "s")
+            .agg(
+                F.expr(f"CAST(SUM({term}) div 1000000 AS BIGINT)").alias(
+                    "pqv"
+                )
+            )
+        )
+        if k % 4 == 0 and k < MARKOV_K:
+            rec = rec.localCheckpoint()
+    fin = rec.filter(F.col("s") == "start").select("removed", "pqv")
+    base = fin.filter(F.col("removed") == "<none>").select(
+        F.col("pqv").alias("p_conv_e9")
+    )
+    eff = (
+        fin.filter(F.col("removed") != "<none>")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("removed").alias("channel"),
+            "p_conv_e9",
+            F.col("pqv").alias("p_removed_e9"),
+            (F.col("p_conv_e9") - F.col("pqv")).alias("effect_e9"),
+        )
+    )
+    tot = eff.agg(F.sum("effect_e9").cast("bigint").alias("te"))
+    return eff.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        "p_conv_e9",
+        "p_removed_e9",
+        "effect_e9",
+        F.when(
+            F.col("te") > 0,
+            F.round(F.expr("CAST(effect_e9 AS DOUBLE) / te"), 6),
+        ).alias("share"),
+    )

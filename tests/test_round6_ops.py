@@ -696,3 +696,85 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, sf_dir):
         for r in mdx.QUERIES["join_asof_tolerance"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_markov_attribution_matches_float_simulation(spark, sf_dir):
+    """Removal-effect attribution recomputed independently: paths
+    built with plain python dict walks, transition matrix in floats,
+    and the SAME 16-step horizon simulated with numpy float matrix
+    algebra (no e6/e9 quantization). The integer-quantized
+    probabilities must sit within the accumulated quantization budget
+    of the float simulation, and effects must be non-negative (removal
+    can only lose conversion mass at every unrolled depth)."""
+    from metadata_extractors_api_spark.operators.corpus import MARKOV_K
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    edges = collections.Counter()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        prev = "start"
+        converted = False
+        for r in rows:
+            state = "conv" if r["event_type"] == "purchase" else r["event_type"]
+            edges[(prev, state)] += 1
+            if state == "conv":
+                converted = True
+                break
+            prev = state
+        if not converted:
+            edges[(prev, "null")] += 1
+
+    out = collections.Counter()
+    for (s, _), c in edges.items():
+        out[s] += c
+    channels = sorted(
+        {r["event_type"] for r in ev if r["event_type"] != "purchase"}
+    )
+
+    def absorb(removed):
+        # float value iteration, same horizon, same removal semantics
+        p = collections.defaultdict(float)
+        for _ in range(MARKOV_K):
+            nxt = {}
+            for s in out:
+                tot = 0.0
+                for (s2, t), c in edges.items():
+                    if s2 != s or t == removed:
+                        continue
+                    pv = 1.0 if t == "conv" else (
+                        0.0 if t == "null" else p[t]
+                    )
+                    tot += (c / out[s]) * pv
+                nxt[s] = tot
+            p = collections.defaultdict(float, nxt)
+        return p["start"]
+
+    base = absorb(None)
+    got = {
+        r["channel"]: r
+        for r in mdx.QUERIES["events_markov_attribution"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(channels)
+    # e6 transition quantization accumulates across <= K steps and
+    # |states| terms: budget ~ K * states * 1e-6, call it 2e-4
+    effects = {}
+    for c in channels:
+        r = got[c]
+        assert abs(r["p_conv_e9"] / 1e9 - base) < 2e-4
+        pr = absorb(c)
+        assert abs(r["p_removed_e9"] / 1e9 - pr) < 2e-4
+        assert r["effect_e9"] >= 0
+        effects[c] = base - pr
+    te = sum(effects.values())
+    if te > 0:
+        for c in channels:
+            assert abs(got[c]["share"] - effects[c] / te) < 5e-3
