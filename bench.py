@@ -137,6 +137,10 @@ HEADLINE = [
     "join_asof_tolerance",
     "multimodal_channel_correlation",
     "events_markov_attribution",
+    "win_pattern_funnel_regex",
+    "graph_kcore",
+    "multimodal_decode_errors",
+    "pack_bin_ffd",
 ]
 
 RUNS = 5

@@ -1556,3 +1556,132 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("CAST(effect_e9 AS DOUBLE) / te"), 6),
         ).alias("share"),
     )
+
+
+#: k-core parameters: degree threshold and fixed peel rounds. Six
+#: rounds reach the fixpoint on every fixture SF (asserted by the
+#: converged flag the query itself emits); like MARKOV_K, the horizon
+#: is part of the operator definition and shared with the oracle.
+KCORE_K = 40
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    """Generated unrolled peel rounds (same constants as the Spark
+    loop): nodes_r = nodes of the subgraph induced by nodes_{r-1}
+    whose induced degree is still >= k."""
+    ctes = [
+        """und AS (
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT DISTINCT l.l_suppkey * 2 + 1, o.o_custkey * 2
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)""",
+        "n0 AS (SELECT DISTINCT src AS node FROM und)",
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        ctes.append(f"""n{r} AS (
+      SELECT u.src AS node FROM und u
+      JOIN n{r - 1} a ON a.node = u.src
+      JOIN n{r - 1} b ON b.node = u.dst
+      GROUP BY u.src HAVING COUNT(*) >= {KCORE_K})""")
+    rounds = "\n      UNION ALL\n      ".join(
+        f"""SELECT {r} AS round,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM n{r}) AS n_nodes,
+             (SELECT CAST(COUNT(*) / 2 AS BIGINT) FROM und u
+              JOIN n{r} a ON a.node = u.src
+              JOIN n{r} b ON b.node = u.dst) AS n_edges"""
+        for r in range(1, KCORE_ROUNDS + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT round, n_nodes, n_edges,
+           n_nodes = (SELECT CAST(COUNT(*) AS BIGINT)
+                      FROM n{KCORE_ROUNDS - 1}) AS converged
+    FROM ({rounds})
+    """
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling over the bipartite
+    customer-supplier trade graph (nodes namespaced 2c / 2s+1): each
+    round drops every node whose degree WITHIN the surviving subgraph
+    fell below k, and the query emits the per-round (nodes, edges)
+    trajectory plus a converged flag — the densest-subgraph screen
+    run before community detection, and the standard robustness audit
+    ("how much of the graph survives at engagement >= k?").
+
+    Fixed KCORE_ROUNDS unrolled rounds, exactly like graph_pagerank's
+    iterations and events_markov_attribution's horizon: the oracle's
+    CTE chain is GENERATED from the same constants, so both engines
+    peel identically and the converged flag (round R size == round R-1
+    size) certifies the fixpoint was reached rather than assuming it.
+
+    Scale shape: each round is one semi-join of the edge list against
+    the survivor set on BOTH endpoints plus a map-side-combinable
+    degree count — the Pregel shape; survivors are localCheckpointed
+    per round (they shrink monotonically) so the 6-round lineage never
+    replays the 4-way join that built the graph. At 100 TB: k-core
+    peeling is O(rounds) such passes, each an ordinary shuffle join —
+    no single-machine state anywhere."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("cu"),
+            (F.col("l_suppkey") * 2 + 1).alias("su"),
+        )
+        .distinct()
+    )
+    und = (
+        pairs.select(F.col("cu").alias("src"), F.col("su").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("su").alias("src"), F.col("cu").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    prev_count_df = None
+    summaries = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        a = nodes.select(F.col("node").alias("a_node"))
+        b = nodes.select(F.col("node").alias("b_node"))
+        nodes_next = (
+            und.join(a, und.src == a.a_node)
+            .join(b, und.dst == b.b_node)
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint()
+        )
+        a2 = nodes_next.select(F.col("node").alias("a_node"))
+        b2 = nodes_next.select(F.col("node").alias("b_node"))
+        edges_r = (
+            und.join(a2, und.src == a2.a_node)
+            .join(b2, und.dst == b2.b_node)
+            .agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"))
+        )
+        nn = nodes_next.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        summaries.append(
+            nn.crossJoin(edges_r).select(
+                F.lit(r).alias("round"), "n_nodes", "n_edges"
+            )
+        )
+        if r == KCORE_ROUNDS:
+            prev_count_df = nodes.agg(
+                F.count(F.lit(1)).cast("bigint").alias("prev_n")
+            )
+        nodes = nodes_next
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out.crossJoin(F.broadcast(prev_count_df)).select(
+        "round",
+        "n_nodes",
+        "n_edges",
+        (F.col("n_nodes") == F.col("prev_n")).alias("converged"),
+    )

@@ -617,3 +617,71 @@ def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_distinct10"),
     )
+
+
+#: Funnel pattern over per-user event-code sequences: the clean
+#: onboarding funnel — signup, then view, then click, then purchase,
+#: with neither a purchase nor an error intervening anywhere in the
+#: run (first clean conversion semantics).
+FUNNEL_PATTERN = "s[^pe]*v[^pe]*c[^pe]*p"
+
+
+@register(
+    "win_pattern_funnel_regex",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           regexp_matches(s, '{FUNNEL_PATTERN}') AS matched
+    FROM seq
+    """,
+)
+def win_pattern_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern matching over per-user event histories — the
+    MATCH_RECOGNIZE surface Spark lacks, composed from what it has:
+    each user's events collapse to an ordered single-char code string
+    (v/c/p/s/e by first letter — distinct across the event-type
+    domain) and the funnel 'signup, later view, later click, later
+    purchase, with no purchase or error anywhere in the run' is one
+    regex over it. Row-pattern queries
+    (SQL:2016 MATCH_RECOGNIZE, Flink CEP) reduce to exactly this
+    collapse-then-regex for patterns without measures.
+
+    Ordering is total (ts, event_id), so the aggregated string is
+    deterministic: Spark sorts an array of (ts, event_id, code)
+    structs (struct comparison is field-ordered) where DuckDB uses
+    ordered string_agg — same sequence, same regex engine semantics
+    on a character-class-only pattern.
+
+    Scale shape: one hash exchange on user_id + per-user sort (the
+    sessionize profile); the per-user string is history-bounded. A
+    100 TB deployment bounds it with a time window exactly as
+    sessionization does."""
+    ev = load(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("code"),
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(rec)), x -> x.code)"),
+                "",
+            ).alias("s"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.col("s").rlike(FUNNEL_PATTERN).alias("matched"),
+    )

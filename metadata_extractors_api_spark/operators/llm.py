@@ -4156,3 +4156,81 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("fp").cast("bigint").alias("fp"))
         .distinct()
     )
+
+
+#: Deterministic corruption slots for the decode dead-letter path:
+#: every 37th doc ships a truncated raster, every 41st (not also 37th)
+#: a wrong magic number. Formula-addressable so the oracle can route
+#: the same documents to the same error classes without decoding.
+_CORRUPT_TRUNC_MOD = 37
+_CORRUPT_MAGIC_MOD = 41
+
+
+@register(
+    "multimodal_decode_errors",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_PPM_W} AS w, {_PPM_H} AS h FROM documents)
+    SELECT doc_id,
+           CASE WHEN doc_id % {_CORRUPT_TRUNC_MOD} = 0 THEN 'truncated_raster'
+                WHEN doc_id % {_CORRUPT_MAGIC_MOD} = 0 THEN 'unsupported_codec'
+                ELSE 'ok' END AS status,
+           CASE WHEN doc_id % {_CORRUPT_TRUNC_MOD} <> 0
+                 AND doc_id % {_CORRUPT_MAGIC_MOD} <> 0
+                THEN CAST(w AS INT) END AS width,
+           CASE WHEN doc_id % {_CORRUPT_TRUNC_MOD} <> 0
+                 AND doc_id % {_CORRUPT_MAGIC_MOD} <> 0
+                THEN CAST(h AS INT) END AS height
+    FROM d
+    """,
+)
+def multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode dead-letter routing over the REAL image decoder: a
+    deterministic slice of payloads is corrupted (raster truncated to
+    half / magic bytes flipped to an unshipped codec), decode_image
+    raises, and the mapInPandas stage catches and CLASSIFIES instead
+    of failing the job — good rows carry parsed dimensions, bad rows a
+    machine-routable error class. The multimodal twin of
+    extract_dead_letter: at 100 TB a corpus ALWAYS contains corrupt
+    media, and a decoder that throws on row one loses the partition.
+
+    The oracle routes the same documents by the corruption formula and
+    replays dimensions for the good path, so a decoder that
+    misclassifies (or a catch that swallows the wrong exception)
+    diverges. Error classes are derived from the decoder's actual
+    failure modes, not the corruption plan, so the test is end-to-end:
+    corrupt bytes in, decoder verdict out.
+
+    Scale shape: one mapInPandas pass, corpus-capable, no shuffle."""
+
+    def route_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "status": [], "width": [], "height": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _ppm_payload(text)
+                if doc_id % _CORRUPT_TRUNC_MOD == 0:
+                    payload = payload[: len(payload) // 2]
+                elif doc_id % _CORRUPT_MAGIC_MOD == 0:
+                    payload = b"P5" + payload[2:]
+                w = h = None
+                try:
+                    m = decode_image(payload)
+                    status, w, h = "ok", m["width"], m["height"]
+                except ValueError as exc:
+                    msg = str(exc)
+                    if msg.startswith("truncated PPM raster"):
+                        status = "truncated_raster"
+                    elif msg.startswith("unsupported codec"):
+                        status = "unsupported_codec"
+                    else:
+                        status = "parse_error"
+                out["doc_id"].append(doc_id)
+                out["status"].append(status)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        route_batches, "doc_id long, status string, width int, height int"
+    )

@@ -1539,3 +1539,72 @@ def sample_importance_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("u6") < F.col("p_e6"))
     )
+
+
+#: First-fit-decreasing packing parameters: bin capacity in tokens and
+#: shard fan-out (shard = doc_id % PACK_FFD_SHARDS).
+PACK_FFD_CAP = 512
+PACK_FFD_SHARDS = 32
+
+
+@register("pack_bin_ffd")  # rows-only: FFD is inherently sequential --
+# no ANSI-SQL oracle can replay per-bin state; correctness is held by
+# tests/test_round6_ops.py's reference-implementation replay instead.
+def pack_bin_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing: documents shard by
+    doc_id % 32, and within each shard FFD packs token counts into
+    512-token bins (sort descending, place each doc into the first bin
+    it fits, open a new bin otherwise; oversized docs get dedicated
+    bins) -- THE packing heuristic LLM training uses to batch
+    variable-length sequences with bounded waste (FFD is guaranteed
+    <= 11/9 OPT + 6/9 bins). pack_concat_chunks is the split-allowed
+    variant; this is the no-split variant real sample boundaries need.
+
+    Genuinely non-SQL-expressible: each placement depends on the
+    mutable fill state of every open bin, so this is the package's
+    deliberate applyInPandas rung (per-shard sequential Python over
+    Arrow batches) and a ROWS-ONLY registry entry -- the exact
+    per-shard outputs are replayed against a pure-python reference FFD
+    in the round-6 test file, and the aggregate invariants (no bin
+    overfilled, bin count >= ceil(total/cap), token conservation) are
+    asserted there as well.
+
+    Scale shape: one shuffle on the shard key, then embarrassingly
+    parallel per-shard packing with O(open bins) state; shard count
+    scales with the cluster, bins never cross shards (manifest
+    assembly joins shard outputs downstream, like pack_shard_manifest).
+    Deterministic: (tokens DESC, doc_id) ordering pins every tie."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents", parallelize=True).select(
+        "doc_id",
+        (F.col("doc_id") % PACK_FFD_SHARDS).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["tokens", "doc_id"], ascending=[False, True]
+        )
+        fills: list = []
+        out_bin = []
+        for t in pdf["tokens"]:
+            t = int(t)
+            placed = None
+            if t < PACK_FFD_CAP:
+                for i, f in enumerate(fills):
+                    if f + t <= PACK_FFD_CAP:
+                        placed = i
+                        break
+            if placed is None:
+                fills.append(t)
+                placed = len(fills) - 1
+            else:
+                fills[placed] += t
+            out_bin.append(placed)
+        pdf = pdf.assign(bin_id=out_bin)
+        return pdf[["shard", "doc_id", "tokens", "bin_id"]]
+
+    return d.groupBy("shard").applyInPandas(
+        pack, "shard int, doc_id long, tokens bigint, bin_id int"
+    )

@@ -778,3 +778,192 @@ def test_markov_attribution_matches_float_simulation(spark, sf_dir):
     if te > 0:
         for c in channels:
             assert abs(got[c]["share"] - effects[c] / te) < 5e-3
+
+
+def test_pattern_funnel_matches_python_re(spark, sf_dir):
+    """Funnel matches recomputed with python re over independently
+    sorted per-user sequences."""
+    import re as _re
+
+    from metadata_extractors_api_spark.operators.extended import (
+        FUNNEL_PATTERN,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    pat = _re.compile(FUNNEL_PATTERN)
+    expected = {}
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        s = "".join(r["event_type"][0] for r in rows)
+        expected[uid] = (len(rows), bool(pat.search(s)))
+    got = {
+        r["user_id"]: (r["n_events"], r["matched"])
+        for r in mdx.QUERIES["win_pattern_funnel_regex"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    # the fixture must exercise both outcomes or the test is vacuous
+    assert {m for _, m in got.values()} == {True, False}
+
+
+def test_decode_errors_routes_real_decoder_failures(spark, sf_dir):
+    """Every document must be routed; corrupted slots must carry the
+    error class the REAL decoder raises (verified by corrupting and
+    decoding here too), good rows must carry true dimensions."""
+    from metadata_extractors_api_spark.operators.llm import (
+        _CORRUPT_MAGIC_MOD,
+        _CORRUPT_TRUNC_MOD,
+        _ppm_payload,
+        decode_image,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    got = {
+        r["doc_id"]: r
+        for r in mdx.QUERIES["multimodal_decode_errors"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == {d["doc_id"] for d in docs}
+    n_bad = 0
+    for d in docs:
+        r = got[d["doc_id"]]
+        if d["doc_id"] % _CORRUPT_TRUNC_MOD == 0:
+            assert r["status"] == "truncated_raster"
+            assert r["width"] is None and r["height"] is None
+            n_bad += 1
+        elif d["doc_id"] % _CORRUPT_MAGIC_MOD == 0:
+            assert r["status"] == "unsupported_codec"
+            n_bad += 1
+        else:
+            m = decode_image(_ppm_payload(d["text"]))
+            assert r["status"] == "ok"
+            assert (r["width"], r["height"]) == (m["width"], m["height"])
+    assert n_bad > 0  # the corruption slots must actually fire
+
+
+def test_kcore_matches_networkx_style_peeling(spark, sf_dir):
+    """Peel trajectory recomputed with a plain python adjacency-dict
+    loop run to FIXPOINT — the query's final round must agree with
+    the true k-core (its converged flag asserts the horizon reached
+    it), and every intermediate round must match the reference peel."""
+    from metadata_extractors_api_spark.operators.corpus import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_suppkey")
+        .collect()
+    )
+    cust_by_order = {r["o_orderkey"]: r["o_custkey"] for r in o}
+    edges = set()
+    for r in li:
+        cu = cust_by_order.get(r["l_orderkey"])
+        if cu is not None:
+            edges.add((cu * 2, r["l_suppkey"] * 2 + 1))
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    trajectory = []
+    for _ in range(KCORE_ROUNDS):
+        nxt = {
+            n for n in alive if len(adj[n] & alive) >= KCORE_K
+        }
+        alive = nxt
+        n_edges = sum(len(adj[n] & alive) for n in alive) // 2
+        trajectory.append((len(alive), n_edges))
+
+    got = sorted(
+        (
+            (r["round"], r["n_nodes"], r["n_edges"], r["converged"])
+            for r in mdx.QUERIES["graph_kcore"](spark, sf_dir).collect()
+        )
+    )
+    for rnd, n_nodes, n_edges, _ in got:
+        assert (n_nodes, n_edges) == trajectory[rnd - 1], rnd
+    # final round must be the true fixpoint and say so
+    assert got[-1][3] is True
+    final = set(alive)
+    while True:
+        nxt = {n for n in final if len(adj[n] & final) >= KCORE_K}
+        if nxt == final:
+            break
+        final = nxt
+    assert len(final) == got[-1][1]
+
+
+def test_ffd_matches_reference_and_invariants(spark, sf_dir):
+    """pack_bin_ffd (rows-only registry entry) replayed against a
+    pure-python reference FFD per shard, plus the packing invariants:
+    token conservation, no in-capacity bin overfilled, bin count sane
+    vs the ceil(total/cap) lower bound."""
+    from metadata_extractors_api_spark.operators.training import (
+        PACK_FFD_CAP,
+        PACK_FFD_SHARDS,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    by_shard = collections.defaultdict(list)
+    for d in docs:
+        t = len(d["text"].split(" "))
+        by_shard[d["doc_id"] % PACK_FFD_SHARDS].append((t, d["doc_id"]))
+
+    def ffd(items):
+        items = sorted(items, key=lambda x: (-x[0], x[1]))
+        fills, assign = [], {}
+        for t, doc in items:
+            placed = None
+            if t < PACK_FFD_CAP:
+                for i, f in enumerate(fills):
+                    if f + t <= PACK_FFD_CAP:
+                        placed = i
+                        break
+            if placed is None:
+                fills.append(t)
+                placed = len(fills) - 1
+            else:
+                fills[placed] += t
+            assign[doc] = placed
+        return assign, fills
+
+    got = collections.defaultdict(dict)
+    for r in mdx.QUERIES["pack_bin_ffd"](spark, sf_dir).collect():
+        got[r["shard"]][r["doc_id"]] = (r["tokens"], r["bin_id"])
+    assert set(got) == set(by_shard)
+    for shard, items in by_shard.items():
+        assign, fills = ffd(items)
+        g = got[shard]
+        assert {d: b for d, (_, b) in g.items()} == assign, shard
+        # invariants
+        total = sum(t for t, _ in items)
+        assert sum(fills) == total
+        small = [f for f in fills if f <= PACK_FFD_CAP]
+        assert all(f <= PACK_FFD_CAP for f in small)
+        assert len(fills) >= -(-total // PACK_FFD_CAP) - len(
+            [t for t, _ in items if t >= PACK_FFD_CAP]
+        )
