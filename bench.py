@@ -141,6 +141,7 @@ HEADLINE = [
     "graph_kcore",
     "multimodal_decode_errors",
     "pack_bin_ffd",
+    "sample_stratified_neyman",
 ]
 
 RUNS = 5

@@ -1608,3 +1608,113 @@ def pack_bin_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("shard").applyInPandas(
         pack, "shard int, doc_id long, tokens bigint, bin_id int"
     )
+
+
+#: Total sample budget allocated by sample_stratified_neyman.
+NEYMAN_BUDGET = 100
+
+
+@register(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH m AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(length(text) AS BIGINT)
+                      * CAST(length(text) AS BIGINT)) AS BIGINT) AS s2
+      FROM documents GROUP BY source),
+    wq AS (
+      SELECT source, n_docs, s1, s2,
+             CAST(floor(n_docs * sqrt(CAST(s2 AS DOUBLE) / n_docs
+                        - (CAST(s1 AS DOUBLE) / n_docs)
+                          * (CAST(s1 AS DOUBLE) / n_docs)) * 1e6)
+                  AS BIGINT) AS w
+      FROM m),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM wq),
+    base AS (
+      SELECT wq.source, wq.n_docs, wq.s1, wq.s2, wq.w, t.tw,
+             ({NEYMAN_BUDGET} * wq.w) // t.tw AS base_n,
+             {NEYMAN_BUDGET} * wq.w - (({NEYMAN_BUDGET} * wq.w) // t.tw) * t.tw
+               AS rem
+      FROM wq CROSS JOIN tot t),
+    leftover AS (
+      SELECT CAST({NEYMAN_BUDGET} - SUM(base_n) AS BIGINT) AS r FROM base),
+    rk AS (
+      SELECT base.*,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk
+      FROM base)
+    SELECT rk.source, rk.n_docs,
+           round(sqrt(CAST(rk.s2 AS DOUBLE) / rk.n_docs
+                 - (CAST(rk.s1 AS DOUBLE) / rk.n_docs)
+                   * (CAST(rk.s1 AS DOUBLE) / rk.n_docs)), 6) AS sigma,
+           CAST(rk.base_n + CASE WHEN rk.rnk <= lo.r THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM rk CROSS JOIN leftover lo
+    """,
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling design: given a total
+    budget of 100 samples over the source strata, allocate
+    n_h proportional to N_h * sigma_h (stratum size times its
+    population std-dev of document length) — the variance-optimal
+    allocation for estimating a corpus mean, and the design table a
+    curation pipeline computes BEFORE drawing (the draw itself is
+    sample_stratified_exact's job).
+
+    Exact integerization: stratum weights quantize to e6 int64
+    (identical double tree both sides, floored once), the base
+    allocation is integer division of an integer product, and the
+    leftover seats distribute by LARGEST REMAINDER — remainders are
+    exact integers (B*w - base*W), so the apportionment (and its
+    tie-break by source) is integer-deterministic in both engines and
+    sums exactly to the budget.
+
+    Scale shape: one map-side-combinable moments groupBy over the
+    corpus; everything downstream lives on the STRATA relation
+    (source-domain-sized). The remainder rank is a global window over
+    that bounded domain — allowlisted like the other domain-grain
+    windows."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    nc = F.length("text").cast("bigint")
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(nc).cast("bigint").alias("s1"),
+        F.sum(nc * nc).cast("bigint").alias("s2"),
+    )
+    sigma_expr = (
+        "sqrt(CAST(s2 AS DOUBLE) / n_docs"
+        " - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs))"
+    )
+    wq = m.withColumn(
+        "w",
+        F.expr(f"CAST(floor(n_docs * {sigma_expr} * 1e6) AS BIGINT)"),
+    )
+    tot = wq.agg(F.sum("w").cast("bigint").alias("tw"))
+    base = wq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "s1",
+        "s2",
+        F.expr(f"({NEYMAN_BUDGET} * w) div tw").alias("base_n"),
+        F.expr(
+            f"{NEYMAN_BUDGET} * w - (({NEYMAN_BUDGET} * w) div tw) * tw"
+        ).alias("rem"),
+    )
+    leftover = base.agg(
+        (F.lit(NEYMAN_BUDGET) - F.sum("base_n")).cast("bigint").alias("r")
+    )
+    rk = base.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    )
+    return rk.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        "n_docs",
+        F.round(F.expr(sigma_expr), 6).alias("sigma"),
+        (
+            F.col("base_n")
+            + F.when(F.col("rnk") <= F.col("r"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    )

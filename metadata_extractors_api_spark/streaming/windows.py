@@ -783,3 +783,79 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("value_cents"),
     )
     return _run_to_table(agg, spark, "complete")
+
+
+@register(
+    "stream_pattern_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           regexp_matches(s, 's[^pe]*v[^pe]*c[^pe]*p') AS matched
+    FROM seq
+    """,
+)
+def stream_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of win_pattern_funnel_regex: per-user event-code
+    sequences ACCUMULATE in keyed state across genuinely multiple
+    micro-batches (the batched file source), and the funnel regex
+    evaluates on the serving side over the final accumulated string —
+    the CEP split: sequence state is incremental, pattern evaluation
+    happens at read time. Final state must equal the batch operator's
+    answer exactly (same oracle), the batch/stream symmetry contract
+    every streaming twin in this module honors.
+
+    Order correctness across batches: the batched source's chunks are
+    time-contiguous with pinned mtimes (see _events_stream_batched),
+    so appending each micro-batch's (ts, event_id)-sorted codes to the
+    stored string reproduces the global order; equal-ts ties cannot
+    straddle chunks (chunk predicates cut on ts). State is the code
+    string itself — bounded by per-user history, the same bound the
+    batch twin documents."""
+    import pandas as pd
+
+    from metadata_extractors_api_spark.operators.extended import (
+        FUNNEL_PATTERN,
+    )
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, "")
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(pdf["ts_us"], pdf["event_id"], pdf["code"])
+            )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        s = s + "".join(r[2] for r in rows)
+        n += len(rows)
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "s": [s]})
+
+    ev = _events_stream_batched(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("code"),
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, s string",
+        stateStructType="n bigint, s string",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    updates = _run_to_table(out, spark, "update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.col("s").rlike(FUNNEL_PATTERN).alias("matched"),
+        )
+    )

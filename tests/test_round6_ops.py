@@ -967,3 +967,68 @@ def test_ffd_matches_reference_and_invariants(spark, sf_dir):
         assert len(fills) >= -(-total // PACK_FFD_CAP) - len(
             [t for t, _ in items if t >= PACK_FFD_CAP]
         )
+
+
+def test_neyman_allocation_matches_float_apportionment(spark, sf_dir):
+    """Allocation recomputed with plain float Neyman weights and a
+    float largest-remainder apportionment; the e6-quantized integer
+    apportionment must agree exactly (weights are far from ties at
+    every fixture SF) and sum exactly to the budget."""
+    from metadata_extractors_api_spark.operators.training import (
+        NEYMAN_BUDGET,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("source", "length(text) AS L")
+        .collect()
+    )
+    by_src = collections.defaultdict(list)
+    for d in docs:
+        by_src[d["source"]].append(d["L"])
+    w = {
+        s: len(v) * float(np.std(np.array(v, dtype=float)))
+        for s, v in by_src.items()
+    }
+    tw = sum(w.values())
+    base = {s: int(NEYMAN_BUDGET * wv // tw) for s, wv in w.items()}
+    rems = sorted(
+        ((NEYMAN_BUDGET * wv / tw) % 1.0, s) for s, wv in w.items()
+    )
+    r = NEYMAN_BUDGET - sum(base.values())
+    winners = {s for _, s in sorted(rems, key=lambda x: (-x[0], x[1]))[:r]}
+    expected = {s: base[s] + (1 if s in winners else 0) for s in w}
+
+    got = {
+        row["source"]: row
+        for row in mdx.QUERIES["sample_stratified_neyman"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(by_src)
+    assert sum(row["alloc"] for row in got.values()) == NEYMAN_BUDGET
+    for s, rows in by_src.items():
+        row = got[s]
+        assert row["n_docs"] == len(rows)
+        assert abs(row["sigma"] - float(np.std(np.array(rows, float)))) < 1e-4
+        assert row["alloc"] == expected[s], s
+
+
+def test_stream_pattern_funnel_equals_batch_twin(spark, sf_dir):
+    """The streaming funnel's final state must equal the batch
+    operator row-for-row (the module's batch/stream symmetry
+    contract), having genuinely crossed micro-batches."""
+    batch = {
+        r["user_id"]: (r["n_events"], r["matched"])
+        for r in mdx.QUERIES["win_pattern_funnel_regex"](
+            spark, sf_dir
+        ).collect()
+    }
+    stream = {
+        r["user_id"]: (r["n_events"], r["matched"])
+        for r in mdx.QUERIES["stream_pattern_funnel"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert stream == batch
+    assert {m for _, m in stream.values()} == {True, False}

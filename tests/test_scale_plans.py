@@ -455,6 +455,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "orders_life_table": {"t"},  # lifetime-day buckets
     "orders_open_backlog": {"d"},  # calendar days of history
     "orders_yoy_growth": {"month"},  # calendar months of history
+    "sample_stratified_neyman": {"rem,source"},  # rank over strata domain
 }
 
 
