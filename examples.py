@@ -64,6 +64,28 @@ def main() -> None:
     print("== IVF tuning curve: recall@5 vs candidate cost per nprobe ==")
     eng.query("sim_ann_recall_curve").orderBy("nprobe").show()
 
+    print("== Markov removal-effect attribution (exact integer chain) ==")
+    eng.query("events_markov_attribution").orderBy("channel").show()
+
+    print("== Statistical gates: rank test + categorical independence ==")
+    eng.query("dq_mann_whitney").show()
+    eng.query("dq_chi2_independence").show()
+
+    print("== Tokenizer planning: BPE compression + vocab coverage ==")
+    eng.query("tokenizer_bpe_encode").orderBy("doc_id").show(3)
+    eng.query("text_vocab_coverage_curve").orderBy("rank_k").show()
+
+    print("== Winnowing fingerprints (MOSS) for substring near-copies ==")
+    eng.query("text_winnowing_fingerprint").orderBy("doc_id", "fp").show(5)
+
+    print("== Decode dead-letter routing through the real PPM parser ==")
+    eng.query("multimodal_decode_errors").filter(
+        "status <> 'ok'"
+    ).orderBy("doc_id").show(5)
+
+    print("== FFD sequence packing (512-token bins, per shard) ==")
+    eng.query("pack_bin_ffd").orderBy("shard", "bin_id", "doc_id").show(5)
+
     print(f"done: see SURVEY.md §8 for the full {len(QUERIES)}-query inventory")
 
 
