@@ -142,6 +142,7 @@ HEADLINE = [
     "multimodal_decode_errors",
     "pack_bin_ffd",
     "sample_stratified_neyman",
+    "dq_theil_index",
 ]
 
 RUNS = 5

@@ -823,3 +823,134 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h_cond"),
         )
     )
+
+
+@register(
+    "dq_theil_index",
+    oracle="""
+    WITH cust AS (
+      SELECT o.o_custkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x,
+             MIN(c.c_nationkey) AS nation
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+      FROM cust),
+    rowq AS (
+      SELECT c.x,
+             CAST(floor(ln(CAST(c.x AS DOUBLE) * t.n / t.s) * 1e9)
+                  AS BIGINT) AS lnq
+      FROM cust c CROSS JOIN tot t WHERE c.x > 0),
+    total_t AS (
+      SELECT CAST(SUM(CAST(x AS DECIMAL(19,0)) * lnq) AS DECIMAL(38,0)) AS st
+      FROM rowq),
+    grp AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(x) AS BIGINT) AS sg
+      FROM cust GROUP BY nation),
+    grpq AS (
+      SELECT CAST(SUM(CAST(sg AS DECIMAL(19,0))
+               * CAST(floor(ln((CAST(sg AS DOUBLE) * t.n)
+                               / (CAST(t.s AS DOUBLE) * ng)) * 1e9)
+                      AS BIGINT)) AS DECIMAL(38,0)) AS sb
+      FROM grp CROSS JOIN tot t WHERE sg > 0)
+    SELECT t.n, t.s AS total_cents,
+           round(CAST(tt.st AS DOUBLE) / 1e9 / t.s, 6) AS theil_total,
+           round(CAST(gq.sb AS DOUBLE) / 1e9 / t.s, 6) AS theil_between,
+           round(CAST(tt.st AS DOUBLE) / 1e9 / t.s
+                 - CAST(gq.sb AS DOUBLE) / 1e9 / t.s, 6) AS theil_within
+    FROM tot t CROSS JOIN total_t tt CROSS JOIN grpq gq
+    """,
+)
+def dq_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer lifetime revenue, DECOMPOSED
+    into between-nation and within-nation components — the property
+    Gini famously lacks (revenue_gini gives one number; Theil tells you
+    whether inequality lives across markets or inside them, which is
+    what a mix-rebalancing decision needs). T = (1/N) sum (x/mu)
+    ln(x/mu); T_between substitutes each nation's mean; T_within is the
+    exact remainder.
+
+    Same quantization discipline as every log statistic here: each ln
+    of an exact count/sum ratio is floored to e9 int64 per ROW (or per
+    group for the between term), weighted by the exact integer revenue,
+    summed in DECIMAL(38,0) (x * lnq overflows int64 at warehouse
+    scale), and divided once at the end with the identical double tree.
+
+    Scale shape: one fact groupBy to customer grain (+ broadcast
+    dimension join), one 1-row total broadcast back, one
+    map-side-combinable reduction; the nation decomposition
+    re-aggregates the CUSTOMER relation. No windows, no pair joins."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("x"),
+            F.min("c_nationkey").alias("nation"),
+        )
+    )
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    rowq = (
+        cust.crossJoin(F.broadcast(tot))
+        .filter(F.col("x") > 0)
+        .select(
+            "x",
+            F.expr(
+                "CAST(floor(ln(CAST(x AS DOUBLE) * n / s) * 1e9) AS BIGINT)"
+            ).alias("lnq"),
+        )
+    )
+    total_t = rowq.agg(
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("lnq"))
+        .cast("decimal(38,0)")
+        .alias("st")
+    )
+    grp = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sg"),
+    )
+    grpq = (
+        grp.crossJoin(F.broadcast(tot))
+        .filter(F.col("sg") > 0)
+        .agg(
+            F.sum(
+                F.col("sg").cast("decimal(19,0)")
+                * F.expr(
+                    "CAST(floor(ln((CAST(sg AS DOUBLE) * n)"
+                    " / (CAST(s AS DOUBLE) * ng)) * 1e9) AS BIGINT)"
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("sb")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(total_t))
+        .crossJoin(F.broadcast(grpq))
+        .select(
+            "n",
+            F.col("s").alias("total_cents"),
+            F.round(F.expr("CAST(st AS DOUBLE) / 1e9 / s"), 6).alias(
+                "theil_total"
+            ),
+            F.round(F.expr("CAST(sb AS DOUBLE) / 1e9 / s"), 6).alias(
+                "theil_between"
+            ),
+            F.round(
+                F.expr(
+                    "CAST(st AS DOUBLE) / 1e9 / s"
+                    " - CAST(sb AS DOUBLE) / 1e9 / s"
+                ),
+                6,
+            ).alias("theil_within"),
+        )
+    )

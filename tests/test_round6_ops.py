@@ -1032,3 +1032,51 @@ def test_stream_pattern_funnel_equals_batch_twin(spark, sf_dir):
     }
     assert stream == batch
     assert {m for _, m in stream.values()} == {True, False}
+
+
+def test_theil_matches_float_construction_and_decomposition(spark, sf_dir):
+    """Theil T recomputed with plain float sums, plus the decomposition
+    identity T_total = T_between + sum_g (S_g/S) T_g checked against
+    independently computed within-group Theils."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    c = {
+        r["c_custkey"]: r["c_nationkey"]
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    rev = collections.Counter()
+    for r in o:
+        if r["o_custkey"] in c:
+            rev[r["o_custkey"]] += int(round(r["o_totalprice"] * 100))
+    xs = np.array([v for v in rev.values() if v > 0], dtype=float)
+    n, s = len(rev), sum(rev.values())
+    mu = s / n
+    t_total = float(np.sum((xs / s) * np.log(xs * n / s)))
+
+    by_nation = collections.defaultdict(list)
+    for cust, v in rev.items():
+        by_nation[c[cust]].append(v)
+    t_between = 0.0
+    t_within_weighted = 0.0
+    for g in by_nation.values():
+        sg, ng = sum(g), len(g)
+        t_between += (sg / s) * math.log((sg / s) / (ng / n))
+        gx = np.array([v for v in g if v > 0], dtype=float)
+        tg = float(np.sum((gx / sg) * np.log(gx * ng / sg)))
+        t_within_weighted += (sg / s) * tg
+
+    r = mdx.QUERIES["dq_theil_index"](spark, sf_dir).first()
+    assert r["n"] == n and r["total_cents"] == s
+    assert abs(r["theil_total"] - t_total) < 1e-5
+    assert abs(r["theil_between"] - t_between) < 1e-5
+    assert abs(r["theil_within"] - t_within_weighted) < 1e-5
+    # decomposition identity on the query's own numbers
+    assert abs(
+        r["theil_total"] - (r["theil_between"] + r["theil_within"])
+    ) < 2e-6
+    assert r["theil_total"] >= 0 and mu > 0
