@@ -4207,7 +4207,15 @@ def multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "status": [], "width": [], "height": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                payload = _ppm_payload(text)
+                # Routing depends only on FRAMING (header + raster
+                # length), so synthesize a size-true zero raster
+                # instead of paying the per-pixel formula body the
+                # pixel-math audits need -- the decoder still parses
+                # real bytes and real (corrupted) structure.
+                L = len(text)
+                w = 64 + (13 * L) % 321
+                h = 64 + (29 * L) % 321
+                payload = b"P6\n%d %d\n255\n" % (w, h) + bytes(3 * w * h)
                 if doc_id % _CORRUPT_TRUNC_MOD == 0:
                     payload = payload[: len(payload) // 2]
                 elif doc_id % _CORRUPT_MAGIC_MOD == 0:
