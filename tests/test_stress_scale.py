@@ -586,3 +586,63 @@ def test_bpe_encode_adversarial_repeat_chain(spark, tmp_path_factory):
     assert r["n_chars"] == 2 * k
     assert r["n_tokens"] == 2 * k - k // 2
     assert abs(r["compression"] - (2 * k) / (2 * k - k // 2)) < 1e-6
+
+
+def test_kcore_multi_round_cascade(spark, tmp_path_factory):
+    """Round-7 stress: the fixture's trade graph reaches its k-core in
+    ONE peel round, so the iterative machinery never cascades there.
+    This banded bipartite graph (customer j orders from suppliers
+    j..j+39) peels from the boundary inward: removing the low-degree
+    edge suppliers drops the edge customers below k, which exposes the
+    next supplier band, round after round. The query's 6-round
+    trajectory must match a python reference peel exactly, the sizes
+    must strictly decrease each round (a genuine cascade, not a
+    one-shot prune), and the converged flag must honestly report
+    whether round 6 hit the fixpoint."""
+    import collections
+
+    import metadata_extractors_api_spark as mdx
+    from metadata_extractors_api_spark.operators.corpus import (
+        KCORE_K,
+        KCORE_ROUNDS,
+    )
+
+    m = 2000
+    d = str(tmp_path_factory.mktemp("kcorecascade"))
+    spark.range(0, m).selectExpr(
+        "id AS o_orderkey", "id AS o_custkey"
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.range(0, m).selectExpr(
+        "id AS j", f"explode(sequence(id, id + {KCORE_K - 1})) AS l_suppkey"
+    ).selectExpr("j AS l_orderkey", "l_suppkey").write.parquet(
+        f"{d}/lineitem.parquet"
+    )
+
+    # python reference peel on the same namespaced graph
+    adj = collections.defaultdict(set)
+    for j in range(m):
+        for t in range(j, j + KCORE_K):
+            adj[j * 2].add(t * 2 + 1)
+            adj[t * 2 + 1].add(j * 2)
+    alive = set(adj)
+    traj = []
+    for _ in range(KCORE_ROUNDS):
+        alive = {n for n in alive if len(adj[n] & alive) >= KCORE_K}
+        traj.append(
+            (
+                len(alive),
+                sum(len(adj[n] & alive) for n in alive) // 2,
+            )
+        )
+
+    got = sorted(
+        (r["round"], r["n_nodes"], r["n_edges"], r["converged"])
+        for r in mdx.QUERIES["graph_kcore"](spark, d).collect()
+    )
+    for rnd, n_nodes, n_edges, _ in got:
+        assert (n_nodes, n_edges) == traj[rnd - 1], rnd
+    sizes = [n for _, n, _, _ in got]
+    assert all(a > b for a, b in zip(sizes, sizes[1:])), (
+        f"no cascade: {sizes}"
+    )
+    assert got[-1][3] is (traj[-1][0] == traj[-2][0])
