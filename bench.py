@@ -143,6 +143,9 @@ HEADLINE = [
     "pack_bin_ffd",
     "sample_stratified_neyman",
     "dq_theil_index",
+    "win_interval_coalesce",
+    "orders_survival_km",
+    "dq_psi_drift",
 ]
 
 RUNS = 5

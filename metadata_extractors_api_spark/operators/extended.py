@@ -685,3 +685,95 @@ def win_pattern_funnel_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("s").rlike(FUNNEL_PATTERN).alias("matched"),
     )
+
+
+#: Coverage window each order opens, in days (interval coalescing).
+COALESCE_WINDOW_DAYS = 30
+
+
+@register(
+    "win_interval_coalesce",
+    oracle=f"""
+    WITH iv AS (
+      SELECT o_custkey AS cust, o_orderkey AS okey,
+             epoch_us(o_orderdate) // 86400000000 AS s,
+             epoch_us(o_orderdate) // 86400000000
+               + {COALESCE_WINDOW_DAYS} AS e
+      FROM orders),
+    flagged AS (
+      SELECT cust, okey, s, e,
+             CASE WHEN s <= COALESCE(MAX(e) OVER (
+                    PARTITION BY cust ORDER BY s, okey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    s - 1)
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv),
+    isl AS (
+      SELECT cust, s, e,
+             SUM(new_island) OVER (PARTITION BY cust ORDER BY s, okey
+                                   ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged)
+    SELECT cust AS o_custkey, CAST(island AS BIGINT) AS island,
+           CAST(MIN(s) AS BIGINT) AS start_day,
+           CAST(MAX(e) AS BIGINT) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM isl GROUP BY cust, island
+    """,
+)
+def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (union of overlapping validity windows):
+    each order opens a 30-day coverage interval for its customer, and
+    overlapping or touching intervals merge into maximal coverage
+    islands — the classic SCD/entitlement-maintenance primitive
+    (contract coverage, subscription stitching, on-call overlap) that
+    win_gap_islands' equal-spacing streaks cannot express because
+    interval EXTENTS, not row adjacency, decide the merge.
+
+    The merge is one ordered window per key: an interval starts a new
+    island iff its start exceeds the running MAX of all prior ends
+    (plain cumulative max — overlapping chains can extend past the
+    previous row's end, so lag(end) alone is wrong); the island id is
+    the running sum of those flags. All arithmetic in integer epoch
+    DAYS (both engines floor the µs epoch once), no date types in the
+    output (oracle-compare constraint).
+
+    Scale shape: one hash exchange on customer + per-key sort, frame
+    state O(1) — the sessionize profile. At 100 TB the window is
+    day-partition-pruned before the exchange."""
+    o = load(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("cust"),
+        F.col("o_orderkey").alias("okey"),
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").alias("s"),
+        (
+            F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+            + COALESCE_WINDOW_DAYS
+        ).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("cust")
+        .orderBy("s", "okey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s")
+            <= F.coalesce(F.max("e").over(w_prev), F.col("s") - 1),
+            0,
+        ).otherwise(1),
+    )
+    w_run = (
+        Window.partitionBy("cust")
+        .orderBy("s", "okey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    return isl.groupBy(
+        F.col("cust").alias("o_custkey"),
+        F.col("island").cast("bigint").alias("island"),
+    ).agg(
+        F.min("s").cast("bigint").alias("start_day"),
+        F.max("e").cast("bigint").alias("end_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )

@@ -954,3 +954,259 @@ def dq_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("theil_within"),
         )
     )
+
+
+#: Right-censoring horizon for the Kaplan-Meier estimator: customers
+#: whose last order falls within this many days of the dataset's end
+#: are censored (their true lifetime extends past observation).
+KM_CENSOR_DAYS = 30
+
+
+@register(
+    "orders_survival_km",
+    oracle=f"""
+    WITH days AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate) // 86400000000 AS d
+      FROM orders),
+    life AS (
+      SELECT o_custkey, MAX(d) - MIN(d) AS dur, MAX(d) AS last_d
+      FROM days GROUP BY o_custkey),
+    horizon AS (SELECT MAX(d) AS max_d FROM days),
+    obs AS (
+      SELECT l.dur,
+             CASE WHEN l.last_d > h.max_d - {KM_CENSOR_DAYS}
+                  THEN 0 ELSE 1 END AS event
+      FROM life l CROSS JOIN horizon h),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM obs),
+    grp AS (
+      SELECT dur, CAST(SUM(event) AS BIGINT) AS d_events,
+             CAST(COUNT(*) - SUM(event) AS BIGINT) AS c_censored,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM obs GROUP BY dur),
+    risk AS (
+      SELECT g.dur, g.d_events, g.c_censored,
+             t.n - COALESCE(SUM(g.leaving) OVER (
+               ORDER BY g.dur ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS n_at_risk
+      FROM grp g CROSS JOIN tot t),
+    terms AS (
+      SELECT dur, d_events, c_censored, CAST(n_at_risk AS BIGINT)
+               AS n_at_risk,
+             CASE WHEN d_events > 0 AND d_events < n_at_risk
+                  THEN CAST(floor(ln(CAST(n_at_risk - d_events AS DOUBLE)
+                                     / n_at_risk) * 1e9) AS BIGINT)
+                  WHEN d_events = 0 THEN CAST(0 AS BIGINT)
+                  END AS lnterm
+      FROM risk)
+    SELECT CAST(dur AS BIGINT) AS duration_days, n_at_risk, d_events,
+           c_censored,
+           CASE WHEN SUM(CASE WHEN lnterm IS NULL THEN 1 ELSE 0 END)
+                     OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) > 0
+                THEN NULL
+                ELSE CAST(SUM(lnterm) OVER (ORDER BY dur
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) END AS ln_surv_e9
+    FROM terms WHERE d_events > 0
+    """,
+)
+def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over customer engagement
+    lifetimes (days between first and last order) WITH right
+    censoring: customers still ordering near the dataset's end are
+    censored, not counted as churned — the estimator every retention
+    claim should be using instead of naive lifetime histograms
+    (orders_life_table is the uncensored actuarial cousin). Emitted
+    per event time: the risk set, deaths, censored count, and the
+    LOG survival curve ln S(t) = sum ln(1 - d_u/n_u) as an exact
+    e9-quantized integer — the product-limit form stays in log space
+    because per-term quantize-then-sum is order-free and exact, while
+    exp() is not cross-libm bit-stable (consumers exponentiate).
+
+    Scale shape: one fact groupBy to customer grain, one groupBy to
+    the DURATION grain (calendar-day-bounded — the windows below run
+    over that bounded relation, allowlisted like orders_life_table's),
+    risk sets and the cumulative log-curve are prefix sums over it.
+    A d == n_at_risk group is ln(0): S hits exactly 0 there, so
+    ln_surv_e9 is NULL from that event time forward (a window SUM that
+    merely skipped the NULL term would emit a misleading partial
+    curve); the CASE is identical in both engines."""
+    days = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .alias("d"),
+    )
+    life = days.groupBy("o_custkey").agg(
+        (F.max("d") - F.min("d")).alias("dur"),
+        F.max("d").alias("last_d"),
+    )
+    horizon = days.agg(F.max("d").alias("max_d"))
+    obs = life.crossJoin(F.broadcast(horizon)).select(
+        "dur",
+        F.when(
+            F.col("last_d") > F.col("max_d") - KM_CENSOR_DAYS, 0
+        )
+        .otherwise(1)
+        .alias("event"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grp = obs.groupBy("dur").agg(
+        F.sum("event").cast("bigint").alias("d_events"),
+        (F.count(F.lit(1)) - F.sum("event"))
+        .cast("bigint")
+        .alias("c_censored"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = grp.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+        ).cast("bigint"),
+    )
+    terms = risk.withColumn(
+        "lnterm",
+        F.expr(
+            "CASE WHEN d_events > 0 AND d_events < n_at_risk"
+            " THEN CAST(floor(ln(CAST(n_at_risk - d_events AS DOUBLE)"
+            " / n_at_risk) * 1e9) AS BIGINT)"
+            " WHEN d_events = 0 THEN CAST(0 AS BIGINT) END"
+        ),
+    )
+    w_run = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # Once a group absorbs the whole risk set (d == n), S(t) is exactly
+    # 0 and ln S is undefined from there on: NULL from that event time
+    # FORWARD, not just at it (window SUM would silently skip the NULL
+    # term and emit a misleading partial curve).
+    hit_zero = F.sum(
+        F.when(F.col("lnterm").isNull(), 1).otherwise(0)
+    ).over(w_run)
+    return (
+        terms.withColumn(
+            "ln_surv_e9",
+            F.when(
+                hit_zero > 0, F.lit(None).cast("bigint")
+            ).otherwise(F.sum("lnterm").over(w_run).cast("bigint")),
+        )
+        .filter(F.col("d_events") > 0)
+        .select(
+            F.col("dur").cast("bigint").alias("duration_days"),
+            "n_at_risk",
+            "d_events",
+            "c_censored",
+            "ln_surv_e9",
+        )
+    )
+
+
+#: PSI cohort bins (fixed-width over order value, overflow in the top
+#: bin) and the industry drift-alert threshold.
+PSI_BIN_CENTS = 5_000_000
+PSI_BINS = 10
+PSI_ALERT = 0.2
+
+
+@register(
+    "dq_psi_drift",
+    oracle=f"""
+    WITH v AS (
+      SELECT least({PSI_BINS - 1},
+                   CAST(round(o_totalprice * 100) AS BIGINT)
+                     // {PSI_BIN_CENTS}) AS bin,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS a
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+    g AS (
+      SELECT bin, CAST(SUM(a) + 1 AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(a) + 1 AS BIGINT) AS cb
+      FROM v GROUP BY bin),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS n_bins
+      FROM g),
+    terms AS (
+      SELECT CAST(SUM(CAST(g.ca * t.nb - g.cb * t.na AS DECIMAL(19,0))
+               * CAST(floor(ln(CAST(g.ca AS DOUBLE) * t.nb
+                               / (CAST(g.cb AS DOUBLE) * t.na)) * 1e9)
+                      AS BIGINT)) AS DECIMAL(38,0)) AS s,
+             CAST(MIN(t.na) AS BIGINT) AS na,
+             CAST(MIN(t.nb) AS BIGINT) AS nb,
+             CAST(MIN(t.n_bins) AS BIGINT) AS n_bins
+      FROM g CROSS JOIN tot t)
+    SELECT na - n_bins AS n_a, nb - n_bins AS n_b, n_bins,
+           round(CAST(s AS DOUBLE) / 1e9
+                 / (CAST(na AS DOUBLE) * nb), 6) AS psi,
+           (round(CAST(s AS DOUBLE) / 1e9
+                  / (CAST(na AS DOUBLE) * nb), 6) > {PSI_ALERT}) AS drifted
+    FROM terms
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the urgent and low-priority
+    order-value distributions — THE model-monitoring drift metric
+    (alert at PSI > 0.2), completing the drift toolkit's third lens on
+    the same cohort pair: dq_histogram_drift (per-bin L1-style flags),
+    dq_ks_two_sample (max ECDF gap), dq_mann_whitney (rank shift), and
+    now the information-theoretic aggregate PSI = sum (p_a - p_b)
+    ln(p_a / p_b).
+
+    Exactness: fixed-width bins with +1 Laplace smoothing on BOTH
+    cohorts (the standard zero-bin guard, applied identically in both
+    engines); each bin's ln of the exact smoothed-count cross-ratio is
+    e9-quantized and weighted by the exact integer (ca*nb - cb*na), so
+    the only float ops are one identical ln tree per bin and one final
+    division. Sums carry DECIMAL(38,0) headroom.
+
+    Scale shape: one map-side-combinable groupBy into <= 10 bins; all
+    downstream relations are bin-sized."""
+    pooled = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            F.least(
+                F.lit(PSI_BINS - 1),
+                F.expr(
+                    "CAST(round(o_totalprice * 100) AS BIGINT)"
+                    f" div {PSI_BIN_CENTS}"
+                ),
+            ).alias("bin"),
+            (F.col("o_orderpriority") == "1-URGENT")
+            .cast("bigint")
+            .alias("a"),
+        )
+    )
+    g = pooled.groupBy("bin").agg(
+        (F.sum("a") + 1).cast("bigint").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("a") + 1).cast("bigint").alias("cb"),
+    )
+    tot = g.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+    terms = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr("CAST(ca * nb - cb * na AS DECIMAL(19,0))")
+            * F.expr(
+                "CAST(floor(ln(CAST(ca AS DOUBLE) * nb"
+                " / (CAST(cb AS DOUBLE) * na)) * 1e9) AS BIGINT)"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("s"),
+        F.min("na").cast("bigint").alias("na"),
+        F.min("nb").cast("bigint").alias("nb"),
+        F.min("n_bins").cast("bigint").alias("n_bins"),
+    )
+    psi_expr = "CAST(s AS DOUBLE) / 1e9 / (CAST(na AS DOUBLE) * nb)"
+    return terms.select(
+        (F.col("na") - F.col("n_bins")).alias("n_a"),
+        (F.col("nb") - F.col("n_bins")).alias("n_b"),
+        "n_bins",
+        F.round(F.expr(psi_expr), 6).alias("psi"),
+        (F.round(F.expr(psi_expr), 6) > PSI_ALERT).alias("drifted"),
+    )

@@ -1080,3 +1080,151 @@ def test_theil_matches_float_construction_and_decomposition(spark, sf_dir):
         r["theil_total"] - (r["theil_between"] + r["theil_within"])
     ) < 2e-6
     assert r["theil_total"] >= 0 and mu > 0
+
+
+def test_interval_coalesce_matches_python_sweep(spark, sf_dir):
+    """Islands recomputed with the textbook sort-and-sweep merge."""
+    from metadata_extractors_api_spark.operators.extended import (
+        COALESCE_WINDOW_DAYS,
+    )
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_custkey",
+            "o_orderkey",
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000 AS d",
+        )
+        .collect()
+    )
+    by_cust = collections.defaultdict(list)
+    for r in o:
+        by_cust[r["o_custkey"]].append((r["d"], r["o_orderkey"]))
+    expected = {}
+    for cust, rows in by_cust.items():
+        rows.sort()
+        islands = []
+        for s, _ in rows:
+            e = s + COALESCE_WINDOW_DAYS
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+                islands[-1][2] += 1
+            else:
+                islands.append([s, e, 1])
+        for i, (s, e, n) in enumerate(islands, start=1):
+            expected[(cust, i)] = (s, e, n)
+    got = {
+        (r["o_custkey"], r["island"]): (
+            r["start_day"],
+            r["end_day"],
+            r["n_orders"],
+        )
+        for r in mdx.QUERIES["win_interval_coalesce"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expected
+    # genuinely merges: some island must hold >1 order
+    assert any(n > 1 for _, _, n in got.values())
+    assert any(n == 1 for _, _, n in got.values())
+
+
+def test_survival_km_matches_lifelines_style_construction(spark, sf_dir):
+    """KM risk sets and log-survival recomputed with the direct
+    product-limit loop (float ln products, no quantization)."""
+    from metadata_extractors_api_spark.operators.stats import (
+        KM_CENSOR_DAYS,
+    )
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "o_custkey",
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000 AS d",
+        )
+        .collect()
+    )
+    first = {}
+    last = {}
+    for r in o:
+        c, d = r["o_custkey"], r["d"]
+        first[c] = min(first.get(c, d), d)
+        last[c] = max(last.get(c, d), d)
+    max_d = max(last.values())
+    obs = [
+        (last[c] - first[c], 0 if last[c] > max_d - KM_CENSOR_DAYS else 1)
+        for c in first
+    ]
+    n_total = len(obs)
+    by_dur = collections.defaultdict(lambda: [0, 0])  # deaths, censored
+    for dur, ev in obs:
+        by_dur[dur][0 if ev else 1] += 1
+    at_risk = n_total
+    ln_s = 0.0
+    expected = {}
+    for dur in sorted(by_dur):
+        d_ev, c_cen = by_dur[dur]
+        if d_ev > 0:
+            if d_ev < at_risk:
+                ln_s += math.log((at_risk - d_ev) / at_risk)
+                expected[dur] = (at_risk, d_ev, c_cen, ln_s)
+            else:
+                expected[dur] = (at_risk, d_ev, c_cen, None)
+        at_risk -= d_ev + c_cen
+
+    got = {
+        r["duration_days"]: r
+        for r in mdx.QUERIES["orders_survival_km"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for dur, (n_risk, d_ev, c_cen, ln_s_f) in expected.items():
+        r = got[dur]
+        assert r["n_at_risk"] == n_risk
+        assert r["d_events"] == d_ev
+        assert r["c_censored"] == c_cen
+        if ln_s_f is None:
+            assert r["ln_surv_e9"] is None
+        else:
+            # per-term floor(1e-9) undershoot accumulates over terms
+            assert 0 <= ln_s_f - r["ln_surv_e9"] / 1e9 < 1e-5
+    # the censoring mechanism must fire (dataset-tail customers exist)
+    assert sum(c for _, _, c, _ in expected.values()) > 0
+
+
+def test_psi_matches_float_construction(spark, sf_dir):
+    """PSI recomputed with plain float smoothed proportions."""
+    from metadata_extractors_api_spark.operators.stats import (
+        PSI_ALERT,
+        PSI_BIN_CENTS,
+        PSI_BINS,
+    )
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_totalprice", "o_orderpriority")
+        .collect()
+    )
+    ca = collections.Counter()
+    cb = collections.Counter()
+    for r in o:
+        b = min(PSI_BINS - 1, int(round(r["o_totalprice"] * 100)) // PSI_BIN_CENTS)
+        if r["o_orderpriority"] == "1-URGENT":
+            ca[b] += 1
+        elif r["o_orderpriority"] == "5-LOW":
+            cb[b] += 1
+    bins = sorted(set(ca) | set(cb))
+    sa = {b: ca.get(b, 0) + 1 for b in bins}
+    sb = {b: cb.get(b, 0) + 1 for b in bins}
+    na, nb = sum(sa.values()), sum(sb.values())
+    psi = sum(
+        (sa[b] / na - sb[b] / nb) * math.log((sa[b] / na) / (sb[b] / nb))
+        for b in bins
+    )
+    r = mdx.QUERIES["dq_psi_drift"](spark, sf_dir).first()
+    assert r["n_a"] == na - len(bins) and r["n_b"] == nb - len(bins)
+    assert r["n_bins"] == len(bins)
+    assert abs(r["psi"] - psi) < 1e-5
+    assert r["drifted"] == (r["psi"] > PSI_ALERT)
+    assert psi >= 0

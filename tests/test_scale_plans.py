@@ -453,6 +453,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "events_path_trigrams": {"n,path"},  # rank over the top-15 report
     "orders_backlog_sweepline": {"day"},  # calendar days of history
     "orders_life_table": {"t"},  # lifetime-day buckets
+    "orders_survival_km": {"dur"},  # lifetime-day buckets (KM risk sets)
     "orders_open_backlog": {"d"},  # calendar days of history
     "orders_yoy_growth": {"month"},  # calendar months of history
     "sample_stratified_neyman": {"rem,source"},  # rank over strata domain
