@@ -1570,17 +1570,23 @@ def _kcore_oracle() -> str:
     """Generated unrolled peel rounds (same constants as the Spark
     loop): nodes_r = nodes of the subgraph induced by nodes_{r-1}
     whose induced degree is still >= k."""
+    # AS MATERIALIZED is load-bearing: every n_r is referenced at
+    # least three times (the next round joins it twice, the summary
+    # twice more), and an INLINING planner recomputes the whole prior
+    # chain per reference -- 2^rounds copies of the edge joins, which
+    # spilled tens of GB of temp at sf0.1 before this hint pinned
+    # linear evaluation.
     ctes = [
-        """und AS (
+        """und AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       UNION ALL
       SELECT DISTINCT l.l_suppkey * 2 + 1, o.o_custkey * 2
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)""",
-        "n0 AS (SELECT DISTINCT src AS node FROM und)",
+        "n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und)",
     ]
     for r in range(1, KCORE_ROUNDS + 1):
-        ctes.append(f"""n{r} AS (
+        ctes.append(f"""n{r} AS MATERIALIZED (
       SELECT u.src AS node FROM und u
       JOIN n{r - 1} a ON a.node = u.src
       JOIN n{r - 1} b ON b.node = u.dst
