@@ -146,6 +146,8 @@ HEADLINE = [
     "win_interval_coalesce",
     "orders_survival_km",
     "dq_psi_drift",
+    "orders_holt_forecast",
+    "dq_simpson_screen",
 ]
 
 RUNS = 5

@@ -1210,3 +1210,292 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(psi_expr), 6).alias("psi"),
         (F.round(F.expr(psi_expr), 6) > PSI_ALERT).alias("drifted"),
     )
+
+#: Holt double-exponential-smoothing parameters (e6-quantized) and the
+#: pinned year spine (the fixture's full order history; COALESCE makes
+#: a missing year exact-zero revenue, so the recursion is well-defined
+#: at every SF).
+HOLT_ALPHA_E6 = 500_000  # alpha = 0.5
+HOLT_BETA_E6 = 300_000   # beta  = 0.3
+HOLT_YEARS = (1995, 1996, 1997, 1998, 1999, 2000, 2001)
+
+
+def _holt_l_expr(yr: int) -> str:
+    """The exact-integer level update, shared verbatim by both engines:
+    l' = floor((a*y_yr + (1e6-a)*(l+b)) / 1e6)."""
+    a = HOLT_ALPHA_E6
+    return (
+        f"({a} * y{yr} + {1_000_000 - a} * (l + b)) // 1000000"
+    )
+
+
+def _holt_oracle() -> str:
+    """Generated unrolled Holt chain: each CTE carries (l, b) forward
+    under stable names; the trend update inlines the level expression
+    twice (identical integer ops, so no drift)."""
+    B = HOLT_BETA_E6
+    yr_cols = ", ".join(
+        f"(SELECT COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0)"
+        f" FROM orders WHERE year(o_orderdate) = {yr}) AS y{yr}"
+        for yr in HOLT_YEARS
+    )
+    y1, y2 = HOLT_YEARS[0], HOLT_YEARS[1]
+    ctes = [
+        f"y AS MATERIALIZED (SELECT {yr_cols})",
+        f"s{y2} AS (SELECT y.*, CAST(y{y2} AS BIGINT) AS l,"
+        f" CAST(y{y2} - y{y1} AS BIGINT) AS b FROM y)",
+    ]
+    for yr in HOLT_YEARS[2:]:
+        le = _holt_l_expr(yr)
+        ctes.append(
+            f"s{yr} AS (SELECT * REPLACE ("
+            f"CAST({le} AS BIGINT) AS l, "
+            f"CAST(({B} * (({le}) - l) + {1_000_000 - B} * b) // 1000000"
+            f" AS BIGINT) AS b) FROM s{yr - 1})"
+        )
+    rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {yr} AS year, CAST(y{yr} AS BIGINT) AS y_cents,"
+        f" l AS level_q, b AS trend_q, CAST(l + b AS BIGINT) AS fc1_q"
+        f" FROM s{yr}"
+        for yr in HOLT_YEARS[1:]
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT * FROM ({rows})
+    """
+
+
+@register("orders_holt_forecast", oracle=_holt_oracle())
+def orders_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) over yearly
+    revenue, with the one-step-ahead forecast per year — the
+    trend-aware successor to timeseries_ewma's single smoothing, and
+    the capacity-planning primitive ("next year's volume?") every
+    warehouse publishes.
+
+    Exactness, the generated-oracle pattern a third time (markov,
+    k-core, now Holt): the coupled recursions run as exact integer
+    steps — l' = floor((a*y + (1e6-a)*(l+b))/1e6), b' =
+    floor((B*(l'-l) + (1e6-B)*b)/1e6) with e6-quantized a=0.5, B=0.3,
+    init l=y2, b=y2-y1 — and the DuckDB oracle's unrolled CTE chain is
+    generated from the same constants, so the smoothed states
+    hash-match bit-for-bit with no float smoothing ambiguity. The year
+    spine is the pinned fixture history with COALESCE(0) gap-fill, so
+    every SF sees the same recursion length.
+
+    Scale shape: ONE map-side-combinable groupBy of the fact to the
+    year grain (the only data-sized work); the recursion runs over a
+    years-long constant-sized relation. At 100 TB with a monthly or
+    daily grain you unroll more steps of the same constant-sized
+    chain — the horizon is config, not code."""
+    o = load(spark, sf_dir, "orders")
+    yearly = (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    spine = F.array(*[F.lit(y) for y in HOLT_YEARS])
+    wide = (
+        yearly.join(
+            yearly.sparkSession.range(1).select(
+                F.explode(spine).alias("yr2")
+            ),
+            F.col("yr") == F.col("yr2"),
+            "right",
+        )
+        .groupBy()
+        .pivot("yr2", list(HOLT_YEARS))
+        .agg(F.coalesce(F.first("y"), F.lit(0)).cast("bigint"))
+    )
+    for yr in HOLT_YEARS:
+        wide = wide.withColumnRenamed(str(yr), f"y{yr}")
+    wide = wide.select(
+        *[F.coalesce(F.col(f"y{yr}"), F.lit(0)).cast("bigint").alias(f"y{yr}")
+          for yr in HOLT_YEARS]
+    )
+    y1, y2 = HOLT_YEARS[0], HOLT_YEARS[1]
+    B = HOLT_BETA_E6
+    state = wide.withColumn("l", F.expr(f"CAST(y{y2} AS BIGINT)")).withColumn(
+        "b", F.expr(f"CAST(y{y2} - y{y1} AS BIGINT)")
+    )
+    rows = [
+        state.select(
+            F.lit(y2).alias("year"),
+            F.col(f"y{y2}").alias("y_cents"),
+            F.col("l").alias("level_q"),
+            F.col("b").alias("trend_q"),
+            (F.col("l") + F.col("b")).cast("bigint").alias("fc1_q"),
+        )
+    ]
+    for yr in HOLT_YEARS[2:]:
+        le = _holt_l_expr(yr).replace("//", "div")
+        state = state.select(
+            "*",
+            F.expr(f"CAST({le} AS BIGINT)").alias("_l_new"),
+            F.expr(
+                f"CAST(({B} * (({le}) - l) + {1_000_000 - B} * b)"
+                " div 1000000 AS BIGINT)"
+            ).alias("_b_new"),
+        ).drop("l", "b").withColumnRenamed("_l_new", "l").withColumnRenamed(
+            "_b_new", "b"
+        )
+        rows.append(
+            state.select(
+                F.lit(yr).alias("year"),
+                F.col(f"y{yr}").alias("y_cents"),
+                F.col("l").alias("level_q"),
+                F.col("b").alias("trend_q"),
+                (F.col("l") + F.col("b")).cast("bigint").alias("fc1_q"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "dq_simpson_screen",
+    oracle="""
+    WITH cust AS (
+      SELECT o.o_custkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y,
+             CAST(round(MIN(c.c_acctbal) * 100) AS BIGINT) AS x,
+             MIN(c.c_nationkey) AS nation
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey),
+    grp AS (
+      SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM cust GROUP BY nation),
+    signs AS (
+      SELECT nation,
+             CASE WHEN n * sxy - sx * sy > 0 THEN 1
+                  WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END AS s
+      FROM grp),
+    overall AS (
+      SELECT CASE WHEN SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy) > 0 THEN 1
+                  WHEN SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy) < 0 THEN -1
+                  ELSE 0 END AS overall_sign,
+             CAST(SUM(n) AS BIGINT) AS n_customers
+      FROM grp)
+    SELECT o.overall_sign, o.n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN g.s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(SUM(CASE WHEN g.s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg,
+           CAST(SUM(CASE WHEN g.s <> 0 AND g.s <> o.overall_sign
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_reversed,
+           (SUM(CASE WHEN g.s <> 0 AND g.s <> o.overall_sign
+                     THEN 1 ELSE 0 END) * 2 > COUNT(*)) AS simpson_flag
+    FROM signs g CROSS JOIN overall o
+    GROUP BY o.overall_sign, o.n_customers
+    """,
+)
+def dq_simpson_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: does the SIGN of the acctbal-revenue
+    association flip between the pooled population and the per-nation
+    groups? The aggregation-trust audit every dashboard needs before
+    quoting a pooled correlation — when a majority of groups reverse
+    the pooled sign, the pooled number is a confounded artifact
+    (classic Simpson), and the screen raises simpson_flag.
+
+    Exactness: association signs come from the covariance numerator
+    n*Sxy - Sx*Sy evaluated in exact DECIMAL(38,0) (no division, no
+    sqrt — the SIGN needs only the numerator), per group and pooled
+    (pooled moments are the exact SUMS of group moments), so the flag
+    is integer-deterministic in both engines.
+
+    Scale shape: one fact groupBy to customer grain, one
+    map-side-combinable moments groupBy to the nation grain;
+    everything downstream is group-domain-sized."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+            F.round(F.min("c_acctbal") * 100).cast("bigint").alias("x"),
+            F.min("c_nationkey").alias("nation"),
+        )
+    )
+    grp = cust.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    sign = (
+        "CASE WHEN n * sxy - sx * sy > 0 THEN 1"
+        " WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END"
+    )
+    signs = grp.select("nation", F.expr(sign).alias("s"))
+    overall = grp.agg(
+        F.expr(
+            "CASE WHEN SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy) > 0 THEN 1"
+            " WHEN SUM(n) * SUM(sxy) - SUM(sx) * SUM(sy) < 0 THEN -1"
+            " ELSE 0 END"
+        ).alias("overall_sign"),
+        F.sum("n").cast("bigint").alias("n_customers"),
+    )
+    return (
+        signs.crossJoin(F.broadcast(overall))
+        .groupBy("overall_sign", "n_customers")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_neg"),
+            F.sum(
+                F.when(
+                    (F.col("s") != 0)
+                    & (F.col("s") != F.col("overall_sign")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_reversed"),
+            (
+                F.sum(
+                    F.when(
+                        (F.col("s") != 0)
+                        & (F.col("s") != F.col("overall_sign")),
+                        1,
+                    ).otherwise(0)
+                )
+                * 2
+                > F.count(F.lit(1))
+            ).alias("simpson_flag"),
+        )
+        .select(
+            "overall_sign",
+            "n_customers",
+            "n_groups",
+            "n_pos",
+            "n_neg",
+            "n_reversed",
+            "simpson_flag",
+        )
+    )

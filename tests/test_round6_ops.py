@@ -1228,3 +1228,98 @@ def test_psi_matches_float_construction(spark, sf_dir):
     assert abs(r["psi"] - psi) < 1e-5
     assert r["drifted"] == (r["psi"] > PSI_ALERT)
     assert psi >= 0
+
+
+def test_holt_matches_float_statsmodels_style(spark, sf_dir):
+    """Holt smoothing recomputed with plain float recursions (no e6
+    quantization) — the integer states must track within the
+    accumulated quantization budget, and the bookkeeping (yearly
+    revenue, init) must be exact."""
+    from metadata_extractors_api_spark.operators.stats import (
+        HOLT_ALPHA_E6,
+        HOLT_BETA_E6,
+        HOLT_YEARS,
+    )
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "year(o_orderdate) AS yr",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    y = collections.Counter()
+    for r in o:
+        y[r["yr"]] += r["cents"]
+    ys = [y.get(yr, 0) for yr in HOLT_YEARS]
+    a, B = HOLT_ALPHA_E6 / 1e6, HOLT_BETA_E6 / 1e6
+    lvl, tr = float(ys[1]), float(ys[1] - ys[0])
+    expected = {HOLT_YEARS[1]: (ys[1], lvl, tr)}
+    for i, yr in enumerate(HOLT_YEARS[2:], start=2):
+        l_new = a * ys[i] + (1 - a) * (lvl + tr)
+        tr = B * (l_new - lvl) + (1 - B) * tr
+        lvl = l_new
+        expected[yr] = (ys[i], lvl, tr)
+
+    got = {
+        r["year"]: r
+        for r in mdx.QUERIES["orders_holt_forecast"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for yr, (yv, lv, tv) in expected.items():
+        r = got[yr]
+        assert r["y_cents"] == yv
+        # floor-quantization drifts < #steps units per state
+        assert abs(r["level_q"] - lv) < max(10, 1e-9 * abs(lv))
+        assert abs(r["trend_q"] - tv) < max(10, 1e-9 * abs(lv))
+        assert r["fc1_q"] == r["level_q"] + r["trend_q"]
+    # the fixture's history is genuinely trending (nonzero trend state)
+    assert any(abs(r["trend_q"]) > 0 for r in got.values())
+
+
+def test_simpson_screen_matches_numpy_signs(spark, sf_dir):
+    """Association signs recomputed with numpy covariance numerators
+    per nation and pooled."""
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    )
+    c = {
+        r["c_custkey"]: (r["c_nationkey"], int(round(r["c_acctbal"] * 100)))
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .collect()
+    }
+    rev = collections.Counter()
+    for r in o:
+        if r["o_custkey"] in c:
+            rev[r["o_custkey"]] += int(round(r["o_totalprice"] * 100))
+    by_nation = collections.defaultdict(list)
+    for cust, yv in rev.items():
+        nat, x = c[cust]
+        by_nation[nat].append((x, yv))
+
+    def sign(pts):
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        v = n * sxy - sx * sy
+        return (v > 0) - (v < 0)
+
+    pooled = [p for pts in by_nation.values() for p in pts]
+    overall = sign(pooled)
+    signs = [sign(pts) for pts in by_nation.values()]
+    n_pos = sum(1 for s in signs if s == 1)
+    n_neg = sum(1 for s in signs if s == -1)
+    n_rev = sum(1 for s in signs if s != 0 and s != overall)
+
+    r = mdx.QUERIES["dq_simpson_screen"](spark, sf_dir).first()
+    assert r["overall_sign"] == overall
+    assert r["n_customers"] == len(rev)
+    assert r["n_groups"] == len(by_nation)
+    assert r["n_pos"] == n_pos and r["n_neg"] == n_neg
+    assert r["n_reversed"] == n_rev
+    assert r["simpson_flag"] == (n_rev * 2 > len(by_nation))
