@@ -148,6 +148,7 @@ HEADLINE = [
     "dq_psi_drift",
     "orders_holt_forecast",
     "dq_simpson_screen",
+    "events_funnel_steps",
 ]
 
 RUNS = 5

@@ -777,3 +777,92 @@ def win_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").cast("bigint").alias("end_day"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
     )
+
+
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id),
+    depth AS (
+      SELECT CASE
+               WHEN regexp_matches(s, 's[^pe]*v[^pe]*c[^pe]*p') THEN 4
+               WHEN regexp_matches(s, 's[^pe]*v[^pe]*c') THEN 3
+               WHEN regexp_matches(s, 's[^pe]*v') THEN 2
+               WHEN regexp_matches(s, 's') THEN 1
+               ELSE 0 END AS d
+      FROM seq)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN d >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_signup,
+           CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_view,
+           CAST(SUM(CASE WHEN d >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click,
+           CAST(SUM(CASE WHEN d >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase,
+           round(CAST(SUM(CASE WHEN d >= 4 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / SUM(CASE WHEN d >= 1 THEN 1 ELSE 0 END), 6)
+             AS conversion
+    FROM depth
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel TABLE on top of the row-pattern machinery: how many
+    users reach each prefix of the clean onboarding funnel (signup ->
+    view -> click -> purchase, no intervening purchase/error), plus
+    end-to-end conversion — the product-analytics report
+    win_pattern_funnel_regex's per-user booleans feed. Depth is the
+    longest matched PATTERN PREFIX (each stage regex extends the
+    last), so stage counts are monotone by construction.
+
+    Same determinism as the pattern twin: total (ts, event_id) order,
+    identical regex semantics on character-class-only patterns, one
+    final single-row aggregate (no windows, no joins after the
+    per-user collapse)."""
+    ev = load(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("code"),
+            ).alias("rec"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(rec)), x -> x.code)"
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    depth = seq.select(
+        F.when(F.col("s").rlike("s[^pe]*v[^pe]*c[^pe]*p"), 4)
+        .when(F.col("s").rlike("s[^pe]*v[^pe]*c"), 3)
+        .when(F.col("s").rlike("s[^pe]*v"), 2)
+        .when(F.col("s").rlike("s"), 1)
+        .otherwise(0)
+        .alias("d")
+    )
+    reach = lambda k: F.sum(  # noqa: E731
+        F.when(F.col("d") >= k, 1).otherwise(0)
+    ).cast("bigint")
+    return depth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        reach(1).alias("n_signup"),
+        reach(2).alias("n_view"),
+        reach(3).alias("n_click"),
+        reach(4).alias("n_purchase"),
+        F.round(
+            F.sum(F.when(F.col("d") >= 4, 1).otherwise(0)).cast("double")
+            / F.sum(F.when(F.col("d") >= 1, 1).otherwise(0)),
+            6,
+        ).alias("conversion"),
+    )

@@ -1323,3 +1323,38 @@ def test_simpson_screen_matches_numpy_signs(spark, sf_dir):
     assert r["n_pos"] == n_pos and r["n_neg"] == n_neg
     assert r["n_reversed"] == n_rev
     assert r["simpson_flag"] == (n_rev * 2 > len(by_nation))
+
+
+def test_funnel_steps_matches_python_and_is_monotone(spark, sf_dir):
+    """Stage counts recomputed with python re over independently
+    sorted sequences; monotonicity asserted."""
+    import re as _re
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "event_type")
+        .collect()
+    )
+    by_user = collections.defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    pats = [
+        _re.compile("s"),
+        _re.compile("s[^pe]*v"),
+        _re.compile("s[^pe]*v[^pe]*c"),
+        _re.compile("s[^pe]*v[^pe]*c[^pe]*p"),
+    ]
+    counts = [0, 0, 0, 0]
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        s = "".join(r["event_type"][0] for r in rows)
+        for i, p in enumerate(pats):
+            if p.search(s):
+                counts[i] += 1
+    r = mdx.QUERIES["events_funnel_steps"](spark, sf_dir).first()
+    assert r["n_users"] == len(by_user)
+    assert (r["n_signup"], r["n_view"], r["n_click"], r["n_purchase"]) == tuple(
+        counts
+    )
+    assert r["n_signup"] >= r["n_view"] >= r["n_click"] >= r["n_purchase"]
+    assert abs(r["conversion"] - counts[3] / counts[0]) < 1e-6
