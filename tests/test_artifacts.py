@@ -1,0 +1,52 @@
+"""Committed-artifact completeness gate (VERDICT r6 'Next round' #1).
+
+Round 6's end-of-round snapshot committed a mid-run, 29-line
+SWEEP_r06_sf01.txt, deleting the complete 382/382 artifact. Two defenses
+now exist:
+
+1. tools/compare.py --out writes to OUT.tmp and atomically renames only
+   after a FULL-registry sweep finishes — a partial sweep can never
+   become an artifact file at all.
+2. This test: every committed SWEEP_*.txt must be internally complete —
+   a footer line whose total equals the number of per-query result
+   lines, and zero FAIL lines. A truncated file (no footer, or footer
+   disagreeing with its own body) fails the suite.
+
+Registry-count equality (footer N == len(QUERIES)) is enforced by the
+script at WRITE time, not here: mid-round the registry legitimately
+grows past the last committed sweep, and the sweep is re-run at round
+close.
+"""
+
+import glob
+import os
+import re
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SWEEPS = sorted(glob.glob(os.path.join(REPO, "SWEEP_*.txt")))
+
+FOOTER_RE = re.compile(r"^(\d+)/(\d+) passed")
+
+
+@pytest.mark.parametrize("path", SWEEPS, ids=[os.path.basename(p) for p in SWEEPS])
+def test_sweep_artifact_is_complete(path):
+    with open(path) as f:
+        lines = f.read().splitlines()
+    result_lines = [l for l in lines if l.startswith(("OK  ", "FAIL"))]
+    footers = [m for l in lines if (m := FOOTER_RE.match(l))]
+    assert footers, f"{path}: no 'N/N passed' footer — truncated artifact"
+    passed, total = int(footers[-1].group(1)), int(footers[-1].group(2))
+    assert total == len(result_lines), (
+        f"{path}: footer claims {total} queries but file holds "
+        f"{len(result_lines)} result lines — truncated artifact"
+    )
+    assert passed == total, f"{path}: committed sweep has failures"
+    fails = [l for l in result_lines if l.startswith("FAIL")]
+    assert not fails, f"{path}: FAIL lines committed: {fails[:3]}"
+
+
+def test_sweep_artifacts_exist():
+    assert SWEEPS, "no committed sweep artifacts at repo root"

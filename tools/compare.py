@@ -99,6 +99,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--out",
+        help=(
+            "Write the sweep as a committed artifact. The file is written to "
+            "OUT.tmp and atomically renamed to OUT only after the sweep "
+            "finishes, and ONLY if it covered the FULL registry — a partial "
+            "or mid-run sweep can never become an artifact (the round-6 "
+            "snapshot-truncation gate; see VERDICT.md r6 'What's wrong' #1)."
+        ),
+    )
     args = ap.parse_args()
 
     from metadata_extractors_api_spark import QUERIES
@@ -107,6 +117,7 @@ def main() -> int:
     spark = get_spark(shuffle_partitions=8)
     con = duckdb_conn(args.sf)
     names = args.names or sorted(QUERIES)
+    out_lines: list[str] = []
     failed = []
     for name in names:
         try:
@@ -114,12 +125,27 @@ def main() -> int:
         except Exception as e:  # keep sweeping; report at end
             ok, msg = False, f"ERROR {type(e).__name__}: {str(e)[:300]}"
         status = "OK  " if ok else "FAIL"
-        print(f"{status} {name}: {msg}", flush=True)
+        line = f"{status} {name}: {msg}"
+        print(line, flush=True)
+        out_lines.append(line)
         if not ok:
             failed.append(name)
-    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    footer = f"{len(names) - len(failed)}/{len(names)} passed (registry={len(QUERIES)})"
+    print(f"\n{footer}")
     if failed:
         print("failed:", " ".join(failed))
+    if args.out:
+        if set(names) != set(QUERIES):
+            print(
+                f"REFUSING --out {args.out}: sweep covered {len(names)} of "
+                f"{len(QUERIES)} registered queries; artifacts must be full-registry."
+            )
+            return 1
+        tmp = args.out + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(out_lines) + "\n\n" + footer + "\n")
+        os.replace(tmp, args.out)
+        print(f"wrote {args.out}")
     return 1 if failed else 0
 
 
