@@ -1691,3 +1691,153 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges",
         (F.col("n_nodes") == F.col("prev_n")).alias("converged"),
     )
+
+
+#: Number of merge rounds tokenizer_bpe_train learns. Both engines run
+#: exactly this many unrolled rounds (generated-oracle pattern, as in
+#: events_markov_attribution / graph_kcore), so the horizon is part of
+#: the operator's definition. Must stay well below pair exhaustion on
+#: the fixture corpus (vocab ~40 words x ~6 symbols -> hundreds of
+#: distinct pairs; 8 is safe by an order of magnitude).
+BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_train_merges(words, rounds: int):
+    """The BPE trainer kernel: given a word histogram DataFrame
+    ``(word string, cnt bigint)``, learn ``rounds`` merges by the
+    classic Sennrich-2016 loop — weighted adjacent-pair census over
+    the symbolized vocabulary, global argmax (count DESC, pair ASC),
+    apply the winning merge, repeat. Returns ``[(rk, a, b, n), ...]``.
+
+    Merge application uses the SAME boundary-anchored left-to-right
+    non-overlapping literal replace (' a b ' -> ' ab ') as
+    tokenizer_bpe_encode (corpus.py:_bpe_symbol_sql), so a merges.txt
+    learned here is exactly what the encoder replays.
+
+    Scale shape: the corpus is touched ONCE (the word histogram the
+    caller builds — the classic trainer optimization: pair counts are
+    word-frequency-weighted, never raw-corpus-sized). Each round is a
+    census + TakeOrdered-1 over the HISTOGRAM (millions of rows at
+    100 TB, not billions), and the only driver-side state is the
+    single winning pair per round — bounded like kmeans_train's K
+    centroids. The histogram is localCheckpointed so the growing
+    replace chain never replays the corpus scan."""
+    sym = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.split(F.concat(F.lit(BPE_MARKER), F.col("word")), ""), " "
+        ),
+        F.lit(" "),
+    )
+    cur = words.select(F.col("cnt"), sym.alias("sym")).localCheckpoint()
+    merges = []
+    for k in range(1, rounds + 1):
+        tk = cur.select("cnt", F.split(F.trim(F.col("sym")), " ").alias("tk"))
+        pairs = tk.filter(F.size("tk") >= 2).select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                    F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+        )
+        census = pairs.groupBy("pair").agg(
+            F.sum("cnt").cast("bigint").alias("n")
+        )
+        top = census.orderBy(F.desc("n"), F.asc("pair")).limit(1).collect()
+        if not top:  # pair space exhausted — see BPE_TRAIN_ROUNDS note
+            break
+        pair, n = top[0]["pair"], int(top[0]["n"])
+        a, b = pair.split(" ")
+        merges.append((k, a, b, n))
+        cur = cur.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+            ),
+        )
+    return merges
+
+
+def _bpe_train_oracle() -> str:
+    """Generate the DuckDB oracle: the same word histogram, the same
+    BPE_TRAIN_ROUNDS unrolled census -> argmax -> replace steps, with
+    the data-dependent winning pair flowing between rounds as a 1-row
+    CTE cross join (the SQL twin of the kernel's collect()). CTEs are
+    pinned AS MATERIALIZED: c{k} is referenced by both p{k} and
+    c{k+1}, so inlining would recompute the chain 2^rounds times (the
+    graph_kcore lesson)."""
+    ctes = [
+        """w AS MATERIALIZED (
+      SELECT word, CAST(SUM(1) AS BIGINT) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents WHERE length(text) > 0)
+      WHERE length(word) > 0 GROUP BY word)""",
+        f"""c0 AS MATERIALIZED (
+      SELECT cnt,
+             ' ' || array_to_string(string_split('{BPE_MARKER}' || word, ''), ' ')
+                 || ' ' AS sym
+      FROM w)""",
+    ]
+    for k in range(1, BPE_TRAIN_ROUNDS + 1):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+      SELECT split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b, n
+      FROM (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n
+            FROM (SELECT cnt,
+                         unnest(list_transform(range(1, len(tk)),
+                                               i -> tk[i] || ' ' || tk[i+1])) AS pair
+                  FROM (SELECT cnt, string_split(trim(sym), ' ') AS tk FROM c{k - 1})
+                  WHERE len(tk) >= 2)
+            GROUP BY pair)
+      ORDER BY n DESC, pair LIMIT 1)""")
+        if k < BPE_TRAIN_ROUNDS:
+            ctes.append(f"""c{k} AS MATERIALIZED (
+      SELECT cnt,
+             replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym
+      FROM c{k - 1}, p{k})""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rk, a, b, n FROM p{k}"
+        for k in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {union}"
+
+
+@register("tokenizer_bpe_train", oracle=_bpe_train_oracle())
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINER: learn BPE_TRAIN_ROUNDS merges from the
+    corpus by the classic word-histogram loop (Sennrich et al. 2016)
+    — the capability that completes the tokenization story next to
+    tokenizer_bpe_encode (merge application) and text_bpe_pair_census
+    (one census round). Output: one row per learned merge
+    (rk, a, b, n) — exactly a merges.txt with counts.
+
+    Plan: ONE corpus pass builds the word histogram (explode + map-
+    side-combinable groupBy); the 8 training rounds then run against
+    the localCheckpointed histogram only — a weighted pair census
+    (zip_with explode, no window, no join) and a TakeOrdered-1 argmax
+    per round, with the single winning pair collected to the driver
+    (bounded, 1 row/round). At 100 TB the corpus cost is the one
+    histogram pass; round cost scales with DISTINCT words, not corpus
+    bytes. The oracle replays the identical chain as generated
+    unrolled CTEs (7th use of the generated-oracle pattern), including
+    the data-dependent argmax, so any census/tie-break/replace
+    divergence hash-fails.
+
+    Reference anchor: the reference has no tokenizer; this extends
+    SURVEY §2.B.11's training-data family. Independent ground truth:
+    tests/test_round7_ops.py runs a plain-Python BPE on a hand corpus
+    against the same kernel."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    words = (
+        d.filter(F.length("text") > 0)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    merges = _bpe_train_merges(words, BPE_TRAIN_ROUNDS)
+    return spark.createDataFrame(
+        merges, "rk bigint, a string, b string, n bigint"
+    )

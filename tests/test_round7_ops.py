@@ -1,0 +1,102 @@
+"""Independent ground-truth tests for round-7 operators: plain-Python
+or hand-computed answers, deliberately NOT the shared Spark/DuckDB
+oracle formulas — when both engines share a formula, the sweep cannot
+catch a formula bug (the round-3 review's blind spot, closed per-round
+since)."""
+
+from __future__ import annotations
+
+import collections
+
+from metadata_extractors_api_spark.operators.corpus import (
+    BPE_MARKER,
+    _bpe_train_merges,
+)
+
+
+def _py_bpe_train(word_counts: dict[str, int], rounds: int):
+    """Plain-Python BPE trainer, independent of the Spark kernel:
+    census via collections.Counter over symbol LISTS (the kernel uses
+    zip_with/explode/groupBy), argmax via min() on (-n, 'a b') (the
+    kernel uses TakeOrdered), merge application via the padded-string
+    literal replace — the spec both engines implement (left-to-right
+    non-overlapping; the boundary-space consumption means consecutive
+    same-pair runs merge alternately, see tokenizer_bpe_encode's
+    docstring)."""
+    syms = {
+        w: " " + " ".join(list(BPE_MARKER + w)) + " " for w in word_counts
+    }
+    merges = []
+    for k in range(1, rounds + 1):
+        census = collections.Counter()
+        for w, n in word_counts.items():
+            tk = syms[w].split()
+            for a, b in zip(tk, tk[1:]):
+                census[f"{a} {b}"] += n
+        if not census:
+            break
+        pair, n = min(census.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = pair.split(" ")
+        merges.append((k, a, b, n))
+        for w in syms:
+            syms[w] = syms[w].replace(f" {a} {b} ", f" {a}{b} ")
+    return merges
+
+
+HAND_CORPUS = {
+    # Sennrich-style toy vocabulary: shared suffixes force cascading
+    # merges (e+s, es+t, l+o, lo+w ...), and 'aaaa' exercises the
+    # alternating same-pair-run semantics.
+    "low": 5,
+    "lower": 2,
+    "newest": 6,
+    "widest": 3,
+    "aaaa": 4,
+    "x": 1,  # single-char word: 2 symbols after marker prefix
+}
+
+
+def test_bpe_train_kernel_matches_python_reference(spark):
+    words = spark.createDataFrame(
+        list(HAND_CORPUS.items()), "word string, cnt bigint"
+    )
+    got = _bpe_train_merges(words, 10)
+    want = _py_bpe_train(HAND_CORPUS, 10)
+    assert got == want
+    # sanity on the reference itself: marker+e+s... the first merge
+    # must be the highest weighted pair; 'es' appears in newest(6) +
+    # widest(3) = 9, 'lo' in low(5) + lower(2) = 7, 'aa' in aaaa
+    # contributes 3 adjacent pairs * 4 = 12 -> first merge is (a, a).
+    assert (want[0][1], want[0][2], want[0][3]) == ("a", "a", 12)
+    # after ' a a ' -> ' aa ' the run '▁ a a a a ' merges ONCE into
+    # '▁ aa a a ' (boundary-space consumption), so round 2's
+    # (e, s)=9 beats any aa-family pair (<=4).
+    assert (want[1][1], want[1][2], want[1][3]) == ("e", "s", 9)
+
+
+def test_bpe_train_same_pair_run_semantics(spark):
+    """The same-pair-run case pinned exactly: ' ▁ a a a a ' under
+    merge (a, a) becomes [▁, aa, a, a], NOT [▁, aa, aa] — each
+    replace consumes its trailing boundary space, so the scan resumes
+    one symbol later and a run of length 4 merges once per pass at
+    this position (verified literally: ' ▁ a a a a '.replace(
+    ' a a ', ' aa ') == ' ▁ aa a a ')."""
+    words = spark.createDataFrame([("aaaa", 1)], "word string, cnt bigint")
+    got = _bpe_train_merges(words, 2)
+    # round 1: pairs {▁ a:1, a a:3} -> (a, a) wins with 3.
+    assert got[0] == (1, "a", "a", 3)
+    # round 2 state is ' ▁ aa a a ': pairs {▁ aa:1, aa a:1, a a:1}
+    # -> tie at 1; 'a a' is the lexicographic minimum (space < 'a').
+    assert got[1] == (2, "a", "a", 1)
+
+
+def test_bpe_train_pair_exhaustion_stops_early(spark):
+    """A vocabulary that fully merges before the round budget: the
+    kernel stops instead of emitting phantom rows."""
+    words = spark.createDataFrame([("ab", 3)], "word string, cnt bigint")
+    got = _bpe_train_merges(words, 10)
+    # '▁ a b' -> merges until one symbol: (a,b) or (▁,a) first by
+    # tie-break: pairs {▁ a:3, a b:3} -> 'a b' < '▁ a' wins; then
+    # {▁ ab:3}; then exhausted at 1 symbol.
+    assert got == [(1, "a", "b", 3), (2, "▁", "ab", 3)]
+    assert len(got) == 2  # stopped early, no phantom rounds
