@@ -328,33 +328,53 @@ def stream_ewma_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely exercised; the final emission per key must equal the
     batch EWMA's last row -- stream_ewma's oracle verbatim. The drain
     checkpoint is memoized for the state-schema audit tests."""
-    ev = _events_stream_batched(spark, sf_dir).select(
-        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("bh")
-    )
+    ev = _events_stream_batched(spark, sf_dir)
     if HAS_TWS_DEPS:  # pragma: no cover - exercised on cluster images
         with _rocksdb_conf(spark):
-            out = ev.groupBy("event_type").transformWithStateInPandas(
-                HourlyEwmaProcessor(),
-                outputStructType=_EWMA_OUT_SCHEMA,
-                outputMode="Update",
-                timeMode="None",
+            updates, ckpt = _run_to_table_ckpt(
+                _ewma_tws_updates(ev), spark
             )
-            updates, ckpt = _run_to_table_ckpt(out, spark)
     else:
-        out = ev.groupBy("event_type").applyInPandasWithState(
-            _ewma_update,
-            outputStructType=_EWMA_OUT_SCHEMA,
-            stateStructType=(
-                "bhs array<bigint>, cnts array<bigint>, n_obs bigint, "
-                "n_emit bigint"
-            ),
-            outputMode="update",
-            timeoutConf="NoTimeout",
-        )
-        updates, ckpt = _run_to_table_ckpt(out, spark)
+        updates, ckpt = _run_to_table_ckpt(_ewma_tws_updates(ev), spark)
     from metadata_extractors_api_spark.catalog import session_key
 
     _EWMA_CKPT_MEMO[(session_key(spark), sf_dir)] = ckpt
+    return _ewma_tws_serve(updates)
+
+
+def _ewma_tws_updates(ev: DataFrame) -> DataFrame:
+    """The stateful half of stream_ewma_tws: raw event stream in,
+    per-event-type EWMA update stream out (TWS processor where the
+    protobuf dependency exists, the applyInPandasWithState fold with
+    identical semantics otherwise). Factored out so the checkpoint-
+    restart test can drain it in two separately-started queries
+    against one checkpoint. NOTE: the TWS branch needs the caller to
+    hold _rocksdb_conf(spark) while the drain runs."""
+    keyed = ev.select(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("bh")
+    ).groupBy("event_type")
+    if HAS_TWS_DEPS:  # pragma: no cover - exercised on cluster images
+        return keyed.transformWithStateInPandas(
+            HourlyEwmaProcessor(),
+            outputStructType=_EWMA_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return keyed.applyInPandasWithState(
+        _ewma_update,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=(
+            "bhs array<bigint>, cnts array<bigint>, n_obs bigint, "
+            "n_emit bigint"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def _ewma_tws_serve(updates: DataFrame) -> DataFrame:
+    """Serving side of stream_ewma_tws: the final emission per key is
+    the n_emit-max row (the counters are monotone across batches)."""
     return updates.groupBy("event_type").agg(
         F.max_by("bh", "n_emit").cast("bigint").alias("bh"),
         F.max_by("n_obs", "n_emit").cast("bigint").alias("n_obs"),

@@ -107,6 +107,14 @@ def _events_stream_batched(
     event-time monotone across batches -- the arrival order a
     continuous production stream actually has, and the assumption the
     EWMA fold documents."""
+    d = _events_split_dir(spark, sf_dir, n_files)
+    return _events_stream_from_dir(spark, d)
+
+
+def _events_split_dir(spark: SparkSession, sf_dir: str, n_files: int = 3) -> str:
+    """Provision (memoized) the time-contiguous chunk directory used by
+    `_events_stream_batched`; exposed separately so the restart tests
+    can copy chunks into their own staging dir incrementally."""
     import os
 
     from metadata_extractors_api_spark.catalog import load, session_key
@@ -142,6 +150,12 @@ def _events_stream_batched(
             # temp usage stays bounded to the chunks themselves.
             shutil.rmtree(part_dir, ignore_errors=True)
         _EVSPLIT_MEMO[key] = d
+    return d
+
+
+def _events_stream_from_dir(spark: SparkSession, d: str) -> DataFrame:
+    """File-stream reader over a chunk directory produced by
+    `_events_split_dir` (ev_*.parquet, one file per micro-batch)."""
     return (
         spark.readStream.schema(
             "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
@@ -816,11 +830,17 @@ def stream_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     straddle chunks (chunk predicates cut on ts). State is the code
     string itself — bounded by per-user history, the same bound the
     batch twin documents."""
-    import pandas as pd
+    ev = _events_stream_batched(spark, sf_dir)
+    updates = _run_to_table(_pattern_funnel_updates(ev), spark, "update")
+    return _pattern_funnel_serve(updates)
 
-    from metadata_extractors_api_spark.operators.extended import (
-        FUNNEL_PATTERN,
-    )
+
+def _pattern_funnel_updates(ev: DataFrame) -> DataFrame:
+    """The stateful half of stream_pattern_funnel: raw event stream in,
+    per-user accumulated (n_events, code-string) update stream out.
+    Factored out so the checkpoint-restart test can drain it in two
+    separately-started queries against one checkpoint."""
+    import pandas as pd
 
     def update(key, pdfs, state):
         n, s = state.get if state.exists else (0, "")
@@ -835,20 +855,29 @@ def stream_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.update((n, s))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "s": [s]})
 
-    ev = _events_stream_batched(spark, sf_dir).select(
+    coded = ev.select(
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
         F.substring("event_type", 1, 1).alias("code"),
     )
-    out = ev.groupBy("user_id").applyInPandasWithState(
+    return coded.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id bigint, n_events bigint, s string",
         stateStructType="n bigint, s string",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
-    updates = _run_to_table(out, spark, "update")
+
+
+def _pattern_funnel_serve(updates: DataFrame) -> DataFrame:
+    """Serving side of stream_pattern_funnel: keep each user's final
+    accumulated state (max n_events — the counters are monotone) and
+    evaluate the funnel regex at read time."""
+    from metadata_extractors_api_spark.operators.extended import (
+        FUNNEL_PATTERN,
+    )
+
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         updates.withColumn("rn", F.row_number().over(w))
