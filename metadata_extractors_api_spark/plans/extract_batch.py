@@ -273,6 +273,50 @@ def extract_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# Round-trip memo: one temp JSON write + declared-schema re-read per
+# session (the frames are immutable).
+_ROUNDTRIP_MEMO: dict = {}
+
+
+@register("extract_dispatch_roundtrip", oracle=_DISPATCH_ORACLE)
+def extract_dispatch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion-boundary loop closed end-to-end (VERDICT r6 'Next
+    round' #7): the registry tables are WRITTEN out as raw JSON lines
+    (the wire shape the reference serves over HTTP, __init__.py:104),
+    re-read as untyped text, cast into the declared StructTypes at the
+    boundary (from_json -- the scan_registry_json path, SURVEY §1.3
+    "inferred at boundaries, cast into declared"), and the dispatch
+    pipeline runs off the ROUND-TRIPPED frames. The oracle is
+    extract_dispatch's verbatim: a lossy serialization (dropped struct
+    field, map<->struct confusion, null/''-collapse) would hash-fail
+    against the fixture-direct result."""
+    import os
+    import tempfile
+
+    df = _ROUNDTRIP_MEMO.get(session_key(spark))
+    if df is None:
+        base = tempfile.mkdtemp(prefix="mdx_regjson_")
+        ft_dir = os.path.join(base, "filetypes")
+        ex_dir = os.path.join(base, "extractors")
+        reg.filetypes_df(spark).coalesce(1).write.json(ft_dir)
+        reg.extractors_df(spark).coalesce(1).write.json(ex_dir)
+        ft2 = (
+            spark.read.text(ft_dir)
+            .select(F.from_json("value", reg.FILETYPES_SCHEMA).alias("e"))
+            .select("e.*")
+        )
+        ex2 = (
+            spark.read.text(ex_dir)
+            .select(F.from_json("value", reg.EXTRACTORS_SCHEMA).alias("e"))
+            .select("e.*")
+        )
+        df = extract_batch(spark, reg.files_df(spark), (ft2, ex2)).filter(
+            F.col("extractor_id").isNotNull()
+        )
+        _ROUNDTRIP_MEMO[session_key(spark)] = df
+    return df
+
+
 _RUN_SCHEMA = "file_id long, method string, channel string, point int, value double"
 
 
