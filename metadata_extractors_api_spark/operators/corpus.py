@@ -957,9 +957,13 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation sequence in Spark and DuckDB, so the IEEE results (and
     the ORDER BY on them) agree bitwise; counts stay exact integers.
     The final top-30 is TakeOrderedAndProject, not a global sort.
+    Both censuses read the session-memoized tokenized corpus
+    (_tokdocs_rel) instead of re-scanning parquet per pass.
     """
-    d = load(spark, sf_dir, "documents", parallelize=True)
-    toked = d.select(F.split("text", " ").alias("tk")).filter(F.size("tk") >= 2)
+    from metadata_extractors_api_spark.operators.llm import _tokdocs_rel
+
+    d = _tokdocs_rel(spark, sf_dir)
+    toked = d.select("tk").filter(F.size("tk") >= 2)
     pairs = toked.select(
         F.explode(
             F.transform(
@@ -971,7 +975,7 @@ def text_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    unigrams = d.select(F.explode(F.split("text", " ")).alias("token"))
+    unigrams = d.select(F.explode("tk").alias("token"))
     bc = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_xy")
     )

@@ -128,9 +128,14 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram statistics with conditional probability
     P(w2|w1) = count(w1 w2)/count(w1) -- the n-gram-LM building block.
     Two aggregations + one join on the leading token; at scale both
-    aggregations shuffle on their n-gram key (no skew: hash keys)."""
-    d = load(spark, sf_dir, "documents", parallelize=True)
-    toked = d.select(F.split("text", " ").alias("tk")).filter(F.size("tk") >= 2)
+    aggregations shuffle on their n-gram key (no skew: hash keys).
+    Both passes (bigram + unigram census) read the session-memoized
+    tokenized corpus (_tokdocs_rel) instead of re-scanning parquet and
+    re-splitting text per pass."""
+    from metadata_extractors_api_spark.operators.llm import _tokdocs_rel
+
+    d = _tokdocs_rel(spark, sf_dir)
+    toked = d.select("tk").filter(F.size("tk") >= 2)
     bigrams = toked.select(
         F.explode(
             F.transform(
@@ -141,7 +146,7 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram")
     )
-    unigrams = d.select(F.explode(F.split("text", " ")).alias("token"))
+    unigrams = d.select(F.explode("tk").alias("token"))
     bc = bigrams.groupBy("bigram").agg(F.count("*").alias("cnt"))
     uc = unigrams.groupBy("token").agg(F.count("*").alias("n1"))
     return (
