@@ -1845,3 +1845,141 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rk bigint, a string, b string, n bigint"
     )
+
+
+#: HITS power-iteration horizon and quantization scale: both engines
+#: run exactly HITS_ITERS unrolled rounds with max-normalization to
+#: HITS_SCALE integer units per round (the generated-oracle pattern,
+#: 8th use). Scores stay exact integers, so the ranking is bit-stable
+#: on any cluster size. Bound: pre-normalization sums are at most
+#: n_neighbors * HITS_SCALE — int64-safe to ~9e12 neighbors per node.
+HITS_ITERS = 4
+HITS_SCALE = 1_000_000
+HITS_TOP = 10
+
+
+def _hits_oracle() -> str:
+    """Generate the DuckDB oracle: same edge CTE, same HITS_ITERS
+    unrolled (auth <- sum hub; max-normalize; hub <- sum auth;
+    max-normalize) rounds, same top-10 report. raw CTEs are pinned
+    MATERIALIZED — each is referenced by its normalizer's scalar
+    subquery AND the next join (the graph_kcore inlining lesson)."""
+    ctes = [
+        """edges AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)""",
+        f"""h0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, CAST({HITS_SCALE} AS BIGINT) AS hub
+      FROM edges)""",
+    ]
+    for k in range(1, HITS_ITERS + 1):
+        ctes.append(f"""ar{k} AS MATERIALIZED (
+      SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS v
+      FROM edges e JOIN h{k - 1} h ON h.node = e.src
+      GROUP BY e.dst)""")
+        ctes.append(f"""a{k} AS MATERIALIZED (
+      SELECT node,
+             CAST(v * {HITS_SCALE} // (SELECT MAX(v) FROM ar{k}) AS BIGINT)
+                 AS auth
+      FROM ar{k})""")
+        ctes.append(f"""hr{k} AS MATERIALIZED (
+      SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS v
+      FROM edges e JOIN a{k} a ON a.node = e.dst
+      GROUP BY e.src)""")
+        ctes.append(f"""h{k} AS MATERIALIZED (
+      SELECT node,
+             CAST(v * {HITS_SCALE} // (SELECT MAX(v) FROM hr{k}) AS BIGINT)
+                 AS hub
+      FROM hr{k})""")
+    k = HITS_ITERS
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT role, node, score_units, rk FROM (
+      SELECT 'authority' AS role, node, auth AS score_units,
+             CAST(ROW_NUMBER() OVER (ORDER BY auth DESC, node) AS BIGINT) AS rk
+      FROM a{k}) WHERE rk <= {HITS_TOP}
+    UNION ALL
+    SELECT role, node, score_units, rk FROM (
+      SELECT 'hub' AS role, node, hub AS score_units,
+             CAST(ROW_NUMBER() OVER (ORDER BY hub DESC, node) AS BIGINT) AS rk
+      FROM h{k}) WHERE rk <= {HITS_TOP}"""
+    )
+
+
+@register("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities over the bipartite customer->supplier
+    trade graph: which suppliers are bought from by the best-connected
+    customers (authorities), and which customers buy from the most
+    authoritative suppliers (hubs) — the mutual-reinforcement ranking
+    PageRank's single score cannot express on a bipartite graph.
+
+    HITS_ITERS synchronous power-iteration rounds in EXACT integers:
+    each round is auth <- sum of neighbor hubs, max-normalized to
+    HITS_SCALE units by integer floor division, then the mirror hub
+    update — max-normalization replaces the classic L2 norm so both
+    engines stay in bigint arithmetic (no sqrt, no IEEE drift), and
+    the oracle replays the identical chain as generated unrolled CTEs.
+
+    Scale shape: the Pregel profile — per half-round ONE edge-list
+    join on the updated side plus one map-side-combinable sum, and a
+    1-row global max that broadcasts back (empty-grouping aggregate:
+    provably bounded for the pair audit). Scores are localCheckpointed
+    per round so the lineage never replays the graph build. Top-10
+    per role comes off TakeOrdered with rank re-derived on report
+    rows."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _norm(raw: DataFrame, out_col: str) -> DataFrame:
+        mx = raw.agg(F.max("v").alias("vmax"))
+        return (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(f"v * {HITS_SCALE} div vmax").cast("bigint").alias(out_col),
+            )
+            .localCheckpoint()
+        )
+
+    hub = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "hub", F.lit(HITS_SCALE).cast("bigint")
+    )
+    auth = None
+    for _ in range(HITS_ITERS):
+        araw = (
+            edges.join(hub, edges.src == hub.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.sum("hub").cast("bigint").alias("v"))
+            .withColumnRenamed("node2", "node")
+        )
+        auth = _norm(araw, "auth")
+        hraw = (
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy(F.col("src").alias("node2"))
+            .agg(F.sum("auth").cast("bigint").alias("v"))
+            .withColumnRenamed("node2", "node")
+        )
+        hub = _norm(hraw, "hub")
+
+    def _top(df: DataFrame, col: str, role: str) -> DataFrame:
+        top = df.orderBy(F.desc(col), F.asc("node")).limit(HITS_TOP)
+        w = Window.orderBy(F.desc(col), F.asc("node"))
+        return top.select(
+            F.lit(role).alias("role"),
+            "node",
+            F.col(col).alias("score_units"),
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+
+    return _top(auth, "auth", "authority").unionByName(
+        _top(hub, "hub", "hub")
+    )

@@ -100,3 +100,53 @@ def test_bpe_train_pair_exhaustion_stops_early(spark):
     # {▁ ab:3}; then exhausted at 1 symbol.
     assert got == [(1, "a", "b", 3), (2, "▁", "ab", 3)]
     assert len(got) == 2  # stopped early, no phantom rounds
+
+
+def test_graph_hits_matches_python_reference(spark, sf_dir):
+    """HITS recomputed with plain-Python dict arithmetic (same integer
+    max-normalization spec, independent join/agg machinery) from the
+    raw parquet edge list."""
+    from metadata_extractors_api_spark.operators.corpus import (
+        HITS_ITERS,
+        HITS_SCALE,
+        HITS_TOP,
+    )
+    import metadata_extractors_api_spark as mdx
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = sorted(
+        set(
+            (r["o_custkey"], r["l_suppkey"])
+            for r in o.join(li, o.o_orderkey == li.l_orderkey).collect()
+        )
+    )
+    hub = {c: HITS_SCALE for c, _ in edges}
+    auth = {}
+    for _ in range(HITS_ITERS):
+        auth = {}
+        for c, s in edges:
+            auth[s] = auth.get(s, 0) + hub[c]
+        amax = max(auth.values())
+        auth = {s: v * HITS_SCALE // amax for s, v in auth.items()}
+        hub = {}
+        for c, s in edges:
+            hub[c] = hub.get(c, 0) + auth[s]
+        hmax = max(hub.values())
+        hub = {c: v * HITS_SCALE // hmax for c, v in hub.items()}
+
+    def top(d):
+        return sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOP]
+
+    want = [
+        ("authority", n, v, i + 1) for i, (n, v) in enumerate(top(auth))
+    ] + [("hub", n, v, i + 1) for i, (n, v) in enumerate(top(hub))]
+    got = [
+        (r["role"], r["node"], r["score_units"], r["rk"])
+        for r in mdx.QUERIES["graph_hits"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
