@@ -4264,3 +4264,158 @@ def multimodal_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         route_batches, "doc_id long, status string, width int, height int"
     )
+
+
+#: MMR re-ranking constants: candidate pool size (top-N by query
+#: cosine), number of greedy selections, and the 0.7/0.3 relevance/
+#: diversity split expressed as integers (mmr10_e6 = 7*simq - 3*pen in
+#: e6 cosine units = 10x the classic lambda=0.7 MMR score). Both
+#: engines run the identical unrolled greedy chain.
+MMR_CAND = 24
+MMR_K = 8
+
+
+def _mmr_cos_e6_sql(dot: str, na: str, nb: str) -> str:
+    """DuckDB rendering of the e6-quantized cosine used by MMR: the
+    same round-6 cosine as sim_topk, then rounded into integer e6
+    units so every argmax below compares exact integers."""
+    return (
+        f"CAST(round(round(({dot} / 1e12) / "
+        f"(sqrt({na} / 1e12) * sqrt({nb} / 1e12)), 6) * 1e6, 0) AS BIGINT)"
+    )
+
+
+def _mmr_oracle() -> str:
+    cos_q = _mmr_cos_e6_sql(
+        _sql_dot("e.embedding", "q.qe"),
+        _sql_dot("e.embedding", "e.embedding"),
+        "q.qn",
+    )
+    cos_ab = _mmr_cos_e6_sql(
+        _sql_dot("a.embedding", "b.embedding"),
+        _sql_dot("a.embedding", "a.embedding"),
+        _sql_dot("b.embedding", "b.embedding"),
+    )
+    ctes = [
+        f"""q AS MATERIALIZED (
+      SELECT embedding AS qe, {_sql_dot('embedding', 'embedding')} AS qn
+      FROM embeddings WHERE vec_id = 0)""",
+        f"""cands AS MATERIALIZED (
+      SELECT e.vec_id, {cos_q} AS simq_e6, e.embedding
+      FROM embeddings e, q
+      ORDER BY simq_e6 DESC, e.vec_id LIMIT {MMR_CAND})""",
+        f"""pairs AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb, {cos_ab} AS s
+      FROM cands a JOIN cands b ON a.vec_id <> b.vec_id)""",
+        f"""sel1 AS MATERIALIZED (
+      SELECT vec_id, simq_e6, CAST(1 AS BIGINT) AS rk,
+             CAST(10 * simq_e6 AS BIGINT) AS mmr10_e6
+      FROM cands ORDER BY simq_e6 DESC, vec_id LIMIT 1)""",
+    ]
+    for k in range(2, MMR_K + 1):
+        ctes.append(f"""pen{k} AS MATERIALIZED (
+      SELECT p.va AS vec_id, MAX(p.s) AS pen
+      FROM pairs p JOIN sel{k - 1} s ON p.vb = s.vec_id
+      GROUP BY p.va)""")
+        ctes.append(f"""pick{k} AS MATERIALIZED (
+      SELECT c.vec_id, c.simq_e6, CAST({k} AS BIGINT) AS rk,
+             CAST(7 * c.simq_e6 - 3 * pn.pen AS BIGINT) AS mmr10_e6
+      FROM cands c JOIN pen{k} pn ON pn.vec_id = c.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+      ORDER BY mmr10_e6 DESC, c.vec_id LIMIT 1)""")
+        ctes.append(f"""sel{k} AS MATERIALIZED (
+      SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM pick{k})""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT rk, vec_id, simq_e6, mmr10_e6 FROM sel{MMR_K}"
+    )
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: from the top-MMR_CAND
+    cosine candidates for the query vector (vec_id=0), greedily select
+    MMR_K items maximizing 0.7*sim(query, d) - 0.3*max_{s in S}
+    sim(d, s) — the diversity-aware selection every retrieval-
+    augmented or training-data sampling pipeline runs after ANN
+    retrieval so near-duplicate hits don't crowd the result set.
+
+    Exactness: similarities quantize to e6 integer units after the
+    shared round-6 cosine, so every greedy argmax compares exact
+    integers with vec_id tie-break; the oracle replays the identical
+    unrolled greedy chain (generated-oracle pattern — here with the
+    DATA-DEPENDENT selected set flowing between rounds, as in
+    tokenizer_bpe_train).
+
+    Scale shape: candidate generation is the data-sized stage — one
+    broadcast-query pass + TakeOrdered (sim_topk's plan); everything
+    after operates on the MMR_CAND-bounded pool (pairwise sims =
+    CAND^2 rows via a limit-bounded self-join, audit-provably
+    bounded), with the greedy loop on the driver over that bounded
+    matrix — the kmeans_train boundedness contract. At 100 TB only
+    the first stage grows."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"),
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("qn"),
+    )
+    simq = F.round(
+        cosine_from_scaled(
+            dot_scaled(F.col("embedding"), F.col("qe")),
+            dot_scaled(F.col("embedding"), F.col("embedding")),
+            F.col("qn"),
+        )
+        * 1e6,
+        0,
+    ).cast("bigint")
+    cands = (
+        e.crossJoin(F.broadcast(q))
+        .select("vec_id", simq.alias("simq_e6"), "embedding")
+        .orderBy(F.desc("simq_e6"), F.asc("vec_id"))
+        .limit(MMR_CAND)
+        .localCheckpoint()
+    )
+    a = cands.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = cands.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+    )
+    pair_s = F.round(
+        cosine_from_scaled(
+            dot_scaled(F.col("ea"), F.col("eb")),
+            dot_scaled(F.col("ea"), F.col("ea")),
+            dot_scaled(F.col("eb"), F.col("eb")),
+        )
+        * 1e6,
+        0,
+    ).cast("bigint")
+    pairs = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .select("va", "vb", pair_s.alias("s"))
+        .collect()
+    )
+    sims = {(r["va"], r["vb"]): r["s"] for r in pairs}
+    pool = {
+        r["vec_id"]: r["simq_e6"]
+        for r in cands.select("vec_id", "simq_e6").collect()
+    }
+    first = min(pool.items(), key=lambda kv: (-kv[1], kv[0]))
+    trace = [(1, first[0], first[1], 10 * first[1])]
+    selected = [first[0]]
+    for k in range(2, MMR_K + 1):
+        best = None
+        for vid, sq in pool.items():
+            if vid in selected:
+                continue
+            pen = max(sims[(vid, s)] for s in selected)
+            score = 7 * sq - 3 * pen
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, sq, score)
+        trace.append((k, best[1], best[2], best[3]))
+        selected.append(best[1])
+    return spark.createDataFrame(
+        trace, "rk bigint, vec_id bigint, simq_e6 bigint, mmr10_e6 bigint"
+    )

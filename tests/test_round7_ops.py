@@ -150,3 +150,56 @@ def test_graph_hits_matches_python_reference(spark, sf_dir):
         for r in mdx.QUERIES["graph_hits"](spark, sf_dir).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_mmr_rerank_matches_numpy_reference(spark, sf_dir):
+    """MMR recomputed from raw parquet floats with numpy: cosines via
+    the same floor-scaled integer dot spec, then an independent greedy
+    loop. Also asserts the diversity property that makes MMR MMR: the
+    selection is NOT simply the top-MMR_K by query similarity unless
+    the pool is degenerate."""
+    import numpy as np
+
+    import metadata_extractors_api_spark as mdx
+    from metadata_extractors_api_spark.operators.llm import (
+        MMR_CAND,
+        MMR_K,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+
+    def dot_scaled(a, b):
+        return int(np.floor(a * b * 1e12).sum())
+
+    def cos_e6(a, b):
+        c = (dot_scaled(a, b) / 1e12) / (
+            np.sqrt(dot_scaled(a, a) / 1e12) * np.sqrt(dot_scaled(b, b) / 1e12)
+        )
+        return int(np.round(np.round(c, 6) * 1e6))
+
+    q = vecs[0]
+    simq = {vid: cos_e6(v, q) for vid, v in vecs.items()}
+    cand = sorted(simq, key=lambda v: (-simq[v], v))[:MMR_CAND]
+    selected = [min(cand, key=lambda v: (-simq[v], v))]
+    trace = [(1, selected[0], simq[selected[0]], 10 * simq[selected[0]])]
+    for k in range(2, MMR_K + 1):
+        best = None
+        for v in cand:
+            if v in selected:
+                continue
+            pen = max(cos_e6(vecs[v], vecs[s]) for s in selected)
+            score = 7 * simq[v] - 3 * pen
+            if best is None or (-score, v) < best[0]:
+                best = ((-score, v), v, simq[v], score)
+        trace.append((k, best[1], best[2], best[3]))
+        selected.append(best[1])
+
+    got = [
+        (r["rk"], r["vec_id"], r["simq_e6"], r["mmr10_e6"])
+        for r in mdx.QUERIES["sim_mmr_rerank"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(trace)
+    # diversity property: selection order diverges from pure top-k
+    topk = sorted(cand, key=lambda v: (-simq[v], v))[:MMR_K]
+    assert [t[1] for t in trace] != topk
