@@ -1718,3 +1718,138 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc"),
     )
+
+
+#: mix_domain_reweight constants: learning-rate numerator over an e6
+#: denominator (eta = 0.5), and the number of multiplicative-weights
+#: steps both engines unroll. Integer bound: w_e6 <= 1e6 and factor
+#: <= 2e6, so a step's unnormalized weight <= 2e12 — int64-safe with
+#: 6 orders of margin.
+REWEIGHT_ETA_E6 = 500_000
+REWEIGHT_STEPS = 3
+
+
+@register(
+    "mix_domain_reweight",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS toks
+      FROM documents GROUP BY source),
+    tot AS MATERIALIZED (
+      SELECT CAST(SUM(toks) AS BIGINT) AS toks_all,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM s),
+    ex AS MATERIALIZED (
+      SELECT s.source, s.n_docs, s.toks,
+             CAST(s.toks * 1000000 // s.n_docs AS BIGINT) AS mean_len_e6,
+             CAST(greatest(
+               s.toks * 1000000 // s.n_docs
+               - (SELECT SUM(toks) FROM s) * 1000000 // (SELECT SUM(n_docs) FROM s),
+               0) AS BIGINT) AS excess_e6
+      FROM s),
+    exn AS MATERIALIZED (
+      SELECT *,
+             CAST(excess_e6 * 1000000
+                  // greatest((SELECT MAX(excess_e6) FROM ex), 1)
+                  AS BIGINT) AS excess_n_e6
+      FROM ex),
+    w0 AS MATERIALIZED (
+      SELECT source, CAST(1000000 // (SELECT n_src FROM tot) AS BIGINT) AS w_e6
+      FROM exn),
+    {','.join(f'''
+    u{k} AS MATERIALIZED (
+      SELECT w.source,
+             CAST(w.w_e6 * (1000000 + {REWEIGHT_ETA_E6} * e.excess_n_e6 // 1000000)
+                  // 1000 AS BIGINT) AS wu
+      FROM w{k - 1} w JOIN exn e ON e.source = w.source),
+    w{k} AS MATERIALIZED (
+      SELECT source,
+             CAST(wu * 1000000 // (SELECT SUM(wu) FROM u{k}) AS BIGINT) AS w_e6
+      FROM u{k})''' for k in range(1, REWEIGHT_STEPS + 1))}
+    SELECT e.source, e.n_docs, e.toks, e.mean_len_e6, e.excess_n_e6,
+           w.w_e6 AS w_final_e6
+    FROM exn e JOIN w{REWEIGHT_STEPS} w ON w.source = e.source
+    """,
+)
+def mix_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting: starting from uniform domain
+    weights, run REWEIGHT_STEPS multiplicative-weights updates
+    w <- normalize(w * (1 + eta * excess)) where a domain's excess
+    signal is its max-normalized positive deviation of mean document
+    length from the corpus mean — the deterministic stand-in for the
+    proxy-model excess loss DoReMi (Xie et al. 2023) computes per
+    domain (the container has no trained models; the UPDATE RULE is
+    the operator, the signal column is pluggable).
+
+    Everything is exact int64 fixed-point (e6 units): the per-step
+    factor (1 + eta*excess) and the renormalization both use integer
+    floor division, so Spark and DuckDB agree bitwise with no exp()/
+    libm dependence — the same portability discipline as
+    mix_temperature_sampling's T=1/2 choice.
+
+    Scale shape: ONE corpus scan builds the per-source token/doc
+    rollup (map-side combinable); every subsequent step operates on
+    the SOURCE-domain relation (a handful of rows at any corpus size)
+    with 1-row normalizer broadcasts — the iterative chain costs
+    nothing at 100 TB because it never touches the corpus again."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens_col())).cast("bigint").alias("toks"),
+    )
+    tot = s.agg(
+        F.sum("toks").cast("bigint").alias("toks_all"),
+        F.sum("n_docs").cast("bigint").alias("docs_all"),
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+    )
+    ex = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "toks",
+        F.expr("toks * 1000000 div n_docs").cast("bigint").alias("mean_len_e6"),
+        F.expr(
+            "greatest(toks * 1000000 div n_docs"
+            " - toks_all * 1000000 div docs_all, 0)"
+        )
+        .cast("bigint")
+        .alias("excess_e6"),
+        "n_src",
+    )
+    exmax = ex.agg(F.max("excess_e6").alias("emax"))
+    exn = (
+        ex.crossJoin(F.broadcast(exmax))
+        .select(
+            "source",
+            "n_docs",
+            "toks",
+            "mean_len_e6",
+            F.expr("excess_e6 * 1000000 div greatest(emax, 1)")
+            .cast("bigint")
+            .alias("excess_n_e6"),
+            "n_src",
+        )
+        .localCheckpoint()
+    )
+    w = exn.select(
+        "source", F.expr("1000000 div n_src").cast("bigint").alias("w_e6")
+    )
+    for _ in range(REWEIGHT_STEPS):
+        u = w.join(exn.select("source", "excess_n_e6"), "source").select(
+            "source",
+            F.expr(
+                f"w_e6 * (1000000 + {REWEIGHT_ETA_E6} * excess_n_e6 div 1000000)"
+                " div 1000"
+            )
+            .cast("bigint")
+            .alias("wu"),
+        )
+        z = u.agg(F.sum("wu").cast("bigint").alias("zsum"))
+        w = u.crossJoin(F.broadcast(z)).select(
+            "source",
+            F.expr("wu * 1000000 div zsum").cast("bigint").alias("w_e6"),
+        )
+    return exn.select(
+        "source", "n_docs", "toks", "mean_len_e6", "excess_n_e6"
+    ).join(w.withColumnRenamed("w_e6", "w_final_e6"), "source")

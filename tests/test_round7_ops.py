@@ -203,3 +203,52 @@ def test_mmr_rerank_matches_numpy_reference(spark, sf_dir):
     # diversity property: selection order diverges from pure top-k
     topk = sorted(cand, key=lambda v: (-simq[v], v))[:MMR_K]
     assert [t[1] for t in trace] != topk
+
+
+def test_mix_domain_reweight_matches_python_reference(spark, sf_dir):
+    """Multiplicative-weights chain recomputed with plain-Python dict
+    arithmetic from the raw parquet, plus the monotonicity property:
+    domains with larger excess signal must end with weight >= the
+    uniform start, and weights must sum to ~1e6 (floor-division
+    shortfall < n_src units)."""
+    import metadata_extractors_api_spark as mdx
+    from metadata_extractors_api_spark.operators.training import (
+        REWEIGHT_ETA_E6,
+        REWEIGHT_STEPS,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    stats = {}
+    for r in rows:
+        toks = len(r["text"].split(" "))
+        n, t = stats.get(r["source"], (0, 0))
+        stats[r["source"]] = (n + 1, t + toks)
+    docs_all = sum(n for n, _ in stats.values())
+    toks_all = sum(t for _, t in stats.values())
+    corpus_mean = toks_all * 1_000_000 // docs_all
+    excess = {
+        s: max(t * 1_000_000 // n - corpus_mean, 0)
+        for s, (n, t) in stats.items()
+    }
+    emax = max(max(excess.values()), 1)
+    excess_n = {s: e * 1_000_000 // emax for s, e in excess.items()}
+    w = {s: 1_000_000 // len(stats) for s in stats}
+    for _ in range(REWEIGHT_STEPS):
+        u = {
+            s: w[s] * (1_000_000 + REWEIGHT_ETA_E6 * excess_n[s] // 1_000_000) // 1000
+            for s in stats
+        }
+        z = sum(u.values())
+        w = {s: u[s] * 1_000_000 // z for s in stats}
+
+    got = {
+        r["source"]: (r["n_docs"], r["toks"], r["excess_n_e6"], r["w_final_e6"])
+        for r in mdx.QUERIES["mix_domain_reweight"](spark, sf_dir).collect()
+    }
+    for s, (n, t) in stats.items():
+        assert got[s] == (n, t, excess_n[s], w[s]), s
+    total = sum(v[3] for v in got.values())
+    assert 1_000_000 - len(stats) < total <= 1_000_000
+    uniform = 1_000_000 // len(stats)
+    top = max(stats, key=lambda s: excess_n[s])
+    assert got[top][3] >= uniform
