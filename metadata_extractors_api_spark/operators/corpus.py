@@ -1983,3 +1983,146 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _top(auth, "auth", "authority").unionByName(
         _top(hub, "hub", "hub")
     )
+
+
+#: TextRank constants: damping 0.85 as 85/100 integer arithmetic,
+#: TR_SCALE fixed-point rank units, TR_ITERS unrolled iterations, and
+#: the top-K keyword report. Bound: rank <= TR_SCALE + 0.85 * vocab *
+#: TR_SCALE — int64-safe for any real vocabulary.
+TR_ITERS = 5
+TR_SCALE = 1_000_000
+TR_BASE = TR_SCALE * 15 // 100
+TR_TOP = 15
+
+
+def _textrank_oracle() -> str:
+    """Generated unrolled oracle: same weighted co-occurrence graph,
+    same TR_ITERS integer damped-rank steps (contribution per edge =
+    85% of rank apportioned by edge weight over weighted degree), same
+    top-K report."""
+    ctes = [
+        """toks AS MATERIALIZED (
+      SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+    pairs AS MATERIALIZED (
+      SELECT least(a, b) AS u, greatest(a, b) AS v,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                                     i -> {'a': tk[i], 'b': tk[i+1]})) AS p
+        FROM toks WHERE len(tk) >= 2)
+      , LATERAL (SELECT p['a'] AS a, p['b'] AS b) x
+      WHERE a <> b
+      GROUP BY 1, 2),
+    edges AS MATERIALIZED (
+      SELECT u AS src, v AS dst, w FROM pairs
+      UNION ALL
+      SELECT v AS src, u AS dst, w FROM pairs),
+    wdeg AS MATERIALIZED (
+      SELECT src, CAST(SUM(w) AS BIGINT) AS wd FROM edges GROUP BY src)""",
+        f"""r0 AS MATERIALIZED (
+      SELECT src AS node, CAST({TR_SCALE} AS BIGINT) AS rank FROM wdeg)""",
+    ]
+    for k in range(1, TR_ITERS + 1):
+        ctes.append(f"""c{k} AS MATERIALIZED (
+      SELECT e.dst AS node,
+             CAST(SUM((85 * ((r.rank * e.w) // d.wd)) // 100) AS BIGINT) AS c
+      FROM edges e
+      JOIN r{k - 1} r ON r.node = e.src
+      JOIN wdeg d ON d.src = e.src
+      GROUP BY e.dst)""")
+        ctes.append(f"""r{k} AS MATERIALIZED (
+      SELECT n.node, CAST({TR_BASE} + COALESCE(c.c, 0) AS BIGINT) AS rank
+      FROM r0 n LEFT JOIN c{k} c ON c.node = n.node)""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS token, rank AS rank_units, rk FROM (
+      SELECT node, rank,
+             CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS BIGINT) AS rk
+      FROM r{TR_ITERS})
+    WHERE rk <= {TR_TOP}"""
+    )
+
+
+@register("text_keyphrase_textrank", oracle=_textrank_oracle())
+def text_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): tokens are
+    nodes, adjacent co-occurrence counts are undirected edge weights,
+    and TR_ITERS damped-rank iterations (0.85, exact integer units)
+    score every token; the top-TR_TOP report is the corpus keyword
+    set — the graph-centrality complement to text_keyword_rake's
+    degree/frequency heuristic and text_tfidf_topk's frequency
+    contrast.
+
+    Exactness: rank mass lives in TR_SCALE integer units; each edge
+    contributes 85% of the source rank apportioned by edge weight over
+    weighted degree via the SAME floor-division composition in both
+    engines (generated unrolled oracle, the graph_pagerank discipline).
+
+    Scale shape: the co-occurrence census is one zip_with explode +
+    map-side-combinable groupBy over the corpus (done ONCE, reusing
+    the memoized _tokdocs_rel); every iteration then runs on the
+    VOCABULARY-sized graph — a join + aggregate in Pregel shape whose
+    cost is independent of corpus row count. Rank relation is
+    localCheckpointed per round."""
+    from metadata_extractors_api_spark.operators.llm import _tokdocs_rel
+
+    d = _tokdocs_rel(spark, sf_dir)
+    toked = d.select("tk").filter(F.size("tk") >= 2)
+    prs = toked.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                lambda a, b: F.struct(
+                    F.least(a, b).alias("u"), F.greatest(a, b).alias("v")
+                ),
+            )
+        ).alias("p")
+    ).filter(F.col("p.u") != F.col("p.v"))
+    pairs = (
+        prs.groupBy(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    edges = (
+        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionByName(
+            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+        )
+        .localCheckpoint()
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wd"))
+    edges_deg = edges.join(wdeg, "src").localCheckpoint()
+    nodes = wdeg.select(F.col("src").alias("node")).localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(TR_SCALE).cast("bigint"))
+    for _ in range(TR_ITERS):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst"),
+                F.expr("(85 * ((rank * w) div wd)) div 100")
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                (F.lit(TR_BASE) + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    top = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(TR_TOP)
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    return top.select(
+        F.col("node").alias("token"),
+        F.col("rank").alias("rank_units"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )

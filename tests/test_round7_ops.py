@@ -252,3 +252,49 @@ def test_mix_domain_reweight_matches_python_reference(spark, sf_dir):
     uniform = 1_000_000 // len(stats)
     top = max(stats, key=lambda s: excess_n[s])
     assert got[top][3] >= uniform
+
+
+def test_textrank_matches_python_reference(spark, sf_dir):
+    """TextRank recomputed with plain-Python dicts from the raw
+    parquet: adjacency census, weighted degrees, and the damped
+    integer iteration — independent of the Spark join/agg machinery."""
+    import metadata_extractors_api_spark as mdx
+    from metadata_extractors_api_spark.operators.corpus import (
+        TR_BASE,
+        TR_ITERS,
+        TR_SCALE,
+        TR_TOP,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    w = {}
+    for r in rows:
+        tk = r["text"].split(" ")
+        for a, b in zip(tk, tk[1:]):
+            if a == b:
+                continue
+            u, v = min(a, b), max(a, b)
+            w[(u, v)] = w.get((u, v), 0) + 1
+    edges = [(u, v, c) for (u, v), c in w.items()] + [
+        (v, u, c) for (u, v), c in w.items()
+    ]
+    wd = {}
+    for s, _, c in edges:
+        wd[s] = wd.get(s, 0) + c
+    rank = {n: TR_SCALE for n in wd}
+    for _ in range(TR_ITERS):
+        contrib = {}
+        for s, d, c in edges:
+            contrib[d] = contrib.get(d, 0) + (85 * ((rank[s] * c) // wd[s])) // 100
+        rank = {n: TR_BASE + contrib.get(n, 0) for n in wd}
+    want = [
+        (n, r, i + 1)
+        for i, (n, r) in enumerate(
+            sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:TR_TOP]
+        )
+    ]
+    got = [
+        (r["token"], r["rank_units"], r["rk"])
+        for r in mdx.QUERIES["text_keyphrase_textrank"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
