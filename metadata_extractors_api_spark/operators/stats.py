@@ -1499,3 +1499,126 @@ def dq_simpson_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "simpson_flag",
         )
     )
+
+
+@register(
+    "events_changepoint_binary",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS d,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1),
+    pre AS (
+      SELECT d, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY d) AS BIGINT) AS s1,
+             CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS n1
+      FROM daily),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily),
+    cand AS (
+      SELECT p.d, p.n1, t.n - p.n1 AS n2, p.s1, t.s - p.s1 AS s2,
+             p.s1 * (t.n - p.n1) - (t.s - p.s1) * p.n1 AS num,
+             p.n1 * (t.n - p.n1) * t.n AS den
+      FROM pre p, tot t
+      WHERE p.n1 < t.n),
+    scored AS (
+      SELECT d, n1, n2, s1, s2,
+             CAST((num * num // den) * 1000000
+                  + ((num * num % den) * 1000000) // den AS BIGINT)
+                 AS gain_e6
+      FROM cand)
+    SELECT CAST(d AS BIGINT) AS split_day, n1 AS n_left, n2 AS n_right,
+           CAST(s1 * 1000000 // n1 AS BIGINT) AS mean_left_e6,
+           CAST(s2 * 1000000 // n2 AS BIGINT) AS mean_right_e6,
+           gain_e6
+    FROM scored
+    ORDER BY gain_e6 DESC, split_day
+    LIMIT 1
+    """,
+)
+def events_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on the daily event-volume series
+    (the first split of binary segmentation / CUSUM's offline twin):
+    the day boundary tau maximizing the between-segment SSE reduction
+    gain(tau) = (S1*n2 - S2*n1)^2 / (n1*n2*n) — the exact-arithmetic
+    form of n1*n2/n * (mean1 - mean2)^2, evaluated for every prefix
+    and reported for the argmax with segment means.
+
+    Exactness: counts and prefix sums are integers; the gain quantizes
+    to e6 units via the two-term floor expansion (q*1e6 + (r*1e6)//den)
+    so no intermediate exceeds int64 as long as |num| <= 3e9 — guarded
+    in-plan with assert_true folded into the kept column (the
+    dq_ks_two_sample discipline; at the bound the series holds ~9e18
+    daily-count mass, far past any real event table's day grain).
+
+    Scale shape: ONE map-side-combinable groupBy collapses the corpus
+    to the calendar-day series; the window prefix sums and the argmax
+    run over that day-grain relation (allowlisted bounded global
+    window, like orders_backlog_sweepline), and the report is
+    TakeOrdered-1. At 100 TB only the day rollup touches data."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wr = Window.orderBy("d")
+    pre = daily.select(
+        "d",
+        F.sum("cnt").over(w).cast("bigint").alias("s1"),
+        F.row_number().over(wr).cast("bigint").alias("n1"),
+    )
+    tot = daily.agg(
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(F.col("n1") < F.col("n"))
+        .select(
+            "d",
+            "n1",
+            (F.col("n") - F.col("n1")).alias("n2"),
+            "s1",
+            (F.col("s") - F.col("s1")).alias("s2"),
+            (
+                F.col("s1") * (F.col("n") - F.col("n1"))
+                - (F.col("s") - F.col("s1")) * F.col("n1")
+            ).alias("num"),
+            (F.col("n1") * (F.col("n") - F.col("n1")) * F.col("n")).alias("den"),
+        )
+    )
+    guard = F.assert_true(
+        F.abs(F.col("num")) <= F.lit(3_000_000_000).cast("bigint"),
+        F.lit(
+            "events_changepoint_binary: |S1*n2 - S2*n1| > 3e9 — num^2 "
+            "would overflow int64; rescale counts (e.g. per-1k units) "
+            "before the gain expansion"
+        ),
+    )
+    scored = cand.select(
+        "d",
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        F.when(
+            guard.isNull(),
+            (F.expr("(num * num div den) * 1000000")
+             + F.expr("((num * num % den) * 1000000) div den")),
+        )
+        .cast("bigint")
+        .alias("gain_e6"),
+    )
+    return (
+        scored.orderBy(F.desc("gain_e6"), F.asc("d"))
+        .limit(1)
+        .select(
+            F.col("d").cast("bigint").alias("split_day"),
+            F.col("n1").alias("n_left"),
+            F.col("n2").alias("n_right"),
+            F.expr("s1 * 1000000 div n1").cast("bigint").alias("mean_left_e6"),
+            F.expr("s2 * 1000000 div n2").cast("bigint").alias("mean_right_e6"),
+            "gain_e6",
+        )
+    )

@@ -298,3 +298,41 @@ def test_textrank_matches_python_reference(spark, sf_dir):
         for r in mdx.QUERIES["text_keyphrase_textrank"](spark, sf_dir).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+def test_changepoint_matches_numpy_sse_argmax(spark, sf_dir):
+    """The chosen split recomputed from the SSE DEFINITION with numpy:
+    for every candidate split of the daily-count series, compute
+    SSE_total - (SSE_left + SSE_right) in floats and check the
+    operator's integer-argmax day maximizes it (and the reported
+    means/gain match the direct construction)."""
+    import numpy as np
+
+    import metadata_extractors_api_spark as mdx
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts").collect()
+    days = {}
+    for r in ev:
+        d = int(r["ts"].timestamp() * 1e6) // 86_400_000_000
+        days[d] = days.get(d, 0) + 1
+    ds = sorted(days)
+    cnt = np.array([days[d] for d in ds], dtype=np.float64)
+    n = len(cnt)
+
+    def sse(x):
+        return float(((x - x.mean()) ** 2).sum()) if len(x) else 0.0
+
+    total = sse(cnt)
+    gains = [total - sse(cnt[: i + 1]) - sse(cnt[i + 1 :]) for i in range(n - 1)]
+    best = int(np.argmax(gains))
+
+    row = mdx.QUERIES["events_changepoint_binary"](spark, sf_dir).collect()[0]
+    assert row["split_day"] == ds[best]
+    assert row["n_left"] == best + 1
+    assert row["n_right"] == n - best - 1
+    s1 = int(cnt[: best + 1].sum())
+    s2 = int(cnt[best + 1 :].sum())
+    assert row["mean_left_e6"] == s1 * 1_000_000 // (best + 1)
+    assert row["mean_right_e6"] == s2 * 1_000_000 // (n - best - 1)
+    # the e6 gain agrees with the float SSE reduction to quantization
+    assert abs(row["gain_e6"] / 1e6 - gains[best]) < 1e-3

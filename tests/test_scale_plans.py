@@ -457,6 +457,9 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "orders_open_backlog": {"d"},  # calendar days of history
     "orders_yoy_growth": {"month"},  # calendar months of history
     "sample_stratified_neyman": {"rem,source"},  # rank over strata domain
+    "events_changepoint_binary": {"d"},  # calendar days of history
+    "graph_hits": {"auth,node", "hub,node"},  # rank over top-10 reports
+    "text_keyphrase_textrank": {"node,rank"},  # rank over top-15 report
 }
 
 
