@@ -1622,3 +1622,271 @@ def events_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gain_e6",
         )
     )
+
+
+#: Count-min sketch geometry: CMS_D independent md5-salted hash rows
+#: of CMS_W buckets. Collision noise at sf0.1 ~ n_rows/CMS_W ~ 150;
+#: the operator's contract is the sketch INVARIANT (est >= true) and
+#: exact cross-engine replay, not tightness at toy scale.
+CMS_D = 3
+CMS_W = 1024
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    oracle=f"""
+    WITH exact AS MATERIALIZED (
+      SELECT CAST(o_custkey AS VARCHAR) AS key,
+             CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM orders GROUP BY 1),
+    buckets AS MATERIALIZED (
+      SELECT d.d,
+             ('0x' || substr(md5('cms' || CAST(d.d AS VARCHAR) || ':' || key),
+                             1, 8))::BIGINT % {CMS_W} AS bucket,
+             CAST(SUM(true_cnt) AS BIGINT) AS total
+      FROM exact, (SELECT unnest(range(0, {CMS_D})) AS d) d
+      GROUP BY 1, 2),
+    top AS MATERIALIZED (
+      SELECT key, true_cnt FROM exact
+      ORDER BY true_cnt DESC, key LIMIT 10),
+    est AS (
+      SELECT t.key, t.true_cnt, CAST(MIN(b.total) AS BIGINT) AS est_cnt
+      FROM top t, (SELECT unnest(range(0, {CMS_D})) AS d) d
+      JOIN buckets b
+        ON b.d = d.d
+       AND b.bucket = ('0x' || substr(md5('cms' || CAST(d.d AS VARCHAR)
+                                          || ':' || t.key), 1, 8))::BIGINT
+                      % {CMS_W}
+      GROUP BY 1, 2)
+    SELECT key, true_cnt, est_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS overest
+    FROM est
+    """,
+)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: CMS_D md5-salted hash rows of
+    CMS_W counters absorb the per-customer order counts; the top-10
+    true keys are then point-queried from the sketch (min over rows)
+    and reported next to their exact counts with the guaranteed
+    one-sided error (overest >= 0 ALWAYS — the CMS invariant, asserted
+    in tests). This is the streaming-memory answer to 'top keys over
+    an unbounded key domain' — the sketch is CMS_D*CMS_W integers no
+    matter how many distinct keys exist.
+
+    Portability: the hash is the engine-portable md5-prefix integer
+    (token_hash32 discipline), bucket totals and minima are exact
+    integers, so both engines build the IDENTICAL sketch.
+
+    Scale shape: one map-side-combinable exact rollup per key (the
+    standard pre-aggregation — sketch updates commute with it), then
+    the sketch build is a CMS_D-way explode of the KEY-domain relation
+    into (row, bucket) sums — domain-sized, not corpus-sized; the
+    point-query joins a LIMIT-10 relation against the 3k-row sketch."""
+    o = load(spark, sf_dir, "orders")
+    exact = o.groupBy(
+        F.col("o_custkey").cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    exact = exact.localCheckpoint()
+
+    def bucket(d: int, key):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), key)), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_W
+        )
+
+    sketch = None
+    for d in range(CMS_D):
+        b = exact.select(
+            F.lit(d).alias("d"),
+            bucket(d, F.col("key")).alias("bucket"),
+            "true_cnt",
+        )
+        sketch = b if sketch is None else sketch.unionByName(b)
+    sketch = sketch.groupBy("d", "bucket").agg(
+        F.sum("true_cnt").cast("bigint").alias("total")
+    )
+    top = exact.orderBy(F.desc("true_cnt"), F.asc("key")).limit(10)
+    probes = None
+    for d in range(CMS_D):
+        p = top.select(
+            "key",
+            "true_cnt",
+            F.lit(d).alias("d"),
+            bucket(d, F.col("key")).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(sketch, ["d", "bucket"])
+        .groupBy("key", "true_cnt")
+        .agg(F.min("total").cast("bigint").alias("est_cnt"))
+    )
+    return est.select(
+        "key",
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("overest"),
+    )
+
+
+#: Portable HyperLogLog geometry: HLL_M md5-bucketed registers over a
+#: 52-bit hash remainder; the harmonic sum is kept as the EXACT
+#: integer sum of 2^(50 - M_j) (empty register -> 2^50), so the
+#: register state and sum are hash-identical cross-engine, and only
+#: the final estimate performs one fixed-order double division.
+HLL_M = 256
+HLL_ALPHA_NUM = 718272.0  # alpha_256 * 1e6 = 0.7213/(1+1.079/256) * 1e6
+
+# Linear-counting lookup for the small-range correction, generated in
+# Python ONCE and embedded as the same integer literals in BOTH engines
+# so no libm ln() runs at query time: LC[V] = round(m * ln(m / V)) for
+# V empty registers (1-indexed).
+import math as _math
+
+HLL_LC_LUT = [
+    round(HLL_M * _math.log(HLL_M / v)) for v in range(1, HLL_M)
+]
+
+
+def _hll_lut_sql() -> str:
+    return "[" + ", ".join(str(x) for x in HLL_LC_LUT) + "]"
+
+
+@register(
+    "agg_hll_distinct",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+      SELECT DISTINCT
+             ('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)),
+                             1, 15))::BIGINT AS hv
+      FROM orders),
+    reg AS MATERIALIZED (
+      SELECT hv % {HLL_M} AS bucket,
+             CAST(MAX(CASE WHEN hv // {HLL_M} = 0 THEN 53
+                      ELSE 52 - length(bin(hv // {HLL_M})) + 1 END)
+                  AS BIGINT) AS mj
+      FROM h GROUP BY 1),
+    terms AS (
+      SELECT b.bucket,
+             CAST(CASE WHEN r.mj IS NULL THEN 1125899906842624
+                  ELSE 2 ** greatest(50 - r.mj, 0) END AS BIGINT) AS term,
+             CASE WHEN r.mj IS NULL THEN 0 ELSE 1 END AS filled
+      FROM (SELECT unnest(range(0, {HLL_M})) AS bucket) b
+      LEFT JOIN reg r ON r.bucket = b.bucket),
+    s AS (
+      SELECT CAST(SUM(term) AS BIGINT) AS sum_scaled,
+             CAST(SUM(filled) AS BIGINT) AS n_filled
+      FROM terms),
+    ex AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+           FROM orders),
+    raw AS (
+      SELECT s.n_filled, s.sum_scaled, ex.n_exact,
+             CAST(round(CAST({int(HLL_ALPHA_NUM)} AS DOUBLE)
+                        * {HLL_M} * {HLL_M}
+                        * CAST(1125899906842624 AS DOUBLE)
+                        / (CAST(1000000 AS DOUBLE)
+                           * CAST(s.sum_scaled AS DOUBLE)), 0)
+                  AS BIGINT) AS est_raw
+      FROM s, ex)
+    SELECT {HLL_M} AS m, n_exact, n_filled, sum_scaled,
+           CAST(CASE WHEN est_raw <= {HLL_M * 5 // 2}
+                      AND {HLL_M} - n_filled > 0
+                THEN ({_hll_lut_sql()})[({HLL_M} - n_filled)::INT]
+                ELSE est_raw END AS BIGINT) AS est
+    FROM raw
+    """,
+)
+def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-count estimate over
+    o_custkey, reported next to the exact distinct for calibration:
+    md5-derived 60-bit hashes split into HLL_M register buckets + a
+    52-bit remainder whose leading-zero rank (exact integer
+    bit-length, the graph_degree_stats technique) feeds max-registers;
+    the harmonic denominator is the EXACT integer sum of 2^(50-M_j),
+    so the entire sketch state matches bitwise across engines and the
+    one double division at the end is fixed-order. Unlike Spark's
+    native approx_count_distinct (whose HLL++ register layout no
+    other engine reproduces), this sketch is the portable contract —
+    registers could be exported, merged across partitions or engines,
+    and re-estimated anywhere.
+
+    Scale shape: one distinct-hash pass (map-side combinable), a
+    register rollup bounded at HLL_M rows, and a constant-size
+    estimate row. Registers merge by MAX — the commutative property
+    that makes HLL the standard distributed/streaming cardinality
+    sketch."""
+    o = load(spark, sf_dir, "orders")
+    h = o.select(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll:"), F.col("o_custkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv")
+    ).distinct()
+    reg = h.groupBy((F.col("hv") % HLL_M).alias("bucket")).agg(
+        F.max(
+            F.expr(
+                f"CASE WHEN hv div {HLL_M} = 0 THEN 53 "
+                f"ELSE 52 - length(bin(hv div {HLL_M})) + 1 END"
+            )
+        )
+        .cast("bigint")
+        .alias("mj")
+    )
+    buckets = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    terms = buckets.join(reg, "bucket", "left").select(
+        F.when(F.col("mj").isNull(), F.lit(1125899906842624).cast("bigint"))
+        .otherwise(
+            F.expr("CAST(power(2, greatest(50 - mj, 0)) AS BIGINT)")
+        )
+        .alias("term"),
+        F.when(F.col("mj").isNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+            "filled"
+        ),
+    )
+    s = terms.agg(
+        F.sum("term").cast("bigint").alias("sum_scaled"),
+        F.sum("filled").cast("bigint").alias("n_filled"),
+    )
+    ex = o.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    raw = s.crossJoin(F.broadcast(ex)).select(
+        "n_exact",
+        "n_filled",
+        "sum_scaled",
+        F.round(
+            F.lit(HLL_ALPHA_NUM)
+            * HLL_M
+            * HLL_M
+            * F.lit(1125899906842624.0)
+            / (F.lit(1000000.0) * F.col("sum_scaled").cast("double")),
+            0,
+        )
+        .cast("bigint")
+        .alias("est_raw"),
+    )
+    lut = F.array(*[F.lit(x).cast("bigint") for x in HLL_LC_LUT])
+    return raw.select(
+        F.lit(HLL_M).cast("bigint").alias("m"),
+        "n_exact",
+        "n_filled",
+        "sum_scaled",
+        F.when(
+            (F.col("est_raw") <= F.lit(HLL_M * 5 // 2))
+            & (F.lit(HLL_M) - F.col("n_filled") > 0),
+            F.element_at(lut, (F.lit(HLL_M) - F.col("n_filled")).cast("int")),
+        )
+        .otherwise(F.col("est_raw"))
+        .cast("bigint")
+        .alias("est"),
+    )

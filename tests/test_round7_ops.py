@@ -336,3 +336,75 @@ def test_changepoint_matches_numpy_sse_argmax(spark, sf_dir):
     assert row["mean_right_e6"] == s2 * 1_000_000 // (n - best - 1)
     # the e6 gain agrees with the float SSE reduction to quantization
     assert abs(row["gain_e6"] / 1e6 - gains[best]) < 1e-3
+
+
+def test_cms_invariant_and_python_reference(spark, sf_dir):
+    """The CMS one-sided error invariant (est >= true for EVERY
+    reported key) plus a full plain-Python sketch replay from raw
+    parquet counts."""
+    import hashlib
+
+    import metadata_extractors_api_spark as mdx
+    from metadata_extractors_api_spark.operators.stats import CMS_D, CMS_W
+
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey").collect()
+    true = {}
+    for r in rows:
+        k = str(r["o_custkey"])
+        true[k] = true.get(k, 0) + 1
+
+    def bucket(d, key):
+        return int(hashlib.md5(f"cms{d}:{key}".encode()).hexdigest()[:8], 16) % CMS_W
+
+    sketch = [[0] * CMS_W for _ in range(CMS_D)]
+    for k, c in true.items():
+        for d in range(CMS_D):
+            sketch[d][bucket(d, k)] += c
+    top = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want = {
+        k: (c, min(sketch[d][bucket(d, k)] for d in range(CMS_D)))
+        for k, c in top
+    }
+    got = {
+        r["key"]: (r["true_cnt"], r["est_cnt"], r["overest"])
+        for r in mdx.QUERIES["agg_cms_heavy_hitters"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (tc, ec, ov) in got.items():
+        assert (tc, ec) == want[k]
+        assert ov == ec - tc
+        assert ov >= 0  # the CMS invariant
+
+
+def test_hll_python_reference_and_error_bound(spark, sf_dir):
+    """Portable-HLL registers replayed in plain Python from raw
+    parquet; the estimate must also land within 3 standard errors
+    (1.04/sqrt(m)) of the exact distinct — the HLL accuracy contract."""
+    import hashlib
+
+    import metadata_extractors_api_spark as mdx
+    from metadata_extractors_api_spark.operators.stats import HLL_LC_LUT, HLL_M
+
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey").collect()
+    keys = {str(r["o_custkey"]) for r in rows}
+    regs = {}
+    for k in keys:
+        hv = int(hashlib.md5(f"hll:{k}".encode()).hexdigest()[:15], 16)
+        b, rest = hv % HLL_M, hv // HLL_M
+        mj = 53 if rest == 0 else 52 - rest.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), mj)
+    sum_scaled = sum(
+        2 ** max(50 - regs[b], 0) if b in regs else 2**50 for b in range(HLL_M)
+    )
+    est = round(718272.0 * HLL_M * HLL_M * float(2**50) / (1e6 * float(sum_scaled)))
+    empty = HLL_M - len(regs)
+    if est <= HLL_M * 5 // 2 and empty > 0:
+        est = HLL_LC_LUT[empty - 1]  # linear-counting small-range branch
+
+    row = mdx.QUERIES["agg_hll_distinct"](spark, sf_dir).collect()[0]
+    assert row["n_exact"] == len(keys)
+    assert row["n_filled"] == len(regs)
+    assert row["sum_scaled"] == sum_scaled
+    assert row["est"] == est
+    rel_err = abs(row["est"] - len(keys)) / len(keys)
+    assert rel_err < 3 * 1.04 / (HLL_M ** 0.5), rel_err
