@@ -1890,3 +1890,121 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est"),
     )
+
+
+def hll_registers(df: DataFrame, key_col: str) -> DataFrame:
+    """(bucket, mj) relation for the portable HLL over df[key_col]
+    (cast to string) — shared by agg_hll_distinct and the streaming
+    twin so the register layout cannot fork between batch and stream.
+    Duplicate keys are harmless: registers aggregate by MAX."""
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("hll:"), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.select(hv.alias("hv")).select(
+        (F.col("hv") % HLL_M).alias("bucket"),
+        F.expr(
+            f"CASE WHEN hv div {HLL_M} = 0 THEN 53 "
+            f"ELSE 52 - length(bin(hv div {HLL_M})) + 1 END"
+        )
+        .cast("bigint")
+        .alias("mj"),
+    )
+
+
+def hll_estimate(spark: SparkSession, reg: DataFrame) -> DataFrame:
+    """Fold an aggregated register relation (bucket, mj) into the
+    (n_filled, sum_scaled, est) estimate row — the exact-integer
+    harmonic sum, the fixed-order double division, and the embedded
+    linear-counting lookup, identical to agg_hll_distinct's tail."""
+    buckets = spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    terms = buckets.join(reg, "bucket", "left").select(
+        F.when(F.col("mj").isNull(), F.lit(1125899906842624).cast("bigint"))
+        .otherwise(F.expr("CAST(power(2, greatest(50 - mj, 0)) AS BIGINT)"))
+        .alias("term"),
+        F.when(F.col("mj").isNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+            "filled"
+        ),
+    )
+    s = terms.agg(
+        F.sum("term").cast("bigint").alias("sum_scaled"),
+        F.sum("filled").cast("bigint").alias("n_filled"),
+    )
+    raw = s.select(
+        "n_filled",
+        "sum_scaled",
+        F.round(
+            F.lit(HLL_ALPHA_NUM)
+            * HLL_M
+            * HLL_M
+            * F.lit(1125899906842624.0)
+            / (F.lit(1000000.0) * F.col("sum_scaled").cast("double")),
+            0,
+        )
+        .cast("bigint")
+        .alias("est_raw"),
+    )
+    lut = F.array(*[F.lit(x).cast("bigint") for x in HLL_LC_LUT])
+    return raw.select(
+        "n_filled",
+        "sum_scaled",
+        F.when(
+            (F.col("est_raw") <= F.lit(HLL_M * 5 // 2))
+            & (F.lit(HLL_M) - F.col("n_filled") > 0),
+            F.element_at(lut, (F.lit(HLL_M) - F.col("n_filled")).cast("int")),
+        )
+        .otherwise(F.col("est_raw"))
+        .cast("bigint")
+        .alias("est"),
+    )
+
+
+def hll_oracle_sql(key_sql: str, table: str) -> str:
+    """The DuckDB rendering of registers+estimate for key expression
+    ``key_sql`` over ``table`` — shared so batch and stream oracles
+    are one text."""
+    return f"""
+    WITH h AS MATERIALIZED (
+      SELECT DISTINCT
+             ('0x' || substr(md5('hll:' || CAST({key_sql} AS VARCHAR)),
+                             1, 15))::BIGINT AS hv
+      FROM {table}),
+    reg AS MATERIALIZED (
+      SELECT hv % {HLL_M} AS bucket,
+             CAST(MAX(CASE WHEN hv // {HLL_M} = 0 THEN 53
+                      ELSE 52 - length(bin(hv // {HLL_M})) + 1 END)
+                  AS BIGINT) AS mj
+      FROM h GROUP BY 1),
+    terms AS (
+      SELECT CAST(CASE WHEN r.mj IS NULL THEN 1125899906842624
+                  ELSE 2 ** greatest(50 - r.mj, 0) END AS BIGINT) AS term,
+             CASE WHEN r.mj IS NULL THEN 0 ELSE 1 END AS filled
+      FROM (SELECT unnest(range(0, {HLL_M})) AS bucket) b
+      LEFT JOIN reg r ON r.bucket = b.bucket),
+    s AS (
+      SELECT CAST(SUM(term) AS BIGINT) AS sum_scaled,
+             CAST(SUM(filled) AS BIGINT) AS n_filled
+      FROM terms),
+    ex AS (SELECT CAST(COUNT(DISTINCT {key_sql}) AS BIGINT) AS n_exact
+           FROM {table}),
+    raw AS (
+      SELECT s.n_filled, s.sum_scaled, ex.n_exact,
+             CAST(round(CAST({int(HLL_ALPHA_NUM)} AS DOUBLE)
+                        * {HLL_M} * {HLL_M}
+                        * CAST(1125899906842624 AS DOUBLE)
+                        / (CAST(1000000 AS DOUBLE)
+                           * CAST(s.sum_scaled AS DOUBLE)), 0)
+                  AS BIGINT) AS est_raw
+      FROM s, ex)
+    SELECT {HLL_M} AS m, n_exact, n_filled, sum_scaled,
+           CAST(CASE WHEN est_raw <= {HLL_M * 5 // 2}
+                      AND {HLL_M} - n_filled > 0
+                THEN ({_hll_lut_sql()})[({HLL_M} - n_filled)::INT]
+                ELSE est_raw END AS BIGINT) AS est
+    FROM raw
+    """

@@ -888,3 +888,57 @@ def _pattern_funnel_serve(updates: DataFrame) -> DataFrame:
             F.col("s").rlike(FUNNEL_PATTERN).alias("matched"),
         )
     )
+
+
+from metadata_extractors_api_spark.operators.stats import hll_oracle_sql
+
+
+@register(
+    "stream_hll_distinct",
+    oracle=hll_oracle_sql("user_id", "events"),
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_hll_distinct over events.user_id: each
+    micro-batch folds its rows into the portable HLL register layout
+    (bucket, leading-zero rank) and a STREAMING groupBy(bucket).max(mj)
+    maintains the registers across batches — demonstrating the
+    property that makes HLL the standard streaming cardinality sketch:
+    registers merge by MAX, so micro-batch boundaries are invisible to
+    the final state. The drained register table feeds the same
+    estimate fold as the batch operator (shared hll_estimate), and the
+    result must equal the batch sketch over the full table exactly —
+    enforced by the shared oracle text (hll_oracle_sql) in the
+    registry.
+
+    Scale shape: streaming state is HLL_M rows REGARDLESS of stream
+    volume or key cardinality — the bounded-state contrast to
+    stream_dedup's watermark-bounded exact state."""
+    from metadata_extractors_api_spark.operators.stats import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = _events_stream_batched(spark, sf_dir).select("user_id")
+    regs_stream = hll_registers(ev, "user_id").groupBy("bucket").agg(
+        F.max("mj").cast("bigint").alias("mj")
+    )
+    updates = _run_to_table(regs_stream, spark, "update")
+    # update-mode sink keeps one row per bucket per batch it changed
+    # in; register maxima are monotone, so the final register is the
+    # per-bucket max across updates.
+    reg = updates.groupBy("bucket").agg(F.max("mj").alias("mj"))
+    est = hll_estimate(spark, reg)
+    from metadata_extractors_api_spark.catalog import load
+
+    ex = (
+        load(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        F.lit(HLL_M).cast("bigint").alias("m"),
+        "n_exact",
+        "n_filled",
+        "sum_scaled",
+        "est",
+    )
