@@ -4419,3 +4419,95 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         trace, "rk bigint, vec_id bigint, simq_e6 bigint, mmr10_e6 bigint"
     )
+
+
+#: Patch-pool grid: PPOOL_G x PPOOL_G patches; patch index for a pixel
+#: row is (row * G) // h — the exact integer convention both engines
+#: replay (uneven dims spread the remainder across patches).
+PPOOL_G = 4
+
+
+@register(
+    "multimodal_patch_pool",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS L, {_PPM_W} AS w, {_PPM_H} AS h
+      FROM documents WHERE doc_id < {_PIXEL_ORACLE_DOCS}),
+    flat AS (
+      SELECT doc_id, text, L, w, h, unnest(range(0, 3 * w * h)) AS j FROM d),
+    px AS (
+      SELECT doc_id,
+             (((j // 3) // w) * {PPOOL_G} // h) * {PPOOL_G}
+               + (((j // 3) % w) * {PPOOL_G} // w) AS pid,
+             (ascii(substr(text, CAST((j * 31 + 7) % L AS INT) + 1, 1))
+              + j) % 256 AS val
+      FROM flat),
+    pooled AS (
+      SELECT doc_id, CAST(pid AS INT) AS pid,
+             CAST(COUNT(*) // 3 AS BIGINT) AS n_px,
+             CAST(SUM(val) AS BIGINT) AS sum_rgb
+      FROM px GROUP BY doc_id, pid)
+    SELECT doc_id, pid, n_px, sum_rgb,
+           CAST(sum_rgb * 100 // (3 * n_px) AS BIGINT) AS mean_gray_e2
+    FROM pooled
+    """,
+)
+def multimodal_patch_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPOOL_G x PPOOL_G average-pooled patch grid over REAL decoded
+    pixels — the downscale fingerprint / vision-tower preprocessor
+    step that turns an image column into a fixed-length pooled feature
+    vector (each row is one patch: pixel count, channel-sum mass, and
+    integer mean gray in e2 units). The 16-cell grid generalizes
+    multimodal_tile_stats' 2x2 quadrants to the batch shape a
+    patch-embedding model consumes, and the pooled vector is the input
+    every cheap visual near-dup (downscale-and-compare) runs on.
+
+    Patch assignment is exact integer arithmetic — pixel row r maps to
+    patch row (r*G)//h, so uneven dimensions spread remainder lines
+    deterministically and the oracle replays the SAME formula per
+    pixel from the raster generator. Sums are exact int64; mean gray
+    quantizes by floor to e2.
+
+    Scale shape: one Arrow-batched mapInPandas pass (numpy bincount
+    per image — no per-pixel Python), output 16 rows/image; the
+    pixel-replay oracle bounds the checked slice to _PIXEL_ORACLE_DOCS
+    while the stage itself is corpus-capable (the multimodal family
+    contract)."""
+
+    def pool_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = PPOOL_G
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "pid", "n_px", "sum_rgb")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                px = decode_image(_ppm_payload(text))["pixels"].astype(np.int64)
+                h, w, _ = px.shape
+                pr = (np.arange(h) * g) // h
+                pc = (np.arange(w) * g) // w
+                pid = (pr[:, None] * g + pc[None, :]).ravel()
+                gray = px.sum(axis=2).ravel()  # r+g+b per pixel
+                n_px = np.bincount(pid, minlength=g * g)
+                sum_rgb = np.bincount(pid, weights=gray, minlength=g * g)
+                for p in range(g * g):
+                    out["doc_id"].append(doc_id)
+                    out["pid"].append(p)
+                    out["n_px"].append(int(n_px[p]))
+                    out["sum_rgb"].append(int(sum_rgb[p]))
+            yield pd.DataFrame(out)
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _PIXEL_ORACLE_DOCS)
+        .select("doc_id", "text")
+    )
+    pooled = d.mapInPandas(
+        pool_batches, "doc_id long, pid int, n_px long, sum_rgb long"
+    )
+    return pooled.select(
+        "doc_id",
+        "pid",
+        "n_px",
+        "sum_rgb",
+        F.expr("sum_rgb * 100 div (3 * n_px)").cast("bigint").alias(
+            "mean_gray_e2"
+        ),
+    )
