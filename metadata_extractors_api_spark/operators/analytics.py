@@ -1741,3 +1741,72 @@ def events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_micro"),
     )
+
+
+@register(
+    "scd2_build_history",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    eff AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ch
+      WHERE prev_type IS NULL OR event_type <> prev_type),
+    v AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS valid_from_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               AS valid_to_us,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS version
+      FROM eff)
+    SELECT user_id, event_type AS state, valid_from_us, valid_to_us,
+           version, valid_to_us IS NULL AS is_current
+    FROM v
+    """,
+)
+def scd2_build_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Type-2 slowly-changing-dimension history from a change
+    stream: per user, consecutive duplicate states are suppressed
+    (no-op change compression — the step that distinguishes SCD2
+    building from a raw lag/lead window), and each surviving state
+    change becomes a versioned validity interval [valid_from,
+    valid_to) with the open current row flagged. This is the WRITE
+    side of join_scd2_asof (analytics.py) — together they close the
+    dimension-versioning loop: build the history here, point-in-time
+    join against it there.
+
+    Deterministic through the (ts, event_id) total order; timestamps
+    exported as exact epoch microseconds (the DATE/TIMESTAMP-free
+    oracle discipline).
+
+    Scale shape: both windows and the suppression filter share ONE
+    user-partitioned sort exchange (the sessionize profile); no
+    global window, no join. At 100 TB this is a single keyed
+    shuffle — the standard SCD2 nightly build."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    eff = ch.filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return eff.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    ).withColumn("is_current", F.col("valid_to_us").isNull())

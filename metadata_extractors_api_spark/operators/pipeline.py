@@ -1207,3 +1207,149 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("component"),
         "eigval",
     )
+
+
+@register(
+    "dedup_cluster_medoid",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pairs_ctes().strip().removeprefix("WITH ")},
+    nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM mh_pairs
+        UNION ALL SELECT doc_b FROM mh_pairs)),
+    cedges AS (
+      SELECT doc_a AS u, doc_b AS v FROM mh_pairs
+      UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+    walk(u, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.u, w.lbl FROM cedges e JOIN walk w ON w.u = e.v),
+    comp AS (
+      SELECT u AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY u),
+    mexs AS (SELECT doc_id, unnest(shingle_list) AS shingle FROM sh),
+    mszs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM mexs JOIN comp USING (doc_id) GROUP BY doc_id),
+    mprs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.component_id AS c
+            FROM comp a JOIN comp b
+              ON a.component_id = b.component_id AND a.doc_id < b.doc_id),
+    minter AS (SELECT p.da, p.db, CAST(COUNT(*) AS BIGINT) AS i
+              FROM mprs p
+              JOIN mexs ea ON ea.doc_id = p.da
+              JOIN mexs eb ON eb.doc_id = p.db AND eb.shingle = ea.shingle
+              GROUP BY 1, 2),
+    mpd AS (SELECT p.da, p.db, p.c,
+                  CAST(1000000 - (COALESCE(i.i, 0) * 1000000)
+                       // (sa.n + sb.n - COALESCE(i.i, 0)) AS BIGINT)
+                      AS dist_e6
+           FROM mprs p
+           LEFT JOIN minter i ON i.da = p.da AND i.db = p.db
+           JOIN mszs sa ON sa.doc_id = p.da
+           JOIN mszs sb ON sb.doc_id = p.db),
+    mdsum AS (SELECT c AS component_id, doc_id,
+                    CAST(SUM(dist_e6) AS BIGINT) AS sum_dist_e6
+             FROM (SELECT c, da AS doc_id, dist_e6 FROM mpd
+                   UNION ALL SELECT c, db, dist_e6 FROM mpd)
+             GROUP BY 1, 2),
+    mnm AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM comp GROUP BY 1),
+    mrk AS (SELECT component_id, doc_id, sum_dist_e6,
+                  ROW_NUMBER() OVER (PARTITION BY component_id
+                                     ORDER BY sum_dist_e6, doc_id) AS rn
+           FROM mdsum)
+    SELECT r.component_id, r.doc_id AS medoid_doc_id, n.n_members,
+           r.sum_dist_e6
+    FROM mrk r JOIN mnm n USING (component_id) WHERE rn = 1
+    """,
+)
+def dedup_cluster_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection by CENTRALITY: per duplicate
+    family (connected components over the minhash pairs), the medoid —
+    the member minimizing total exact-Jaccard distance to its family —
+    becomes the keeper. This completes the keeper-policy pair with
+    dedup_keep_best (which picks by an external quality score): medoid
+    keeps the most REPRESENTATIVE text, keep_best the highest-quality
+    one; real pipelines choose per corpus.
+
+    Distances are exact shingle-set Jaccard (1e6 - floor(i*1e6/union))
+    over the memoized _shingle_rel, computed only WITHIN families —
+    the component structure bounds the all-pairs work to duplicate
+    clusters (tiny by construction: a family is a near-dup clique
+    neighborhood, not the corpus). Tie-break (sum_dist, doc_id) makes
+    the keeper deterministic.
+
+    Scale shape: the family self-join is an equi-join on component_id
+    (never data x data); the intersection count reuses the shingle
+    relation's equi-join machinery from dedup_jaccard_prefix's verify
+    phase; the per-family argmin is a KEYED window. Pathological giant
+    families (boilerplate corpora) surface as skewed component keys —
+    the same AQE skew-join territory the jaccard verify documents."""
+    from metadata_extractors_api_spark.operators.llm import _shingle_rel
+
+    comp = dedup_components(spark, sf_dir).localCheckpoint()
+    ex = _shingle_rel(spark, sf_dir).join(
+        comp.select("doc_id"), "doc_id", "left_semi"
+    )
+    szs = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = comp.select(
+        F.col("doc_id").alias("da"), F.col("component_id").alias("c")
+    )
+    b = comp.select(
+        F.col("doc_id").alias("db"), F.col("component_id").alias("c2")
+    )
+    prs = a.join(b, (a.c == b.c2) & (a.da < b.db)).select("da", "db", "c")
+    ea = ex.withColumnsRenamed({"doc_id": "da"})
+    eb = ex.withColumnsRenamed({"doc_id": "db"})
+    inter = (
+        prs.join(ea, "da")
+        .join(eb, ["db", "shingle"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sa = szs.withColumnsRenamed({"doc_id": "da", "n": "na"})
+    sb = szs.withColumnsRenamed({"doc_id": "db", "n": "nb"})
+    pd_ = (
+        prs.join(inter, ["da", "db"], "left")
+        .join(sa, "da")
+        .join(sb, "db")
+        .select(
+            "da",
+            "db",
+            "c",
+            (
+                F.lit(1000000)
+                - F.expr(
+                    "(COALESCE(i, 0) * 1000000)"
+                    " div (na + nb - COALESCE(i, 0))"
+                )
+            )
+            .cast("bigint")
+            .alias("dist_e6"),
+        )
+    )
+    dsum = (
+        pd_.select(F.col("c").alias("component_id"), F.col("da").alias("doc_id"), "dist_e6")
+        .unionByName(
+            pd_.select(
+                F.col("c").alias("component_id"),
+                F.col("db").alias("doc_id"),
+                "dist_e6",
+            )
+        )
+        .groupBy("component_id", "doc_id")
+        .agg(F.sum("dist_e6").cast("bigint").alias("sum_dist_e6"))
+    )
+    nm = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    w = Window.partitionBy("component_id").orderBy("sum_dist_e6", "doc_id")
+    return (
+        dsum.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(nm, "component_id")
+        .select(
+            "component_id",
+            F.col("doc_id").alias("medoid_doc_id"),
+            "n_members",
+            "sum_dist_e6",
+        )
+    )

@@ -3186,3 +3186,71 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ks_num"),
         F.expr("ks_num * 1000000 div (n_a * n_b)").cast("bigint").alias("ks_e6"),
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(greatest(len(regexp_extract_all(lower(text),
+                                                  '[aeiouy]+')), 1)
+                  AS BIGINT) AS n_syllables
+      FROM documents WHERE length(text) > 0)
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(390 * n_words // n_sentences
+                + 11800 * n_syllables // n_words - 15590 AS BIGINT)
+               AS fk_grade_e3
+    FROM f
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level readability per document — the
+    classic text-quality feature every corpus filter bank includes
+    next to the Gopher rules: grade = 0.39*(words/sentence) +
+    11.8*(syllables/word) - 15.59, with syllables approximated by
+    vowel-group runs ([aeiouy]+, the standard cheap heuristic) and
+    sentences by terminal-punctuation runs (floored at 1 for
+    fragment-only documents, which the synthetic corpus is).
+
+    Exactness: the grade quantizes to e3 via two integer floor
+    divisions applied in fixed order (390*w//s + 11800*sy//w - 15590)
+    — no float ratios, so both engines agree bitwise; the regex
+    counts use a character-class pattern every regex engine matches
+    identically.
+
+    Scale shape: pure per-row regexp_count/split expressions inside
+    whole-stage codegen — zero shuffles, zero UDFs; one map pass at
+    any corpus size (the per-document screen profile)."""
+    d = load(spark, sf_dir, "documents", parallelize=True).filter(
+        F.length("text") > 0
+    )
+    f = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_sentences"),
+        F.greatest(
+            F.regexp_count(F.lower("text"), F.lit(r"[aeiouy]+")), F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    return f.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr(
+            "390 * n_words div n_sentences"
+            " + 11800 * n_syllables div n_words - 15590"
+        )
+        .cast("bigint")
+        .alias("fk_grade_e3"),
+    )
