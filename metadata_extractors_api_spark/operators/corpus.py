@@ -2126,3 +2126,90 @@ def text_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").alias("rank_units"),
         F.row_number().over(w).cast("bigint").alias("rk"),
     )
+
+
+def _bpe_vocab_oracle() -> str:
+    """The trainer's generated CTE chain extended by one final merge
+    application (c{K}) and a weighted symbol census — the vocabulary
+    the learned merge table induces."""
+    train = _bpe_train_oracle()
+    # the trainer's chain ends with the UNION ALL report; keep only
+    # its CTE prefix (everything up to the final p{K} CTE close).
+    k = BPE_TRAIN_ROUNDS
+    cut = train.rindex("SELECT CAST(1 AS BIGINT) AS rk")
+    prefix = train[:cut].rstrip().rstrip(",")
+    return f"""{prefix},
+    cf AS MATERIALIZED (
+      SELECT cnt,
+             replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')
+                 AS sym
+      FROM c{k - 1}, p{k}),
+    voc AS (
+      SELECT unnest(string_split(trim(sym), ' ')) AS symbol, cnt FROM cf),
+    agg AS (
+      SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS weight,
+             CAST(length(symbol) AS BIGINT) AS n_chars
+      FROM voc GROUP BY symbol)
+    SELECT symbol, weight, n_chars,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY weight DESC, symbol) AS rk
+          FROM agg)
+    WHERE rk <= 30"""
+
+
+@register("tokenizer_bpe_vocab", oracle=_bpe_vocab_oracle())
+def tokenizer_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary induced by the LEARNED merge table: train the
+    BPE_TRAIN_ROUNDS merges (tokenizer_bpe_train's loop), apply them
+    all to the word histogram, and census the resulting symbol
+    inventory weighted by word frequency — the top-30 vocabulary
+    entries with their corpus mass and symbol length. Completes the
+    tokenization lifecycle: train (merge table) -> vocab (this) ->
+    encode (tokenizer_bpe_encode applies a merges.txt at inference).
+
+    Multi-character symbols in the report are exactly the merges that
+    earned their place (weight = how much corpus they compress); the
+    oracle extends the trainer's generated chain by one final merge
+    application and replays the identical census.
+
+    Scale shape: same as the trainer — ONE corpus pass for the word
+    histogram, then histogram-sized work only; the census is a
+    map-side-combinable explode+groupBy over the distinct-word
+    relation with a TakeOrdered-30 report."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    words = (
+        d.filter(F.length("text") > 0)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    words = words.localCheckpoint()
+    merges = _bpe_train_merges(words, BPE_TRAIN_ROUNDS)
+    sym = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.split(F.concat(F.lit(BPE_MARKER), F.col("word")), ""), " "
+        ),
+        F.lit(" "),
+    )
+    cur = words.select("cnt", sym.alias("sym"))
+    for _, a, b, _n in merges:
+        cur = cur.withColumn(
+            "sym",
+            F.replace(F.col("sym"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")),
+        )
+    voc = cur.select(
+        F.explode(F.split(F.trim(F.col("sym")), " ")).alias("symbol"), "cnt"
+    )
+    agg = voc.groupBy("symbol").agg(
+        F.sum("cnt").cast("bigint").alias("weight")
+    ).withColumn("n_chars", F.length("symbol").cast("bigint"))
+    top = agg.orderBy(F.desc("weight"), F.asc("symbol")).limit(30)
+    w = Window.orderBy(F.desc("weight"), F.asc("symbol"))
+    return top.select(
+        "symbol",
+        "weight",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )

@@ -460,6 +460,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "events_changepoint_binary": {"d"},  # calendar days of history
     "graph_hits": {"auth,node", "hub,node"},  # rank over top-10 reports
     "text_keyphrase_textrank": {"node,rank"},  # rank over top-15 report
+    "tokenizer_bpe_vocab": {"symbol,weight"},  # rank over top-30 report
 }
 
 
