@@ -1800,3 +1800,80 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first AS (
+      SELECT o_custkey,
+             MIN(epoch_us(o_orderdate) // 2592000000000) AS cohort_m
+      FROM orders GROUP BY 1),
+    rev AS (
+      SELECT o.o_custkey, f.cohort_m,
+             epoch_us(o.o_orderdate) // 2592000000000 - f.cohort_m AS age_m,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN first f ON f.o_custkey = o.o_custkey),
+    cohort_sizes AS (
+      SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM first GROUP BY 1),
+    cell AS (
+      SELECT cohort_m, age_m, CAST(SUM(cents) AS BIGINT) AS rev_cents
+      FROM rev GROUP BY 1, 2),
+    cum AS (
+      SELECT cohort_m, age_m, rev_cents,
+             CAST(SUM(rev_cents) OVER (PARTITION BY cohort_m
+                                       ORDER BY age_m) AS BIGINT)
+                 AS cum_rev_cents
+      FROM cell)
+    SELECT CAST(c.cohort_m AS BIGINT) AS cohort_m,
+           CAST(c.age_m AS BIGINT) AS age_m,
+           s.n_customers, c.rev_cents, c.cum_rev_cents,
+           CAST(c.cum_rev_cents // s.n_customers AS BIGINT)
+               AS ltv_per_cust_cents
+    FROM cum c JOIN cohort_sizes s ON s.cohort_m = c.cohort_m
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohorted by first-order
+    month (fixed 30-day epoch grain — engine-portable integer month
+    arithmetic, the win_retention discipline), each cohort's revenue
+    accumulated by customer age in months, and per-customer LTV as
+    exact integer cents — the (cohort x age) triangle every
+    subscription/repeat-purchase business reads (and the payback-
+    period input for acquisition spend).
+
+    Scale shape: one keyed aggregation for first-order months, one
+    broadcast-joinable cohort-size rollup, one (cohort, age) cell
+    aggregation, and the cumulative sum runs in a window PARTITIONED
+    BY COHORT (keyed, parallel — never global). Money stays in exact
+    cents; the per-customer division is integer floor."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 2592000000000").alias("m"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = first.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    rev = o.join(first, "o_custkey").select(
+        "cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_m"), "cents"
+    )
+    cell = rev.groupBy("cohort_m", "age_m").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents")
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age_m")
+    cum = cell.withColumn(
+        "cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )
+    return cum.join(F.broadcast(sizes), "cohort_m").select(
+        F.col("cohort_m").cast("bigint"),
+        F.col("age_m").cast("bigint"),
+        "n_customers",
+        "rev_cents",
+        "cum_rev_cents",
+        F.expr("cum_rev_cents div n_customers")
+        .cast("bigint")
+        .alias("ltv_per_cust_cents"),
+    )

@@ -942,3 +942,111 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_scaled",
         "est",
     )
+
+
+@register(
+    "stream_cms_heavy_hitters",
+    oracle="""
+    WITH exact AS MATERIALIZED (
+      SELECT CAST(user_id AS VARCHAR) AS key,
+             CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM events GROUP BY 1),
+    buckets AS MATERIALIZED (
+      SELECT d.d,
+             ('0x' || substr(md5('cms' || CAST(d.d AS VARCHAR) || ':' || key),
+                             1, 8))::BIGINT % 1024 AS bucket,
+             CAST(SUM(true_cnt) AS BIGINT) AS total
+      FROM exact, (SELECT unnest(range(0, 3)) AS d) d
+      GROUP BY 1, 2),
+    top AS MATERIALIZED (
+      SELECT key, true_cnt FROM exact
+      ORDER BY true_cnt DESC, key LIMIT 10),
+    est AS (
+      SELECT t.key, t.true_cnt, CAST(MIN(b.total) AS BIGINT) AS est_cnt
+      FROM top t, (SELECT unnest(range(0, 3)) AS d) d
+      JOIN buckets b
+        ON b.d = d.d
+       AND b.bucket = ('0x' || substr(md5('cms' || CAST(d.d AS VARCHAR)
+                                          || ':' || t.key), 1, 8))::BIGINT
+                      % 1024
+      GROUP BY 1, 2)
+    SELECT key, true_cnt, est_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS overest
+    FROM est
+    """,
+)
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_cms_heavy_hitters over events.user_id:
+    each micro-batch explodes its rows into CMS_D (row, bucket) cells
+    and a STREAMING groupBy count maintains the sketch across batches
+    — the ADDITIVE-merge counterpart to stream_hll_distinct's MAX
+    merge (the two merge algebras every distributed sketch falls
+    into). Counters are monotone, so the final sketch is the per-cell
+    max across update-mode emissions; the top-10 true keys are then
+    point-queried exactly as in the batch twin, and the result must
+    equal the batch sketch bit-for-bit (shared oracle shape).
+
+    Streaming state: CMS_D * CMS_W counter rows regardless of key
+    cardinality or stream length."""
+    from metadata_extractors_api_spark.catalog import load
+    from metadata_extractors_api_spark.operators.stats import CMS_D, CMS_W
+
+    def bucket(d: int, key):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), key)), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_W
+        )
+
+    ev = _events_stream_batched(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        bucket(d, F.col("key")).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    sk_stream = cells.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total")
+    )
+    updates = _run_to_table(sk_stream, spark, "update")
+    sketch = updates.groupBy("d", "bucket").agg(
+        F.max("total").cast("bigint").alias("total")
+    )
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    )
+    top = exact.orderBy(F.desc("true_cnt"), F.asc("key")).limit(10)
+    probes = None
+    for d in range(CMS_D):
+        p = top.select(
+            "key",
+            "true_cnt",
+            F.lit(d).alias("d"),
+            bucket(d, F.col("key")).alias("bucket"),
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    est = (
+        probes.join(sketch, ["d", "bucket"])
+        .groupBy("key", "true_cnt")
+        .agg(F.min("total").cast("bigint").alias("est_cnt"))
+    )
+    return est.select(
+        "key",
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("overest"),
+    )
