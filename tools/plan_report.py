@@ -162,6 +162,22 @@ HEADLINE = [
     "pack_bin_ffd",
     # round-8 (driver r7) additions
     "tokenizer_bpe_train",
+    "tokenizer_bpe_vocab",
+    "graph_hits",
+    "sim_mmr_rerank",
+    "mix_domain_reweight",
+    "text_keyphrase_textrank",
+    "events_changepoint_binary",
+    "agg_cms_heavy_hitters",
+    "agg_hll_distinct",
+    "stream_hll_distinct",
+    "stream_cms_heavy_hitters",
+    "multimodal_patch_pool",
+    "scd2_build_history",
+    "text_readability",
+    "dedup_cluster_medoid",
+    "extract_dispatch_roundtrip",
+    "orders_cohort_ltv",
 ]
 
 INTERESTING = re.compile(
