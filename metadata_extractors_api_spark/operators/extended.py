@@ -866,3 +866,106 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("conversion"),
     )
+
+
+#: Max gap between consecutive funnel steps, in microseconds (6 h).
+FUNNEL_GAP_US = 21_600_000_000
+
+
+@register(
+    "events_funnel_time_bound",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, substr(event_type, 1, 1) AS c,
+             epoch_us(ts) AS tus
+      FROM events),
+    s1 AS (SELECT user_id, MIN(tus) AS t1 FROM ev WHERE c = 's' GROUP BY 1),
+    s2 AS (SELECT e.user_id, MIN(e.tus) AS t2
+           FROM ev e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.c = 'v' AND e.tus > s1.t1
+             AND e.tus - s1.t1 <= {FUNNEL_GAP_US}
+           GROUP BY 1),
+    s3 AS (SELECT e.user_id, MIN(e.tus) AS t3
+           FROM ev e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.c = 'c' AND e.tus > s2.t2
+             AND e.tus - s2.t2 <= {FUNNEL_GAP_US}
+           GROUP BY 1),
+    s4 AS (SELECT e.user_id, MIN(e.tus) AS t4
+           FROM ev e JOIN s3 ON s3.user_id = e.user_id
+           WHERE e.c = 'p' AND e.tus > s3.t3
+             AND e.tus - s3.t3 <= {FUNNEL_GAP_US}
+           GROUP BY 1)
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3, s4.t4,
+           CAST(1 + (s2.t2 IS NOT NULL)::INT + (s3.t3 IS NOT NULL)::INT
+                + (s4.t4 IS NOT NULL)::INT AS BIGINT) AS depth,
+           s4.t4 IS NOT NULL AS converted
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    LEFT JOIN s4 ON s4.user_id = s1.user_id
+    """,
+)
+def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel: s -> v -> c -> p where each step must
+    follow the previous within FUNNEL_GAP_US (6 h) — the conversion
+    window product analytics actually uses, and the semantics the
+    regex funnel (win_pattern_funnel_regex) cannot express because
+    regular expressions see order but not elapsed time. Anchoring is
+    greedy-first-touch (each step takes the EARLIEST qualifying
+    event), the standard product-analytics convention; reported per
+    user: step timestamps in exact epoch micros, reached depth, and
+    conversion flag.
+
+    Scale shape: four keyed min-aggregations chained by equi-joins on
+    user_id — every stage shuffles on the same key (one exchange
+    family, co-partitioned joins), no windows, no time-range
+    self-join blowup (the per-step bound is a filter against the
+    joined anchor, not an interval join). At 100 TB this is 4 cheap
+    keyed passes over a type-filtered fraction of the corpus."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("c"),
+        F.unix_micros("ts").alias("tus"),
+    )
+
+    def step(prev, code, tprev, tcol):
+        e = ev.filter(F.col("c") == code).select("user_id", "tus")
+        return (
+            e.join(prev.select("user_id", tprev), "user_id")
+            .filter(
+                (F.col("tus") > F.col(tprev))
+                & (F.col("tus") - F.col(tprev) <= FUNNEL_GAP_US)
+            )
+            .groupBy("user_id")
+            .agg(F.min("tus").alias(tcol))
+        )
+
+    s1 = (
+        ev.filter(F.col("c") == "s")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t1"))
+    )
+    s2 = step(s1, "v", "t1", "t2")
+    s3 = step(s2, "c", "t2", "t3")
+    s4 = step(s3, "p", "t3", "t4")
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .join(s4, "user_id", "left")
+        .select(
+            "user_id",
+            "t1",
+            "t2",
+            "t3",
+            "t4",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+                + F.col("t4").isNotNull().cast("int")
+            )
+            .cast("bigint")
+            .alias("depth"),
+            F.col("t4").isNotNull().alias("converted"),
+        )
+    )
