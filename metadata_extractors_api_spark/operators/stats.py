@@ -2008,3 +2008,97 @@ def hll_oracle_sql(key_sql: str, table: str) -> str:
                 ELSE est_raw END AS BIGINT) AS est
     FROM raw
     """
+
+
+@register(
+    "orders_return_rate_wilson",
+    oracle="""
+    WITH base AS (
+      SELECT n.n_name,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1),
+    sc AS (
+      SELECT n_name, n, k,
+             CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p
+      FROM base),
+    wil AS (
+      SELECT n_name, n, k,
+             CAST(k * 1000000 // n AS BIGINT) AS rate_e6,
+             CAST(round(
+               ((p + 3.8416 / (2.0 * CAST(n AS DOUBLE))
+                 - 1.96 * sqrt((p * (1.0 - p)
+                                + 3.8416 / (4.0 * CAST(n AS DOUBLE)))
+                               / CAST(n AS DOUBLE)))
+                / (1.0 + 3.8416 / CAST(n AS DOUBLE))) * 1000000, 0)
+               AS BIGINT) AS wilson_lb_e6
+      FROM sc)
+    SELECT n_name, n, k, rate_e6, wilson_lb_e6,
+           CAST(ROW_NUMBER() OVER (ORDER BY wilson_lb_e6 DESC, n_name)
+                AS BIGINT) AS rk
+    FROM wil
+    """,
+)
+def orders_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation return-rate ranking by the Wilson score lower bound
+    (z=1.96): the uncertainty-aware ranking that stops a nation with
+    3 returns out of 5 lineitems outranking one with 300 of 1000 —
+    the same correction behind 'sort by best rating'. Rates in exact
+    e6 integer units; the Wilson bound composes p-hat, the z^2/2n
+    continuity term, and the score-interval sqrt in ONE fixed
+    left-to-right double expression replicated verbatim in the oracle
+    (sqrt is IEEE-correctly-rounded in both engines, so the e6
+    rounding agrees bitwise — the cosine_from_scaled discipline).
+
+    Scale shape: a 3-dimension broadcast-join star (orders->customer->
+    nation are the small sides at any SF... orders is data-sized: the
+    lineitem-orders join shuffles on orderkey, then customer/nation
+    broadcast), one nation-grain rollup, and a 25-row report rank."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("int"))
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    p = F.col("k").cast("double") / F.col("n").cast("double")
+    nd = F.col("n").cast("double")
+    wilson = F.round(
+        (
+            (
+                p
+                + F.lit(3.8416) / (F.lit(2.0) * nd)
+                - F.lit(1.96)
+                * F.sqrt(
+                    (p * (F.lit(1.0) - p) + F.lit(3.8416) / (F.lit(4.0) * nd))
+                    / nd
+                )
+            )
+            / (F.lit(1.0) + F.lit(3.8416) / nd)
+        )
+        * 1000000,
+        0,
+    ).cast("bigint")
+    wil = base.select(
+        "n_name",
+        "n",
+        "k",
+        F.expr("k * 1000000 div n").cast("bigint").alias("rate_e6"),
+        wilson.alias("wilson_lb_e6"),
+    )
+    w = Window.orderBy(F.desc("wilson_lb_e6"), F.asc("n_name"))
+    return wil.withColumn("rk", F.row_number().over(w).cast("bigint"))

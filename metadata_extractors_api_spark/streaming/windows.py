@@ -1050,3 +1050,100 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_cnt",
         (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("overest"),
     )
+
+
+@register(
+    "stream_scd2_build",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    eff AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ch
+      WHERE prev_type IS NULL OR event_type <> prev_type),
+    v AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS valid_from_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+               AS valid_to_us,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT)
+               AS version
+      FROM eff)
+    SELECT user_id, event_type AS state, valid_from_us, valid_to_us,
+           version, valid_to_us IS NULL AS is_current
+    FROM v
+    """,
+)
+def stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of scd2_build_history: per-user keyed state
+    tracks (last_state, version, last_change_ts) across micro-batches
+    and emits one row per SUPPRESSED-duplicate state change as it
+    happens — the continuously-maintained SCD2 dimension a CDC
+    pipeline keeps warm instead of rebuilding nightly. valid_to
+    closes at serving time (lead over the emitted change log, a keyed
+    window), because in a live dimension the current row's end is
+    unknowable until the next change arrives — exactly why SCD2
+    serving always derives valid_to rather than storing it.
+
+    The batch oracle is scd2_build_history's verbatim: the change log
+    a restartable stream accumulates must equal the nightly batch
+    build row-for-row (the batch/stream symmetry contract). State per
+    user is three scalars — bounded like every keyed fold here."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        last, ver = state.get if state.exists else (None, 0)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"])
+            )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        out_t, out_s, out_v = [], [], []
+        for ts_us, _eid, et in rows:
+            if last is None or et != last:
+                ver += 1
+                out_t.append(ts_us)
+                out_s.append(et)
+                out_v.append(ver)
+                last = et
+        state.update((last, ver))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_t),
+                "state": out_s,
+                "valid_from_us": out_t,
+                "version": out_v,
+            }
+        )
+
+    ev = _events_stream_batched(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, state string, valid_from_us bigint, "
+            "version bigint"
+        ),
+        stateStructType="last string, ver bigint",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    log = _run_to_table(out, spark, "append")
+    w = Window.partitionBy("user_id").orderBy("valid_from_us", "version")
+    return log.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w).alias("valid_to_us"),
+        "version",
+    ).withColumn("is_current", F.col("valid_to_us").isNull())

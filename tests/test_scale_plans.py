@@ -461,6 +461,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "graph_hits": {"auth,node", "hub,node"},  # rank over top-10 reports
     "text_keyphrase_textrank": {"node,rank"},  # rank over top-15 report
     "tokenizer_bpe_vocab": {"symbol,weight"},  # rank over top-30 report
+    "orders_return_rate_wilson": {"n_name,wilson_lb_e6"},  # nation domain (25)
 }
 
 
