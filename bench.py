@@ -167,6 +167,9 @@ HEADLINE = [
     "dedup_cluster_medoid",
     "extract_dispatch_roundtrip",
     "orders_cohort_ltv",
+    "stream_scd2_build",
+    "orders_return_rate_wilson",
+    "events_funnel_time_bound",
 ]
 
 RUNS = 5

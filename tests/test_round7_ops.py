@@ -408,3 +408,97 @@ def test_hll_python_reference_and_error_bound(spark, sf_dir):
     assert row["est"] == est
     rel_err = abs(row["est"] - len(keys)) / len(keys)
     assert rel_err < 3 * 1.04 / (HLL_M ** 0.5), rel_err
+
+
+def test_wilson_matches_python_reference(spark, sf_dir):
+    """Wilson lower bounds recomputed in plain Python (math.sqrt, same
+    z) from raw parquet joins, plus the ordering property: the bound
+    must never exceed the point estimate."""
+    import math
+
+    import metadata_extractors_api_spark as mdx
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_returnflag"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    rows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select("n_name", "l_returnflag")
+        .collect()
+    )
+    agg = {}
+    for r in rows:
+        nn, k = agg.get(r["n_name"], (0, 0))
+        agg[r["n_name"]] = (nn + 1, k + (r["l_returnflag"] == "R"))
+
+    got = {
+        r["n_name"]: r
+        for r in mdx.QUERIES["orders_return_rate_wilson"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(agg)
+    for name, (nn, k) in agg.items():
+        p = k / nn
+        lb = (
+            p
+            + 3.8416 / (2.0 * nn)
+            - 1.96 * math.sqrt((p * (1.0 - p) + 3.8416 / (4.0 * nn)) / nn)
+        ) / (1.0 + 3.8416 / nn)
+        r = got[name]
+        assert r["n"] == nn and r["k"] == k
+        assert r["rate_e6"] == k * 1_000_000 // nn
+        assert abs(r["wilson_lb_e6"] - round(lb * 1e6)) <= 1, name
+        assert r["wilson_lb_e6"] <= r["rate_e6"]  # bound below estimate
+
+
+def test_funnel_time_bound_python_replay(spark, sf_dir):
+    """Greedy first-touch funnel replayed in plain Python per user
+    from the raw events parquet."""
+    import metadata_extractors_api_spark as mdx
+    from metadata_extractors_api_spark.operators.extended import (
+        FUNNEL_GAP_US,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(
+            (int(r["ts"].timestamp() * 1e6), r["event_type"][0])
+        )
+    want = {}
+    for uid, evs in per_user.items():
+        s = [t for t, c in evs if c == "s"]
+        if not s:
+            continue
+        t1 = min(s)
+        ts_chain = [t1]
+        for code in ("v", "c", "p"):
+            prev = ts_chain[-1]
+            if prev is None:
+                ts_chain.append(None)
+                continue
+            cand = [
+                t for t, cd in evs
+                if cd == code and t > prev and t - prev <= FUNNEL_GAP_US
+            ]
+            ts_chain.append(min(cand) if cand else None)
+        depth = sum(1 for t in ts_chain if t is not None)
+        want[uid] = (*ts_chain, depth, ts_chain[3] is not None)
+
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"], r["t4"], r["depth"], r["converted"])
+        for r in mdx.QUERIES["events_funnel_time_bound"](spark, sf_dir).collect()
+    }
+    assert got == want
