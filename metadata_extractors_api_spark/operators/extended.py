@@ -922,14 +922,17 @@ def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join blowup (the per-step bound is a filter against the
     joined anchor, not an interval join). At 100 TB this is 4 cheap
     keyed passes over a type-filtered fraction of the corpus."""
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        F.substring("event_type", 1, 1).alias("c"),
-        F.unix_micros("ts").alias("tus"),
-    )
+    base = load(spark, sf_dir, "events")
+
+    def typed(code):
+        # startswith on the BASE column (not a derived substring) so the
+        # predicate reaches the scan as a pushed StringStartsWith filter
+        return base.filter(F.col("event_type").startswith(code)).select(
+            "user_id", F.unix_micros("ts").alias("tus")
+        )
 
     def step(prev, code, tprev, tcol):
-        e = ev.filter(F.col("c") == code).select("user_id", "tus")
+        e = typed(code)
         return (
             e.join(prev.select("user_id", tprev), "user_id")
             .filter(
@@ -940,11 +943,7 @@ def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("tus").alias(tcol))
         )
 
-    s1 = (
-        ev.filter(F.col("c") == "s")
-        .groupBy("user_id")
-        .agg(F.min("tus").alias("t1"))
-    )
+    s1 = typed("s").groupBy("user_id").agg(F.min("tus").alias("t1"))
     s2 = step(s1, "v", "t1", "t2")
     s3 = step(s2, "c", "t2", "t3")
     s4 = step(s3, "p", "t3", "t4")
