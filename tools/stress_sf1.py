@@ -1,0 +1,121 @@
+"""One-decade scale stress (BENCH.md 'One-decade scale stress' table).
+
+Tiles sf0.1 10x into a scratch directory — key domains shifted per
+copy so entity counts scale like TPC-H sf (10x customers / suppliers /
+users / docs), document token space remapped per copy (suffix _i) so
+the dedup workload scales in VOLUME rather than acquiring adversarial
+10-way duplicate families — then times the given queries at both
+scales in ONE session (warm run + timed run per scale).
+
+Usage:
+    PYTHONPATH=. python tools/stress_sf1.py [--dest /tmp/sf1] [names...]
+
+Default names = the BENCH.md decade-table set. Wall times print as one
+JSON line; shuffle-byte metrics need a UI-enabled session (see
+BENCH.md notes) and are omitted here to keep the tool dependency-free.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+DEFAULT = [
+    "graph_kcore",
+    "events_markov_attribution",
+    "dedup_jaccard_prefix",
+    "dedup_containment",
+    "dedup_sorted_neighborhood",
+    "graph_hits",
+    "dedup_cluster_medoid",
+    "text_keyphrase_textrank",
+    "tokenizer_bpe_train",
+]
+
+COPIES = 10
+OFF = 100_000_000  # per-copy key offset, far above any sf0.1 id
+
+
+def build_sf1(spark, src: str, dst: str) -> None:
+    from pyspark.sql import functions as F
+
+    def tiled(table, idcols, textmap=False):
+        out_path = f"{dst}/{table}.parquet"
+        if os.path.exists(out_path):
+            return
+        d = spark.read.parquet(f"{src}/{table}.parquet")
+        outs = []
+        for i in range(COPIES):
+            c = d
+            for col in idcols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * OFF))
+            if textmap:
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split("text", " "),
+                            lambda x, i=i: F.concat(x, F.lit(f"_{i}")),
+                        ),
+                        " ",
+                    ),
+                )
+            outs.append(c)
+        u = outs[0]
+        for o in outs[1:]:
+            u = u.unionByName(o)
+        u.repartition(32).write.mode("overwrite").parquet(out_path)
+
+    tiled("orders", ["o_orderkey", "o_custkey"])
+    tiled("lineitem", ["l_orderkey", "l_suppkey", "l_partkey"])
+    tiled("events", ["event_id", "user_id"])
+    tiled("documents", ["doc_id"], textmap=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*", default=None)
+    ap.add_argument("--dest", default="/tmp/sf1")
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    names = args.names or DEFAULT
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    from metadata_extractors_api_spark import QUERIES
+    from metadata_extractors_api_spark.session import get_spark
+
+    spark = get_spark(app_name="mdx-sf1-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.dest, exist_ok=True)
+    build_sf1(spark, args.src, args.dest)
+
+    def run(name, sf):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    out = {}
+    for name in names:
+        run(name, args.src)
+        a = run(name, args.src)
+        run(name, args.dest)
+        c = run(name, args.dest)
+        out[name] = {
+            "sf0.1_s": round(a, 2),
+            "sf1_s": round(c, 2),
+            "ratio": round(c / a, 2),
+        }
+        print(name, out[name], file=sys.stderr, flush=True)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
