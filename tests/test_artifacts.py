@@ -50,3 +50,30 @@ def test_sweep_artifact_is_complete(path):
 
 def test_sweep_artifacts_exist():
     assert SWEEPS, "no committed sweep artifacts at repo root"
+
+
+def test_compare_out_refuses_partial_sweep(tmp_path):
+    """The atomic-artifact gate end-to-end: a subset sweep with --out
+    must exit non-zero and leave NO artifact (and no .tmp) behind."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "SWEEP_partial.txt"
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "compare.py"),
+            "--sf",
+            "/root/testdata/sf0.001",
+            "--out",
+            str(out),
+            "scan_parquet",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 1
+    assert "REFUSING" in r.stdout
+    assert not out.exists()
+    assert not (tmp_path / "SWEEP_partial.txt.tmp").exists()
