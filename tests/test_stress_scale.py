@@ -646,3 +646,38 @@ def test_kcore_multi_round_cascade(spark, tmp_path_factory):
         f"no cascade: {sizes}"
     )
     assert got[-1][3] is (traj[-1][0] == traj[-2][0])
+
+
+def test_bpe_train_200k_word_histogram_closed_form(spark):
+    """The BPE trainer's merge rounds run over a 200k-distinct-word
+    histogram (40x the fixture vocabulary) whose construction makes
+    the first merges CLOSED-FORM: words are 'aXsuffix' where X cycles
+    over 4 letters — every word starts marker+a, so round 1 must merge
+    (▁, a) with weight == total word mass (300k), and round 2 must
+    merge (▁a, X*) for the parity-weighted letter class with the most
+    mass (letters c/e carry weight-2 words; lexicographic tie-break
+    picks c with exactly 100k). Digit-pair masses from the uniqueness
+    suffix are bounded ~15k — an order under the letter classes — so
+    the closed form is robust. Proves the histogram-sized iteration
+    holds at scale and the argmax stays exact under 32-way
+    parallelism."""
+    from metadata_extractors_api_spark.operators.corpus import (
+        _bpe_train_merges,
+    )
+
+    n = 200_000
+    words = spark.range(0, n, 1, 32).select(
+        F.concat(
+            F.lit("a"),
+            F.chr(F.lit(98) + (F.col("id") % 4)),  # b c d e
+            F.col("id").cast("string"),
+        ).alias("word"),
+        (F.lit(1) + (F.col("id") % 2)).cast("bigint").alias("cnt"),
+    )
+    merges = _bpe_train_merges(words, 2)
+    total_mass = int(words.agg(F.sum("cnt").alias("s")).first()["s"])
+    assert total_mass == 300_000
+    assert merges[0][1:] == ("▁", "a", total_mass)
+    # id%4==1 ('c') and id%4==3 ('e') are always odd ids -> cnt 2:
+    # class mass = 50k words * 2 = 100k each; tie-break -> 'c'.
+    assert merges[1][1:] == ("▁a", "c", 100_000)
