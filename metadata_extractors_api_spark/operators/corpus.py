@@ -1476,11 +1476,12 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.filter(F.col("prn").isNull())
         .groupBy("user_id")
         .agg(F.max("rn").alias("lrn"))
+        .withColumnRenamed("user_id", "lu")
     )
     e2 = (
         st.join(
             lastr,
-            (st.user_id == lastr.user_id) & (st.rn == lastr.lrn),
+            (st.user_id == lastr.lu) & (st.rn == lastr.lrn),
         )
         .select(F.col("state").alias("s"), F.lit("null").alias("t"))
     )
@@ -1797,10 +1798,16 @@ def _bpe_train_oracle() -> str:
             GROUP BY pair)
       ORDER BY n DESC, pair LIMIT 1)""")
         if k < BPE_TRAIN_ROUNDS:
+            # LEFT JOIN ON TRUE + COALESCE: if p{k} is empty (pair
+            # space exhausted before the horizon), c{k} degrades to
+            # c{k-1} unchanged — matching the kernel's loop break —
+            # instead of the CROSS JOIN collapsing the chain to zero
+            # rows and silently emptying every downstream consumer.
             ctes.append(f"""c{k} AS MATERIALIZED (
       SELECT cnt,
-             replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS sym
-      FROM c{k - 1}, p{k})""")
+             COALESCE(replace(sym, ' ' || a || ' ' || b || ' ',
+                              ' ' || a || b || ' '), sym) AS sym
+      FROM c{k - 1} LEFT JOIN p{k} ON TRUE)""")
     union = "\n      UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS rk, a, b, n FROM p{k}"
         for k in range(1, BPE_TRAIN_ROUNDS + 1)
@@ -1892,19 +1899,28 @@ def _hits_oracle() -> str:
                  AS hub
       FROM hr{k})""")
     k = HITS_ITERS
+    # Convergence witness (the graph_pagerank discipline): combined
+    # exact-integer L1 delta between the last two auth and hub
+    # iterates, replicated on every report row and oracle-matched.
     return (
         "WITH "
         + ",\n    ".join(ctes)
-        + f"""
-    SELECT role, node, score_units, rk FROM (
+        + f""",
+    res AS (
+      SELECT CAST((SELECT SUM(ABS(x.auth - y.auth))
+                   FROM a{k} x JOIN a{k - 1} y ON y.node = x.node)
+                  + (SELECT SUM(ABS(x.hub - y.hub))
+                     FROM h{k} x JOIN h{k - 1} y ON y.node = x.node)
+                  AS BIGINT) AS residual_units)
+    SELECT role, node, score_units, rk, res.residual_units FROM (
       SELECT 'authority' AS role, node, auth AS score_units,
              CAST(ROW_NUMBER() OVER (ORDER BY auth DESC, node) AS BIGINT) AS rk
-      FROM a{k}) WHERE rk <= {HITS_TOP}
+      FROM a{k}) t CROSS JOIN res WHERE rk <= {HITS_TOP}
     UNION ALL
-    SELECT role, node, score_units, rk FROM (
+    SELECT role, node, score_units, rk, res.residual_units FROM (
       SELECT 'hub' AS role, node, hub AS score_units,
              CAST(ROW_NUMBER() OVER (ORDER BY hub DESC, node) AS BIGINT) AS rk
-      FROM h{k}) WHERE rk <= {HITS_TOP}"""
+      FROM h{k}) t CROSS JOIN res WHERE rk <= {HITS_TOP}"""
     )
 
 
@@ -1929,7 +1945,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably bounded for the pair audit). Scores are localCheckpointed
     per round so the lineage never replays the graph build. Top-10
     per role comes off TakeOrdered with rank re-derived on report
-    rows."""
+    rows. residual_units is the CONVERGENCE WITNESS: the combined
+    exact L1 delta between the last two auth and hub iterates,
+    oracle-matched, so horizon under-convergence at bigger scale is
+    visible in the output."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
@@ -1953,7 +1972,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "hub", F.lit(HITS_SCALE).cast("bigint")
     )
-    auth = None
+    auth = prev_auth = prev_hub = None
     for _ in range(HITS_ITERS):
         araw = (
             edges.join(hub, edges.src == hub.node)
@@ -1961,6 +1980,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("hub").cast("bigint").alias("v"))
             .withColumnRenamed("node2", "node")
         )
+        prev_auth = auth
         auth = _norm(araw, "auth")
         hraw = (
             edges.join(auth, edges.dst == auth.node)
@@ -1968,7 +1988,18 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("auth").cast("bigint").alias("v"))
             .withColumnRenamed("node2", "node")
         )
+        prev_hub = hub
         hub = _norm(hraw, "hub")
+
+    res_a = auth.join(
+        prev_auth.withColumnsRenamed({"auth": "pa"}), "node"
+    ).agg(F.sum(F.abs(F.col("auth") - F.col("pa"))).alias("ra"))
+    res_h = hub.join(
+        prev_hub.withColumnsRenamed({"hub": "ph"}), "node"
+    ).agg(F.sum(F.abs(F.col("hub") - F.col("ph"))).alias("rh"))
+    res = res_a.crossJoin(res_h).select(
+        (F.col("ra") + F.col("rh")).cast("bigint").alias("residual_units")
+    )
 
     def _top(df: DataFrame, col: str, role: str) -> DataFrame:
         top = df.orderBy(F.desc(col), F.asc("node")).limit(HITS_TOP)
@@ -1980,8 +2011,10 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("rk"),
         )
 
-    return _top(auth, "auth", "authority").unionByName(
-        _top(hub, "hub", "hub")
+    return (
+        _top(auth, "auth", "authority")
+        .unionByName(_top(hub, "hub", "hub"))
+        .crossJoin(F.broadcast(res))
     )
 
 
@@ -2141,9 +2174,9 @@ def _bpe_vocab_oracle() -> str:
     return f"""{prefix},
     cf AS MATERIALIZED (
       SELECT cnt,
-             replace(sym, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ')
-                 AS sym
-      FROM c{k - 1}, p{k}),
+             COALESCE(replace(sym, ' ' || a || ' ' || b || ' ',
+                              ' ' || a || b || ' '), sym) AS sym
+      FROM c{k - 1} LEFT JOIN p{k} ON TRUE),
     voc AS (
       SELECT unnest(string_split(trim(sym), ' ')) AS symbol, cnt FROM cf),
     agg AS (

@@ -257,10 +257,17 @@ def _km_chain() -> tuple[str, str, str]:
 
 def _kmeans_oracle() -> str:
     chain, _dist, assign = _km_chain()
+    k, pk = KM_ITERS, KM_ITERS - 1
+    prev = f"c{pk}" if pk > 0 else "c0"
     return f"""
-    WITH {chain}
+    WITH {chain},
+    kres AS (
+      SELECT CAST(SUM(ABS(a.c - b.c)) AS BIGINT) AS residual_units
+      FROM c{k} a JOIN {prev} b
+        ON b.cluster = a.cluster AND b.d = a.d)
     SELECT CAST(cluster AS BIGINT) AS cluster, COUNT(*) AS n,
-           CAST(SUM(dist // {KM_SHRINK}) AS BIGINT) AS inertia_scaled
+           CAST(SUM(dist // {KM_SHRINK}) AS BIGINT) AS inertia_scaled,
+           (SELECT residual_units FROM kres) AS residual_units
     FROM {assign}
     GROUP BY cluster
     """
@@ -305,14 +312,18 @@ def _km_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _km_train(pts: DataFrame) -> DataFrame:
+def _km_train(pts: DataFrame, with_prev: bool = False):
     """KM_ITERS Lloyd rounds from the deterministic init (vec_id 1..K);
-    returns the trained centroid table (cluster, d, c)."""
+    returns the trained centroid table (cluster, d, c), or the pair
+    (cent, prev_cent) when ``with_prev`` — the penultimate iterate
+    feeds kmeans_train's convergence witness."""
     cent = pts.filter(F.col("vec_id").between(1, KM_K)).select(
         (F.col("vec_id") - 1).alias("cluster"), "d", F.col("xs").alias("c")
     )
+    prev = cent
     for _ in range(KM_ITERS):
         a = _km_assign(pts, cent)
+        prev = cent
         cent = (
             a.join(pts, "vec_id")
             .groupBy("cluster", "d")
@@ -322,7 +333,7 @@ def _km_train(pts: DataFrame) -> DataFrame:
                 .alias("c")
             )
         )
-    return cent
+    return (cent, prev) if with_prev else cent
 
 
 @register("kmeans_train", oracle=_kmeans_oracle())
@@ -335,13 +346,31 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a final assignment reporting per-cluster size and scaled
     inertia. All arithmetic is exact int64 (see module notes), so the
     ENTIRE training loop hash-matches the unrolled recursive oracle.
-    The iteration count is fixed (the oracle unrolls it); convergence-
-    driven loops would use the dedup_components driver-test pattern."""
+    The iteration count is fixed (the oracle unrolls it), so the
+    report carries a CONVERGENCE WITNESS: residual_units = total
+    centroid movement |c_K - c_(K-1)| over every (cluster, d) cell in
+    exact quantized units — horizon under-convergence on bigger data
+    is an output value the oracle must match, not a silent error."""
     pts = _km_pts(spark, sf_dir)
-    final = _km_assign(pts, _km_train(pts))
-    return final.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.expr(f"dist div {KM_SHRINK}")).alias("inertia_scaled"),
+    cent, prev = _km_train(pts, with_prev=True)
+    res = (
+        cent.join(
+            prev.withColumnsRenamed({"c": "pc"}), ["cluster", "d"]
+        )
+        .agg(
+            F.sum(F.abs(F.col("c") - F.col("pc")))
+            .cast("bigint")
+            .alias("residual_units")
+        )
+    )
+    final = _km_assign(pts, cent)
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr(f"dist div {KM_SHRINK}")).alias("inertia_scaled"),
+        )
+        .crossJoin(F.broadcast(res))
     )
 
 
@@ -576,10 +605,18 @@ def _pagerank_oracle() -> str:
       SELECT n.node,
              CAST({PR_BASE} + COALESCE(c.c, 0) AS BIGINT) AS rank
       FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)""")
+    # Convergence witness: the exact-integer L1 delta between the last
+    # two iterates, replicated on every row — a fixed horizon that
+    # silently under-converges at 100x shows up as a residual the
+    # oracle must reproduce, not as an invisible wrong answer.
     return (
         "WITH "
         + ",\n    ".join(ctes)
-        + f"\n    SELECT node, rank AS rank_units FROM r{PR_ITERS}"
+        + f"""
+    SELECT r.node, r.rank AS rank_units, res.residual_units
+    FROM r{PR_ITERS} r CROSS JOIN (
+      SELECT CAST(SUM(ABS(a.rank - b.rank)) AS BIGINT) AS residual_units
+      FROM r{PR_ITERS} a JOIN r{PR_ITERS - 1} b ON b.node = a.node) res"""
     )
 
 
@@ -599,7 +636,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_components/kmeans_train. Because rank mass is integer units
     (see module comment), results are bit-identical on any cluster
     size -- the property that makes an iterative algorithm testable at
-    100 TB."""
+    100 TB. The report carries a CONVERGENCE WITNESS: residual_units =
+    sum over nodes of |rank_K - rank_(K-1)| in exact integer units, so
+    a fixed horizon that under-converges on bigger data is visible in
+    the output (and oracle-checked) instead of silently wrong."""
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer")
@@ -621,6 +661,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = nation.select(F.col("n_nationkey").alias("node"))
 
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("bigint"))
+    prev = ranks
     for _ in range(PR_ITERS):
         contribs = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
@@ -631,6 +672,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
+        prev = ranks
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(
@@ -641,7 +683,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    return ranks.select("node", F.col("rank").alias("rank_units"))
+    res = (
+        ranks.join(
+            prev.withColumnsRenamed({"rank": "prev_rank"}), "node"
+        )
+        .agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank")))
+            .cast("bigint")
+            .alias("residual_units")
+        )
+    )
+    return ranks.crossJoin(F.broadcast(res)).select(
+        "node", F.col("rank").alias("rank_units"), "residual_units"
+    )
 
 
 # --- product-quantization ANN (PQ codebooks -> ADC scan) -------------------
@@ -1107,6 +1161,8 @@ def _pca_oracle() -> str:
                            * {PCA_SCALE}) AS BIGINT) AS v
       FROM w{t}, m{t})""")
     last = PCA_ITERS
+    # Convergence witness: exact L1 delta between the last two integer
+    # iterates (after rescale both live in PCA_SCALE units).
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -1115,10 +1171,13 @@ def _pca_oracle() -> str:
       SELECT ROUND(SUM(CAST(v{last}.v AS DOUBLE) * CAST(w{last}.w AS DOUBLE))
                    / SUM(CAST(v{last}.v AS DOUBLE) * CAST(v{last}.v AS DOUBLE))
                    / 1e12, 6) AS eigval
-      FROM v{last} JOIN w{last} ON v{last}.j = w{last}.j)
+      FROM v{last} JOIN w{last} ON v{last}.j = w{last}.j),
+    pres AS (
+      SELECT CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS residual_units
+      FROM v{last} a JOIN v{last - 1} b ON b.j = a.j)
     SELECT CAST(v{last}.j AS BIGINT) AS j, v{last}.v AS component,
-           ray.eigval AS eigval
-    FROM v{last}, ray
+           ray.eigval AS eigval, pres.residual_units
+    FROM v{last}, ray, pres
     """
     )
 
@@ -1153,7 +1212,12 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ONE float step — floor(w/m * 1e6) on identical IEEE inputs in
     both engines — after which the iterate is integer again, so error
     cannot compound across iterations. The final Rayleigh quotient is
-    reported in original units (the 1e12 rescale) rounded to 1e-6."""
+    reported in original units (the 1e12 rescale) rounded to 1e-6.
+    residual_units is the CONVERGENCE WITNESS — exact L1 delta between
+    the last two PCA_SCALE-unit iterates, oracle-matched, so a fixed
+    horizon that under-converges is visible in the output (on the
+    near-isotropic fixture it is deliberately LARGE; the witness is
+    what lets a production run assert it shrank)."""
     e = load(spark, sf_dir, "embeddings")
     x = e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xval")
@@ -1166,7 +1230,9 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("j"), F.lit(PCA_SCALE).cast("bigint").alias("v")
     )
     w = None
+    prev_v = v
     for _ in range(PCA_ITERS):
+        prev_v = v
         s = (
             x.join(F.broadcast(v), "j")
             .groupBy("vec_id")
@@ -1202,11 +1268,33 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("eigval")
         )
     )
-    return v.crossJoin(F.broadcast(ray)).select(
-        F.col("j").cast("bigint").alias("j"),
-        F.col("v").alias("component"),
-        "eigval",
+    pres = (
+        v.join(prev_v.withColumnsRenamed({"v": "pv"}), "j")
+        .agg(
+            F.sum(F.abs(F.col("v") - F.col("pv")))
+            .cast("bigint")
+            .alias("residual_units")
+        )
     )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .crossJoin(F.broadcast(pres))
+        .select(
+            F.col("j").cast("bigint").alias("j"),
+            F.col("v").alias("component"),
+            "eigval",
+            "residual_units",
+        )
+    )
+
+
+#: Family-size gate for the medoid's within-family all-pairs phase:
+#: families larger than this are QUARANTINED (deterministic min-doc_id
+#: keeper, sum_dist_e6 = -1 sentinel, quarantined = true) instead of
+#: paying O(F^2) on one component key — a boilerplate mega-family at
+#: 100 TB would otherwise make a single reducer quadratic (the
+#: dedup_minhash_bucket_stats cap discipline applied to components).
+MEDOID_FAMILY_CAP = 256
 
 
 @register(
@@ -1224,13 +1312,20 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, doc_id FROM nodes
       UNION
       SELECT e.u, w.lbl FROM cedges e JOIN walk w ON w.u = e.v),
-    comp AS (
+    comp AS MATERIALIZED (
       SELECT u AS doc_id, MIN(lbl) AS component_id FROM walk GROUP BY u),
+    mnm AS MATERIALIZED (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM comp GROUP BY 1),
+    csmall AS MATERIALIZED (
+      SELECT c.doc_id, c.component_id
+      FROM comp c JOIN mnm n USING (component_id)
+      WHERE n.n_members <= {MEDOID_FAMILY_CAP}),
     mexs AS (SELECT doc_id, unnest(shingle_list) AS shingle FROM sh),
     mszs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-            FROM mexs JOIN comp USING (doc_id) GROUP BY doc_id),
+            FROM mexs JOIN csmall USING (doc_id) GROUP BY doc_id),
     mprs AS (SELECT a.doc_id AS da, b.doc_id AS db, a.component_id AS c
-            FROM comp a JOIN comp b
+            FROM csmall a JOIN csmall b
               ON a.component_id = b.component_id AND a.doc_id < b.doc_id),
     minter AS (SELECT p.da, p.db, CAST(COUNT(*) AS BIGINT) AS i
               FROM mprs p
@@ -1250,15 +1345,20 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM (SELECT c, da AS doc_id, dist_e6 FROM mpd
                    UNION ALL SELECT c, db, dist_e6 FROM mpd)
              GROUP BY 1, 2),
-    mnm AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members
-           FROM comp GROUP BY 1),
     mrk AS (SELECT component_id, doc_id, sum_dist_e6,
                   ROW_NUMBER() OVER (PARTITION BY component_id
                                      ORDER BY sum_dist_e6, doc_id) AS rn
            FROM mdsum)
     SELECT r.component_id, r.doc_id AS medoid_doc_id, n.n_members,
-           r.sum_dist_e6
+           r.sum_dist_e6, FALSE AS quarantined
     FROM mrk r JOIN mnm n USING (component_id) WHERE rn = 1
+    UNION ALL
+    SELECT c.component_id, MIN(c.doc_id) AS medoid_doc_id,
+           CAST(MAX(n.n_members) AS BIGINT) AS n_members,
+           CAST(-1 AS BIGINT) AS sum_dist_e6, TRUE AS quarantined
+    FROM comp c JOIN mnm n USING (component_id)
+    WHERE n.n_members > {MEDOID_FAMILY_CAP}
+    GROUP BY c.component_id
     """,
 )
 def dedup_cluster_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1278,22 +1378,47 @@ def dedup_cluster_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keeper deterministic.
 
     Scale shape: the family self-join is an equi-join on component_id
-    (never data x data); the intersection count reuses the shingle
-    relation's equi-join machinery from dedup_jaccard_prefix's verify
-    phase; the per-family argmin is a KEYED window. Pathological giant
-    families (boilerplate corpora) surface as skewed component keys —
-    the same AQE skew-join territory the jaccard verify documents."""
+    (never data x data), and a family-size census GATES it: only
+    families with n_members <= MEDOID_FAMILY_CAP enter the all-pairs
+    phase, so the worst per-key work is CAP^2 regardless of corpus
+    pathology. Oversized families (boilerplate mega-cliques — the
+    skewed-component hazard) are QUARANTINED with a deterministic
+    min-doc_id keeper, sum_dist_e6 = -1, quarantined = true, so the
+    report still covers every family and downstream keeper logic
+    stays total. The intersection count reuses the shingle relation's
+    equi-join machinery from dedup_jaccard_prefix's verify phase; the
+    per-family argmin is a KEYED window."""
     from metadata_extractors_api_spark.operators.llm import _shingle_rel
 
     comp = dedup_components(spark, sf_dir).localCheckpoint()
-    ex = _shingle_rel(spark, sf_dir).join(
-        comp.select("doc_id"), "doc_id", "left_semi"
+    return _medoid_report(comp, _shingle_rel(spark, sf_dir))
+
+
+def _medoid_report(comp: DataFrame, shingles: DataFrame) -> DataFrame:
+    """The medoid kernel: given a components relation
+    ``(doc_id, component_id)`` and a distinct-shingle relation
+    ``(doc_id, shingle)``, produce the per-family keeper report —
+    exact within-family Jaccard medoid for families up to
+    MEDOID_FAMILY_CAP members, min-doc_id quarantine rows above it.
+    Extracted so the giant-family stress test (tests/
+    test_stress_scale.py) can drive it with an adversarial synthetic
+    component structure without a corpus."""
+    nm = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
+    comp_small = comp.join(
+        nm.filter(F.col("n_members") <= MEDOID_FAMILY_CAP).select(
+            "component_id"
+        ),
+        "component_id",
+        "left_semi",
+    )
+    ex = shingles.join(comp_small.select("doc_id"), "doc_id", "left_semi")
     szs = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a = comp.select(
+    a = comp_small.select(
         F.col("doc_id").alias("da"), F.col("component_id").alias("c")
     )
-    b = comp.select(
+    b = comp_small.select(
         F.col("doc_id").alias("db"), F.col("component_id").alias("c2")
     )
     prs = a.join(b, (a.c == b.c2) & (a.da < b.db)).select("da", "db", "c")
@@ -1338,11 +1463,8 @@ def dedup_cluster_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("component_id", "doc_id")
         .agg(F.sum("dist_e6").cast("bigint").alias("sum_dist_e6"))
     )
-    nm = comp.groupBy("component_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members")
-    )
     w = Window.partitionBy("component_id").orderBy("sum_dist_e6", "doc_id")
-    return (
+    small_report = (
         dsum.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .join(nm, "component_id")
@@ -1351,5 +1473,25 @@ def dedup_cluster_medoid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("medoid_doc_id"),
             "n_members",
             "sum_dist_e6",
+            F.lit(False).alias("quarantined"),
         )
     )
+    quarantine = (
+        comp.join(
+            nm.filter(F.col("n_members") > MEDOID_FAMILY_CAP),
+            "component_id",
+        )
+        .groupBy("component_id")
+        .agg(
+            F.min("doc_id").alias("medoid_doc_id"),
+            F.max("n_members").cast("bigint").alias("n_members"),
+        )
+        .select(
+            "component_id",
+            "medoid_doc_id",
+            "n_members",
+            F.lit(-1).cast("bigint").alias("sum_dist_e6"),
+            F.lit(True).alias("quarantined"),
+        )
+    )
+    return small_report.unionByName(quarantine)

@@ -1546,11 +1546,14 @@ def events_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reported for the argmax with segment means.
 
     Exactness: counts and prefix sums are integers; the gain quantizes
-    to e6 units via the two-term floor expansion (q*1e6 + (r*1e6)//den)
-    so no intermediate exceeds int64 as long as |num| <= 3e9 — guarded
-    in-plan with assert_true folded into the kept column (the
-    dq_ks_two_sample discipline; at the bound the series holds ~9e18
-    daily-count mass, far past any real event table's day grain).
+    to e6 units via the two-term floor expansion (q*1e6 + (r*1e6)//den).
+    THREE in-plan assert_true guards (folded into kept columns, the
+    dq_ks_two_sample discipline) cover every intermediate: |num| <= 3e9
+    so num*num stays under int64; q = num*num div den <= int64_max//1e6
+    so q*1e6 stays under int64 (|num|<=3e9 alone does NOT imply this —
+    with den in the hundreds, num^2/den can pass 9.2e12); and
+    den <= int64_max//1e6 so the remainder term (r < den) * 1e6 stays
+    under int64. Any breach raises loudly instead of wrapping.
 
     Scale shape: ONE map-side-combinable groupBy collapses the corpus
     to the calendar-day series; the window prefix sums and the argmax
@@ -1588,7 +1591,7 @@ def events_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n1") * (F.col("n") - F.col("n1")) * F.col("n")).alias("den"),
         )
     )
-    guard = F.assert_true(
+    num_guard = F.assert_true(
         F.abs(F.col("num")) <= F.lit(3_000_000_000).cast("bigint"),
         F.lit(
             "events_changepoint_binary: |S1*n2 - S2*n1| > 3e9 — num^2 "
@@ -1596,16 +1599,37 @@ def events_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "before the gain expansion"
         ),
     )
-    scored = cand.select(
+    qd = cand.select(
+        "d",
+        "n1",
+        "n2",
+        "s1",
+        "s2",
+        "den",
+        F.when(num_guard.isNull(), F.expr("num * num div den"))
+        .cast("bigint")
+        .alias("q"),
+        F.expr("num * num % den").cast("bigint").alias("rem"),
+    )
+    e6_cap = F.lit(9_223_372_036_854_775_807 // 1_000_000).cast("bigint")
+    q_guard = F.assert_true(
+        (F.col("q") <= e6_cap) & (F.col("den") <= e6_cap),
+        F.lit(
+            "events_changepoint_binary: num^2 div den (or den itself) "
+            "> int64_max/1e6 — the e6 quantization would overflow "
+            "int64; rescale counts before the gain expansion"
+        ),
+    )
+    scored = qd.select(
         "d",
         "n1",
         "n2",
         "s1",
         "s2",
         F.when(
-            guard.isNull(),
-            (F.expr("(num * num div den) * 1000000")
-             + F.expr("((num * num % den) * 1000000) div den")),
+            q_guard.isNull(),
+            F.col("q") * F.lit(1_000_000).cast("bigint")
+            + F.expr("(rem * 1000000) div den"),
         )
         .cast("bigint")
         .alias("gain_e6"),
@@ -1632,13 +1656,17 @@ CMS_D = 3
 CMS_W = 1024
 
 
-@register(
-    "agg_cms_heavy_hitters",
-    oracle=f"""
+def cms_oracle_sql(key_sql: str, table: str) -> str:
+    """The DuckDB rendering of the CMS build + top-10 point query for
+    key expression ``key_sql`` over ``table`` — shared by
+    agg_cms_heavy_hitters and the streaming twin so a future CMS_D /
+    CMS_W change can never fork the batch and stream contracts (the
+    hll_oracle_sql discipline)."""
+    return f"""
     WITH exact AS MATERIALIZED (
-      SELECT CAST(o_custkey AS VARCHAR) AS key,
+      SELECT CAST({key_sql} AS VARCHAR) AS key,
              CAST(COUNT(*) AS BIGINT) AS true_cnt
-      FROM orders GROUP BY 1),
+      FROM {table} GROUP BY 1),
     buckets AS MATERIALIZED (
       SELECT d.d,
              ('0x' || substr(md5('cms' || CAST(d.d AS VARCHAR) || ':' || key),
@@ -1661,7 +1689,12 @@ CMS_W = 1024
     SELECT key, true_cnt, est_cnt,
            CAST(est_cnt - true_cnt AS BIGINT) AS overest
     FROM est
-    """,
+    """
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    oracle=cms_oracle_sql("o_custkey", "orders"),
 )
 def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters: CMS_D md5-salted hash rows of
@@ -2055,17 +2088,20 @@ def orders_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sqrt is IEEE-correctly-rounded in both engines, so the e6
     rounding agrees bitwise — the cosine_from_scaled discipline).
 
-    Scale shape: a 3-dimension broadcast-join star (orders->customer->
-    nation are the small sides at any SF... orders is data-sized: the
-    lineitem-orders join shuffles on orderkey, then customer/nation
-    broadcast), one nation-grain rollup, and a 25-row report rank."""
+    Scale shape: lineitem-orders shuffles on orderkey (both data-
+    sized); customer scales linearly with SF (150k x SF rows), so it
+    carries NO broadcast hint — AQE broadcasts it at bench SFs and
+    falls back to a shuffle join at the 100 TB operating point where a
+    forced customer broadcast would OOM the driver. Only nation (25
+    rows at every SF) is hint-broadcast. Then one nation-grain rollup
+    and a 25-row report rank."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(

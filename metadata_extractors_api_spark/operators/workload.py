@@ -917,11 +917,14 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     item_supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("supp"))
     a = items.withColumnsRenamed({"l_partkey": "item_a"})
-    b = items.withColumnsRenamed({"l_partkey": "item_b"})
+    b = items.withColumnsRenamed(
+        {"l_partkey": "item_b", "l_orderkey": "b_orderkey"}
+    )
     pairs = (
         a.join(
             b,
-            (a.l_orderkey == b.l_orderkey) & (F.col("item_a") < F.col("item_b")),
+            (a.l_orderkey == b.b_orderkey)
+            & (F.col("item_a") < F.col("item_b")),
         )
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("pair_supp"))

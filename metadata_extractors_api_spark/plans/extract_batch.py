@@ -200,24 +200,27 @@ def extract_parse_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DISPATCH_ORACLE = f"""
-    WITH files AS (SELECT * FROM {reg.files_values_sql()}),
-         filetypes AS (SELECT * FROM {reg.filetypes_values_sql()}),
-         extractors AS (SELECT * FROM {reg.extractors_values_sql()}),
-    s1 AS (
+def _dispatch_ctes(p: str, filetypes_sql: str, extractors_sql: str) -> str:
+    """The A3-A9 dispatch chain as DuckDB CTEs named ``{p}s1..{p}s6``
+    over a shared ``files`` CTE — prefix-parameterized so the diff
+    oracle can render TWO registry snapshots in one statement without
+    forking the dispatch text (the cms_oracle_sql discipline)."""
+    return f"""{p}filetypes AS (SELECT * FROM {filetypes_sql}),
+    {p}extractors AS (SELECT * FROM {extractors_sql}),
+    {p}s1 AS (
       SELECT f.file_id, f.path, f.filetype_id,
              ft.registered_extractors[1] AS extractor_id,
              CAST(len(ft.registered_extractors) AS INT) AS n_candidates
-      FROM files f JOIN filetypes ft ON f.filetype_id = ft.id),
-    s2 AS (
-      SELECT s1.*, ex.supported_filetypes, ex.usage
-      FROM s1 JOIN extractors ex ON ex.id = s1.extractor_id),
-    s3 AS (
+      FROM files f JOIN {p}filetypes ft ON f.filetype_id = ft.id),
+    {p}s2 AS (
+      SELECT {p}s1.*, ex.supported_filetypes, ex.usage
+      FROM {p}s1 JOIN {p}extractors ex ON ex.id = {p}s1.extractor_id),
+    {p}s3 AS (
       SELECT file_id, path, filetype_id, extractor_id, n_candidates,
              list_filter(supported_filetypes, s -> s.id = filetype_id)[1].template AS template,
              coalesce(list_filter(usage, u -> u.method = 'python')[1], usage[-1]) AS u
-      FROM s2),
-    s4 AS (
+      FROM {p}s2),
+    {p}s4 AS (
       SELECT file_id, path, filetype_id, extractor_id, n_candidates,
              u.method AS method, u.setup AS setup, u.command AS command,
              coalesce(nullif(template['output_path'][1], ''),
@@ -226,8 +229,8 @@ _DISPATCH_ORACLE = f"""
              coalesce(nullif(template['input_type'][1], ''), filetype_id) AS eff_type,
              coalesce(nullif(template['input_path'][1], ''), path) AS eff_path,
              nullif(template['output_type'][1], '') AS eff_otype
-      FROM s3),
-    s5 AS (
+      FROM {p}s3),
+    {p}s5 AS (
       SELECT *,
         replace(replace(replace(command,
           '{{{{ input_type }}}}',
@@ -237,14 +240,19 @@ _DISPATCH_ORACLE = f"""
           '{{{{ output_path }}}}',
           CASE WHEN method = 'python' THEN '''' || output_path || '''' ELSE output_path END)
           AS r3
-      FROM s4),
-    s6 AS (
+      FROM {p}s4),
+    {p}s6 AS (
       SELECT *,
         CASE WHEN eff_otype IS NULL THEN r3
              ELSE replace(r3, '{{{{ output_type }}}}',
                CASE WHEN method = 'python' THEN '''' || eff_otype || '''' ELSE eff_otype END)
         END AS rendered
-      FROM s5)
+      FROM {p}s5)"""
+
+
+_DISPATCH_ORACLE = f"""
+    WITH files AS (SELECT * FROM {reg.files_values_sql()}),
+    {_dispatch_ctes("", reg.filetypes_values_sql(), reg.extractors_values_sql())}
     SELECT file_id, path, filetype_id, extractor_id, n_candidates,
            method, setup, output_path, rendered
     FROM s6
@@ -278,6 +286,34 @@ def extract_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROUNDTRIP_MEMO: dict = {}
 
 
+def _roundtrip_snapshot(
+    spark: SparkSession, ft_df: DataFrame, ex_df: DataFrame, tag: str
+) -> tuple[DataFrame, DataFrame]:
+    """Serialize one registry snapshot as JSON lines (the wire shape
+    the reference serves over HTTP, __init__.py:104), re-read it as
+    untyped text, and cast it into the declared StructTypes at the
+    boundary (from_json — the scan_registry_json path)."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=f"mdx_regjson_{tag}_")
+    ft_dir = os.path.join(base, "filetypes")
+    ex_dir = os.path.join(base, "extractors")
+    ft_df.coalesce(1).write.json(ft_dir)
+    ex_df.coalesce(1).write.json(ex_dir)
+    ft2 = (
+        spark.read.text(ft_dir)
+        .select(F.from_json("value", reg.FILETYPES_SCHEMA).alias("e"))
+        .select("e.*")
+    )
+    ex2 = (
+        spark.read.text(ex_dir)
+        .select(F.from_json("value", reg.EXTRACTORS_SCHEMA).alias("e"))
+        .select("e.*")
+    )
+    return ft2, ex2
+
+
 @register("extract_dispatch_roundtrip", oracle=_DISPATCH_ORACLE)
 def extract_dispatch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ingestion-boundary loop closed end-to-end (VERDICT r6 'Next
@@ -290,30 +326,108 @@ def extract_dispatch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     extract_dispatch's verbatim: a lossy serialization (dropped struct
     field, map<->struct confusion, null/''-collapse) would hash-fail
     against the fixture-direct result."""
-    import os
-    import tempfile
-
     df = _ROUNDTRIP_MEMO.get(session_key(spark))
     if df is None:
-        base = tempfile.mkdtemp(prefix="mdx_regjson_")
-        ft_dir = os.path.join(base, "filetypes")
-        ex_dir = os.path.join(base, "extractors")
-        reg.filetypes_df(spark).coalesce(1).write.json(ft_dir)
-        reg.extractors_df(spark).coalesce(1).write.json(ex_dir)
-        ft2 = (
-            spark.read.text(ft_dir)
-            .select(F.from_json("value", reg.FILETYPES_SCHEMA).alias("e"))
-            .select("e.*")
-        )
-        ex2 = (
-            spark.read.text(ex_dir)
-            .select(F.from_json("value", reg.EXTRACTORS_SCHEMA).alias("e"))
-            .select("e.*")
+        ft2, ex2 = _roundtrip_snapshot(
+            spark, reg.filetypes_df(spark), reg.extractors_df(spark), "a"
         )
         df = extract_batch(spark, reg.files_df(spark), (ft2, ex2)).filter(
             F.col("extractor_id").isNotNull()
         )
         _ROUNDTRIP_MEMO[session_key(spark)] = df
+    return df
+
+
+_DISPATCH_DIFF_ORACLE = f"""
+    WITH files AS (SELECT * FROM {reg.files_values_sql()}),
+    {_dispatch_ctes("", reg.filetypes_values_sql(), reg.extractors_values_sql())},
+    {_dispatch_ctes("b_", reg.filetypes_values_sql(reg.FILETYPES_B),
+                    reg.extractors_values_sql(reg.EXTRACTORS_B))},
+    da AS (SELECT file_id, path, extractor_id, rendered, output_path, method
+           FROM s6 WHERE extractor_id IS NOT NULL),
+    db AS (SELECT file_id, path, extractor_id, rendered, output_path, method
+           FROM b_s6 WHERE extractor_id IS NOT NULL)
+    SELECT coalesce(da.file_id, db.file_id) AS file_id,
+           coalesce(da.path, db.path) AS path,
+           CASE WHEN da.file_id IS NULL THEN 'added'
+                WHEN db.file_id IS NULL THEN 'removed'
+                WHEN da.extractor_id <> db.extractor_id
+                     OR da.rendered <> db.rendered
+                     OR da.output_path <> db.output_path
+                     OR da.method <> db.method THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           da.extractor_id AS extractor_a, db.extractor_id AS extractor_b,
+           da.rendered AS rendered_a, db.rendered AS rendered_b
+    FROM da FULL OUTER JOIN db ON db.file_id = da.file_id
+"""
+
+
+@register("extract_dispatch_diff", oracle=_DISPATCH_DIFF_ORACLE)
+def extract_dispatch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry EVOLUTION -> dispatch diff (VERDICT r7 'Next round'
+    #7): the reference's registry is alive — extractors register,
+    deregister, and edit their templates between runs (it re-fetches
+    /filetypes/{{id}} and /extractors/{{id}} per extract() call,
+    __init__.py:96-123). This query ingests snapshot A (the fixture
+    registry) AND mutated snapshot B (registry.py FILETYPES_B /
+    EXTRACTORS_B: template changed, extractor removed, extractor
+    added) through the SAME JSON-lines wire round-trip as
+    extract_dispatch_roundtrip, runs the full dispatch off each, and
+    classifies every file by what the registry update did to it:
+    'added' (dispatches only under B), 'removed' (lost its extractor),
+    'changed' (same file, different resolved extractor / rendered
+    command / output path / method), 'unchanged'. The installation
+    bump in B (yadg~=5.0 -> ~=5.1) deliberately does NOT surface —
+    dispatch consumes usage+template, not installation.
+
+    Scale shape: two dimension-sized registry ingests, two broadcast-
+    join dispatch plans over the SAME files scan, one full outer join
+    on file_id."""
+    key = (session_key(spark), "diff")
+    df = _ROUNDTRIP_MEMO.get(key)
+    if df is not None:
+        return df
+    ft_a, ex_a = _roundtrip_snapshot(
+        spark, reg.filetypes_df(spark), reg.extractors_df(spark), "a"
+    )
+    ft_b, ex_b = _roundtrip_snapshot(
+        spark, reg.filetypes_b_df(spark), reg.extractors_b_df(spark), "b"
+    )
+    cols = ["file_id", "path", "extractor_id", "rendered", "output_path",
+            "method"]
+    da = (
+        extract_batch(spark, reg.files_df(spark), (ft_a, ex_a))
+        .filter(F.col("extractor_id").isNotNull())
+        .select(*cols)
+    )
+    db = (
+        extract_batch(spark, reg.files_df(spark), (ft_b, ex_b))
+        .filter(F.col("extractor_id").isNotNull())
+        .select(*[F.col(c).alias(f"b_{c}") for c in cols])
+    )
+    j = da.join(db, da.file_id == db.b_file_id, "full_outer")
+    status = (
+        F.when(F.col("file_id").isNull(), F.lit("added"))
+        .when(F.col("b_file_id").isNull(), F.lit("removed"))
+        .when(
+            (F.col("extractor_id") != F.col("b_extractor_id"))
+            | (F.col("rendered") != F.col("b_rendered"))
+            | (F.col("output_path") != F.col("b_output_path"))
+            | (F.col("method") != F.col("b_method")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    df = j.select(
+        F.coalesce(F.col("file_id"), F.col("b_file_id")).alias("file_id"),
+        F.coalesce(F.col("path"), F.col("b_path")).alias("path"),
+        status.alias("status"),
+        F.col("extractor_id").alias("extractor_a"),
+        F.col("b_extractor_id").alias("extractor_b"),
+        F.col("rendered").alias("rendered_a"),
+        F.col("b_rendered").alias("rendered_b"),
+    )
+    _ROUNDTRIP_MEMO[key] = df
     return df
 
 

@@ -48,6 +48,49 @@ EXTRACTORS: list[tuple] = [
     ),
 ]
 
+# --- snapshot B: the registry after an update cycle -------------------------
+#
+# The reference's reality is a LIVING registry (marda_extractors_api
+# re-fetches /filetypes/{id} and /extractors/{id} per run,
+# __init__.py:96-123): extractors get registered, deregistered, and
+# their templates edited between runs. Snapshot B applies one mutation
+# of each kind the dispatch path consumes (__init__.py:236-247):
+#   * template changed -- yadg's biologic-mpr entry gains an
+#     input_type override, so the same files re-render differently;
+#   * extractor removed -- example-csv loses csv-extract, so its files
+#     stop dispatching;
+#   * extractor added -- orphan-type gains bin-extract, so the
+#     previously-orphaned file starts dispatching.
+FILETYPES_B: list[tuple] = [
+    ("biologic-mpr", "BioLogic EC-Lab binary", ["yadg", "alt-extractor"]),
+    ("example-csv", "Example CSV table", []),
+    ("orphan-type", "No registered extractors", ["bin-extract"]),
+]
+
+EXTRACTORS_B: list[tuple] = [
+    (
+        "yadg",
+        [("biologic-mpr", {"input_type": "mpr-v2"})],
+        [
+            ("python", "yadg", "yadg.extractors.extract({{ input_type }}, {{ input_path }})"),
+            ("cli", "", "yadg extract {{ input_path }} -o {{ output_path }}"),
+        ],
+        [("pip", ">=3.9", None, ["yadg~=5.1"])],
+    ),
+    (
+        "alt-extractor",
+        [("biologic-mpr", {"input_type": "mpr"})],
+        [("cli", "", "altx {{ input_type }} {{ input_path }}")],
+        [("pip", None, None, ["altx"])],
+    ),
+    (
+        "bin-extract",
+        [("orphan-type", None)],
+        [("cli", "", "binx {{ input_path }} -o {{ output_path }}")],
+        [("pip", None, None, ["binx"])],
+    ),
+]
+
 FILES: list[tuple] = [
     (1, "/data/gcpl.mpr", "biologic-mpr", 1048576),
     (2, "/data/ocv.mpr", "biologic-mpr", 524288),
@@ -97,6 +140,14 @@ def files_df(spark: SparkSession) -> DataFrame:
     return _memo(spark, "files", FILES, FILES_SCHEMA)
 
 
+def filetypes_b_df(spark: SparkSession) -> DataFrame:
+    return _memo(spark, "filetypes_b", FILETYPES_B, FILETYPES_SCHEMA)
+
+
+def extractors_b_df(spark: SparkSession) -> DataFrame:
+    return _memo(spark, "extractors_b", EXTRACTORS_B, EXTRACTORS_SCHEMA)
+
+
 # --- DuckDB renderings of the same fixtures ---------------------------------
 
 
@@ -120,16 +171,19 @@ def _sql_map(m: dict | None) -> str:
     return f"map({keys}, {vals})"
 
 
-def filetypes_values_sql() -> str:
+def filetypes_values_sql(fixture: list[tuple] | None = None) -> str:
     rows = ", ".join(
-        f"({_sql_str(i)}, {_sql_str(d)}, {_sql_strlist(r)})" for i, d, r in FILETYPES
+        f"({_sql_str(i)}, {_sql_str(d)}, {_sql_strlist(r)})"
+        for i, d, r in (FILETYPES if fixture is None else fixture)
     )
     return f"(VALUES {rows}) AS filetypes(id, description, registered_extractors)"
 
 
-def extractors_values_sql() -> str:
+def extractors_values_sql(fixture: list[tuple] | None = None) -> str:
     rows = []
-    for eid, supported, usage, installation in EXTRACTORS:
+    for eid, supported, usage, installation in (
+        EXTRACTORS if fixture is None else fixture
+    ):
         sup = "[" + ", ".join(
             f"{{'id': {_sql_str(sid)}, 'template': {_sql_map(tpl)}}}"
             for sid, tpl in supported

@@ -893,6 +893,18 @@ def _pattern_funnel_serve(updates: DataFrame) -> DataFrame:
 from metadata_extractors_api_spark.operators.stats import hll_oracle_sql
 
 
+def _hll_updates(ev: DataFrame) -> DataFrame:
+    """The stateful half of stream_hll_distinct: raw key stream in,
+    streaming per-bucket register-max stream out. Factored out so the
+    decade stress tool (tools/stress_stream_sf1.py) drains the exact
+    registered pipeline under an instrumented checkpoint."""
+    from metadata_extractors_api_spark.operators.stats import hll_registers
+
+    return hll_registers(ev, "user_id").groupBy("bucket").agg(
+        F.max("mj").cast("bigint").alias("mj")
+    )
+
+
 @register(
     "stream_hll_distinct",
     oracle=hll_oracle_sql("user_id", "events"),
@@ -920,10 +932,7 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _events_stream_batched(spark, sf_dir).select("user_id")
-    regs_stream = hll_registers(ev, "user_id").groupBy("bucket").agg(
-        F.max("mj").cast("bigint").alias("mj")
-    )
-    updates = _run_to_table(regs_stream, spark, "update")
+    updates = _run_to_table(_hll_updates(ev), spark, "update")
     # update-mode sink keeps one row per bucket per batch it changed
     # in; register maxima are monotone, so the final register is the
     # per-bucket max across updates.
@@ -944,36 +953,51 @@ def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from metadata_extractors_api_spark.operators.stats import cms_oracle_sql
+
+
+def _cms_bucket(d: int, key) -> F.Column:
+    """The engine-portable md5-prefix CMS bucket for hash row ``d``
+    (shared by the streaming sketch build and the point-query probes)."""
+    from metadata_extractors_api_spark.operators.stats import CMS_W
+
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), key)), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_W
+    )
+
+
+def _cms_updates(ev: DataFrame) -> DataFrame:
+    """The stateful half of stream_cms_heavy_hitters: key stream in,
+    streaming per-(row, bucket) counter stream out. Factored out so
+    the decade stress tool drains the exact registered pipeline."""
+    from metadata_extractors_api_spark.operators.stats import CMS_D
+
+    cells = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(d, F.col("key")).alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.bucket")
+    return cells.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total")
+    )
+
+
 @register(
     "stream_cms_heavy_hitters",
-    oracle="""
-    WITH exact AS MATERIALIZED (
-      SELECT CAST(user_id AS VARCHAR) AS key,
-             CAST(COUNT(*) AS BIGINT) AS true_cnt
-      FROM events GROUP BY 1),
-    buckets AS MATERIALIZED (
-      SELECT d.d,
-             ('0x' || substr(md5('cms' || CAST(d.d AS VARCHAR) || ':' || key),
-                             1, 8))::BIGINT % 1024 AS bucket,
-             CAST(SUM(true_cnt) AS BIGINT) AS total
-      FROM exact, (SELECT unnest(range(0, 3)) AS d) d
-      GROUP BY 1, 2),
-    top AS MATERIALIZED (
-      SELECT key, true_cnt FROM exact
-      ORDER BY true_cnt DESC, key LIMIT 10),
-    est AS (
-      SELECT t.key, t.true_cnt, CAST(MIN(b.total) AS BIGINT) AS est_cnt
-      FROM top t, (SELECT unnest(range(0, 3)) AS d) d
-      JOIN buckets b
-        ON b.d = d.d
-       AND b.bucket = ('0x' || substr(md5('cms' || CAST(d.d AS VARCHAR)
-                                          || ':' || t.key), 1, 8))::BIGINT
-                      % 1024
-      GROUP BY 1, 2)
-    SELECT key, true_cnt, est_cnt,
-           CAST(est_cnt - true_cnt AS BIGINT) AS overest
-    FROM est
-    """,
+    oracle=cms_oracle_sql("user_id", "events"),
 )
 def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of agg_cms_heavy_hitters over events.user_id:
@@ -989,38 +1013,12 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming state: CMS_D * CMS_W counter rows regardless of key
     cardinality or stream length."""
     from metadata_extractors_api_spark.catalog import load
-    from metadata_extractors_api_spark.operators.stats import CMS_D, CMS_W
-
-    def bucket(d: int, key):
-        return (
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), key)), 1, 8),
-                16,
-                10,
-            ).cast("bigint")
-            % CMS_W
-        )
+    from metadata_extractors_api_spark.operators.stats import CMS_D
 
     ev = _events_stream_batched(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("key")
     )
-    cells = ev.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        bucket(d, F.col("key")).alias("bucket"),
-                    )
-                    for d in range(CMS_D)
-                ]
-            )
-        ).alias("c")
-    ).select("c.d", "c.bucket")
-    sk_stream = cells.groupBy("d", "bucket").agg(
-        F.count(F.lit(1)).cast("bigint").alias("total")
-    )
-    updates = _run_to_table(sk_stream, spark, "update")
+    updates = _run_to_table(_cms_updates(ev), spark, "update")
     sketch = updates.groupBy("d", "bucket").agg(
         F.max("total").cast("bigint").alias("total")
     )
@@ -1036,7 +1034,7 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key",
             "true_cnt",
             F.lit(d).alias("d"),
-            bucket(d, F.col("key")).alias("bucket"),
+            _cms_bucket(d, F.col("key")).alias("bucket"),
         )
         probes = p if probes is None else probes.unionByName(p)
     est = (
@@ -1049,6 +1047,57 @@ def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_cnt",
         "est_cnt",
         (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias("overest"),
+    )
+
+
+def _scd2_updates(ev: DataFrame) -> DataFrame:
+    """The stateful half of stream_scd2_build: raw event stream in,
+    per-user SCD2 change-log stream out (one row per suppressed-
+    duplicate state change). Factored out so the decade stress tool
+    drains the exact registered pipeline."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        last, ver = state.get if state.exists else (None, 0)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"])
+            )
+        rows.sort(key=lambda r: (r[0], r[1]))
+        out_t, out_s, out_v = [], [], []
+        for ts_us, _eid, et in rows:
+            if last is None or et != last:
+                ver += 1
+                out_t.append(ts_us)
+                out_s.append(et)
+                out_v.append(ver)
+                last = et
+        state.update((last, ver))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_t),
+                "state": out_s,
+                "valid_from_us": out_t,
+                "version": out_v,
+            }
+        )
+
+    coded = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    return coded.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, state string, valid_from_us bigint, "
+            "version bigint"
+        ),
+        stateStructType="last string, ver bigint",
+        outputMode="append",
+        timeoutConf="NoTimeout",
     )
 
 
@@ -1094,51 +1143,9 @@ def stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     a restartable stream accumulates must equal the nightly batch
     build row-for-row (the batch/stream symmetry contract). State per
     user is three scalars — bounded like every keyed fold here."""
-    import pandas as pd
-
-    def update(key, pdfs, state):
-        last, ver = state.get if state.exists else (None, 0)
-        rows = []
-        for pdf in pdfs:
-            rows.extend(
-                zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"])
-            )
-        rows.sort(key=lambda r: (r[0], r[1]))
-        out_t, out_s, out_v = [], [], []
-        for ts_us, _eid, et in rows:
-            if last is None or et != last:
-                ver += 1
-                out_t.append(ts_us)
-                out_s.append(et)
-                out_v.append(ver)
-                last = et
-        state.update((last, ver))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]] * len(out_t),
-                "state": out_s,
-                "valid_from_us": out_t,
-                "version": out_v,
-            }
-        )
-
-    ev = _events_stream_batched(spark, sf_dir).select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_id",
-        "event_type",
+    log = _run_to_table(
+        _scd2_updates(_events_stream_batched(spark, sf_dir)), spark, "append"
     )
-    out = ev.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=(
-            "user_id bigint, state string, valid_from_us bigint, "
-            "version bigint"
-        ),
-        stateStructType="last string, ver bigint",
-        outputMode="append",
-        timeoutConf="NoTimeout",
-    )
-    log = _run_to_table(out, spark, "append")
     w = Window.partitionBy("user_id").orderBy("valid_from_us", "version")
     return log.select(
         "user_id",

@@ -681,3 +681,60 @@ def test_bpe_train_200k_word_histogram_closed_form(spark):
     # id%4==1 ('c') and id%4==3 ('e') are always odd ids -> cnt 2:
     # class mass = 50k words * 2 = 100k each; tie-break -> 'c'.
     assert merges[1][1:] == ("▁a", "c", 100_000)
+
+
+def test_medoid_giant_family_is_quarantined_50k(spark):
+    """A 50,000-member duplicate family (boilerplate mega-clique)
+    hits dedup_cluster_medoid's family-size gate: the all-pairs
+    phase would be ~1.25e9 pair rows on ONE component key — the
+    single-reducer quadratic blowup the gate exists to prevent — so
+    finishing at all is the proof the gated plan never generates
+    them. The giant family must come back as ONE quarantine row
+    (min-doc_id keeper, sum_dist_e6 = -1, quarantined = true) while
+    two small families still get exact hand-computed Jaccard
+    medoids."""
+    from metadata_extractors_api_spark.operators.pipeline import (
+        MEDOID_FAMILY_CAP,
+        _medoid_report,
+    )
+
+    giant = 50_000
+    assert giant > MEDOID_FAMILY_CAP
+    comp = (
+        spark.range(0, giant, 1, 16)
+        .selectExpr("id AS doc_id", "CAST(0 AS BIGINT) AS component_id")
+        .unionByName(
+            spark.createDataFrame(
+                [(100_000, 100_000), (100_001, 100_000), (100_002, 100_000),
+                 (200_000, 200_000), (200_001, 200_000)],
+                "doc_id long, component_id long",
+            )
+        )
+    )
+    shingles = spark.createDataFrame(
+        [
+            (100_000, "x"), (100_000, "y"),
+            (100_001, "x"), (100_001, "y"), (100_001, "z"),
+            (100_002, "y"), (100_002, "z"),
+            (200_000, "p"),
+            (200_001, "p"), (200_001, "q"),
+        ],
+        "doc_id long, shingle string",
+    )
+    rows = {
+        r["component_id"]: r
+        for r in _medoid_report(comp, shingles).collect()
+    }
+    assert set(rows) == {0, 100_000, 200_000}
+    q = rows[0]
+    assert (q["medoid_doc_id"], q["n_members"], q["sum_dist_e6"],
+            q["quarantined"]) == (0, giant, -1, True)
+    # family 100000: d(0,1)=1e6-floor(2e6/3)=333334, d(0,2)=666667,
+    # d(1,2)=333334 -> doc 100001 minimizes with 666668.
+    m = rows[100_000]
+    assert (m["medoid_doc_id"], m["n_members"], m["sum_dist_e6"],
+            m["quarantined"]) == (100_001, 3, 666_668, False)
+    # family 200000: symmetric pair, tie-break -> lower doc_id.
+    p = rows[200_000]
+    assert (p["medoid_doc_id"], p["n_members"], p["sum_dist_e6"],
+            p["quarantined"]) == (200_000, 2, 500_000, False)
