@@ -829,7 +829,12 @@ def stream_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored string reproduces the global order; equal-ts ties cannot
     straddle chunks (chunk predicates cut on ts). State is the code
     string itself — bounded by per-user history, the same bound the
-    batch twin documents."""
+    batch twin documents. That makes this the ONE twin whose state
+    bytes grow with events-per-key (measured ~160 B/user at both
+    bench decades, tools/stress_stream_sf1.py); a production stream
+    with unbounded per-user histories would cap or window the code
+    string (keep the last K codes — the funnel regex only needs a
+    bounded suffix once a match is recorded)."""
     ev = _events_stream_batched(spark, sf_dir)
     updates = _run_to_table(_pattern_funnel_updates(ev), spark, "update")
     return _pattern_funnel_serve(updates)

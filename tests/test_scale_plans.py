@@ -679,3 +679,54 @@ def test_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split_triggers_on_hot_key(spark):
+    """Several operator docstrings defer giant-key hazards to 'AQE
+    skew-join territory' (jaccard verify, null-safe join, the medoid
+    before its cap). This proves that deferral is real ON THIS BUILD,
+    not folklore: a hot-key shuffle join (half of 200k rows on ONE
+    key) executed under cluster-scale-equivalent skew thresholds must
+    finish with OptimizeSkewedJoin having split the hot partition —
+    `skew=true` on the FINAL adaptive SortMergeJoin and a skewed
+    AQEShuffleRead — while producing exactly the right rows."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "32",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        n = 200_000
+        # incompressible payload so the hot partition's COMPRESSED
+        # shuffle size clears the threshold deterministically
+        left = spark.range(0, n, 1, 8).select(
+            F.when(F.col("id") % 2 == 0, 0)
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(0, n // 10, 1, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()
+        # evens (100k) hit hot key 0; odd ids < 20000 (10k) hit 1:1
+        assert len(rows) == 110_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:3000]
+        assert "skewed" in plan, plan[:3000]  # the AQEShuffleRead node
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
