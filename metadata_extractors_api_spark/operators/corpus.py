@@ -2161,10 +2161,11 @@ def text_keyphrase_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_vocab_oracle() -> str:
-    """The trainer's generated CTE chain extended by one final merge
-    application (c{K}) and a weighted symbol census — the vocabulary
-    the learned merge table induces."""
+def _bpe_symbolized_prefix() -> str:
+    """The trainer's generated CTE chain extended by the final merge
+    application: CTEs through ``cf`` (cnt, sym) — the fully-merged
+    symbolization of the word histogram. Shared by the vocabulary
+    census and the WordPiece-style greedy encoder's vocab."""
     train = _bpe_train_oracle()
     # the trainer's chain ends with the UNION ALL report; keep only
     # its CTE prefix (everything up to the final p{K} CTE close).
@@ -2176,7 +2177,13 @@ def _bpe_vocab_oracle() -> str:
       SELECT cnt,
              COALESCE(replace(sym, ' ' || a || ' ' || b || ' ',
                               ' ' || a || b || ' '), sym) AS sym
-      FROM c{k - 1} LEFT JOIN p{k} ON TRUE),
+      FROM c{k - 1} LEFT JOIN p{k} ON TRUE)"""
+
+
+def _bpe_vocab_oracle() -> str:
+    """The symbolized-histogram chain plus a weighted symbol census —
+    the vocabulary the learned merge table induces."""
+    return f"""{_bpe_symbolized_prefix()},
     voc AS (
       SELECT unnest(string_split(trim(sym), ' ')) AS symbol, cnt FROM cf),
     agg AS (
@@ -2245,4 +2252,379 @@ def tokenizer_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         "n_chars",
         F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+
+
+# --- label-propagation communities ------------------------------------------
+#
+# LPA_ROUNDS full rounds, each = two HALF-round updates (suppliers from
+# customers, then customers from refreshed suppliers). The half-round
+# schedule is load-bearing: fully-synchronous LPA on a BIPARTITE graph
+# famously oscillates (labels two-color and flip forever); alternating
+# sides is the standard bipartite-safe variant and converges. All
+# arithmetic is integer (node-id labels, counts, min tie-break), so
+# both engines replay identically.
+LPA_ROUNDS = 3
+LPA_TOP = 20
+#: high-quantity trade edges only: the full bipartite graph is so dense
+#: every node collapses into one community (a correct but trivial
+#: answer); the >= 50 cut keeps the top ~2.5% of lineitems and leaves a
+#: sparse graph whose community structure is non-trivial at every SF.
+LPA_MIN_QTY = 50
+
+
+def _lpa_oracle() -> str:
+    """Generated unrolled oracle: same edges, same half-round argmax
+    (count DESC, label ASC via ROW_NUMBER — DuckDB rejects struct
+    arg_max), same top-20 census + change witness."""
+    ctes = [
+        f"""ed AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_quantity >= {LPA_MIN_QTY})""",
+        "lc0 AS MATERIALIZED (SELECT DISTINCT c AS node, c AS lbl FROM ed)",
+        "ls0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS lbl FROM ed)",
+    ]
+    for k in range(1, LPA_ROUNDS + 1):
+        ctes.append(f"""ls{k} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT e.s AS node, l.lbl, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY e.s
+                                  ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        FROM ed e JOIN lc{k - 1} l ON l.node = e.c
+        GROUP BY e.s, l.lbl)
+      WHERE rn = 1)""")
+        ctes.append(f"""lc{k} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT e.c AS node, l.lbl, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY e.c
+                                  ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        FROM ed e JOIN ls{k} l ON l.node = e.s
+        GROUP BY e.c, l.lbl)
+      WHERE rn = 1)""")
+    k = LPA_ROUNDS
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    fin AS (SELECT lbl FROM lc{k} UNION ALL SELECT lbl FROM ls{k}),
+    com AS (SELECT CAST(lbl AS BIGINT) AS community,
+                   CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM fin GROUP BY 1),
+    chg AS (
+      SELECT CAST(
+        (SELECT COUNT(*) FROM lc{k} a JOIN lc{k - 1} b
+          ON b.node = a.node AND b.lbl <> a.lbl)
+        + (SELECT COUNT(*) FROM ls{k} a JOIN ls{k - 1} b
+            ON b.node = a.node AND b.lbl <> a.lbl) AS BIGINT)
+        AS n_changed)
+    SELECT community, n_members, rk, chg.n_changed
+    FROM (SELECT community, n_members,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n_members DESC, community)
+                      AS BIGINT) AS rk
+          FROM com) t CROSS JOIN chg
+    WHERE rk <= {LPA_TOP}"""
+    )
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by label propagation (Raghavan 2007) over
+    the bipartite customer-supplier trade graph — the clustering
+    complement to graph_pagerank/graph_hits (who is central) and
+    dedup_components (what is CONNECTED): LPA finds the trade
+    communities connectivity alone cannot separate. LPA_ROUNDS
+    alternating half-round updates (see module comment: synchronous
+    LPA oscillates on bipartite graphs; side-alternation is the
+    convergent variant), each node adopting its neighbors' plurality
+    label with the deterministic (count DESC, label ASC) tie-break.
+    Report: top-LPA_TOP communities by size, plus n_changed — the
+    count of nodes that changed label in the FINAL round, this
+    family's convergence witness (the graph_pagerank residual
+    discipline).
+
+    Scale shape: the Pregel profile — each half-round is ONE edge join
+    against the current labels plus a map-side-combinable (node, lbl)
+    count and a KEYED argmax window; labels are localCheckpointed per
+    half-round so lineage never replays the graph build. Nothing
+    driver-side, nothing single-partition."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    ed = (
+        o.join(li.filter(F.col("l_quantity") >= LPA_MIN_QTY),
+               o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _half(edges: DataFrame, src: str, dst: str, labels: DataFrame) -> DataFrame:
+        """argmax_{lbl} (count DESC, lbl ASC) of src-side labels, per dst."""
+        cnt = (
+            edges.join(labels, edges[src] == labels.node)
+            .groupBy(F.col(dst).alias("node2"), "lbl")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        return (
+            cnt.groupBy("node2")
+            .agg(F.max(F.struct(F.col("n"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select(
+                F.col("node2").alias("node"),
+                (-F.col("m.neg")).cast("bigint").alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+
+    lc = ed.select(F.col("c").alias("node")).distinct().withColumn(
+        "lbl", F.col("node").cast("bigint")
+    )
+    ls = ed.select(F.col("s").alias("node")).distinct().withColumn(
+        "lbl", F.col("node").cast("bigint")
+    )
+    prev_lc = prev_ls = None
+    for _ in range(LPA_ROUNDS):
+        prev_ls = ls
+        ls = _half(ed, "c", "s", lc)
+        prev_lc = lc
+        lc = _half(ed, "s", "c", ls)
+    fin = lc.select("lbl").unionByName(ls.select("lbl"))
+    com = fin.groupBy(F.col("lbl").cast("bigint").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    chg_c = (
+        lc.join(
+            prev_lc.withColumnsRenamed({"lbl": "plbl"}), "node"
+        )
+        .filter(F.col("lbl") != F.col("plbl"))
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    chg_s = (
+        ls.join(
+            prev_ls.withColumnsRenamed({"lbl": "plbl"}), "node"
+        )
+        .filter(F.col("lbl") != F.col("plbl"))
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    chg = chg_c.crossJoin(chg_s).select(
+        (F.col("nc") + F.col("ns")).cast("bigint").alias("n_changed")
+    )
+    top = com.orderBy(F.desc("n_members"), F.asc("community")).limit(LPA_TOP)
+    w = Window.orderBy(F.desc("n_members"), F.asc("community"))
+    return (
+        top.select(
+            "community",
+            "n_members",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .crossJoin(F.broadcast(chg))
+    )
+
+
+# --- WordPiece-style greedy inference over the learned vocabulary -----------
+#
+# tokenizer_bpe_encode replays MERGE ORDER (BPE inference);
+# tokenizer_wordpiece_encode is the OTHER production inference
+# algorithm: greedy longest-match-first against the final vocabulary
+# (WordPiece / SentencePiece-BPE-dropout-free serving), which needs
+# only the symbol set, not the merge sequence. Same learned artifacts,
+# different decoder — the pair demonstrates they genuinely differ
+# (greedy can pick a long piece merge-order would never form).
+WP_MAX_CHARS = 12  # words longer than this are skipped + censused
+WP_STEPS = 13  # >= WP_MAX_CHARS + 1 marker char: no word outlives the unroll
+WP_MAXP = 8  # longest vocabulary piece considered
+WP_TOP = 30
+
+
+def _wordpiece_oracle() -> str:
+    """Generated unrolled oracle: the symbolized-histogram chain's
+    final vocabulary, then WP_STEPS greedy longest-prefix-match
+    rounds (ROW_NUMBER argmax per word — one symbol can match per
+    length, so longest-first is unique), a '?' fallback consuming one
+    char when no piece matches, and the cnt-weighted piece census."""
+    ctes = [
+        f"""wvoc AS MATERIALIZED (
+      SELECT DISTINCT symbol, CAST(length(symbol) AS BIGINT) AS slen
+      FROM (SELECT unnest(string_split(trim(sym), ' ')) AS symbol FROM cf)
+      WHERE length(symbol) <= {WP_MAXP})""",
+        f"""wr0 AS MATERIALIZED (
+      SELECT word, cnt, '{BPE_MARKER}' || word AS rest
+      FROM w WHERE length(word) <= {WP_MAX_CHARS})""",
+        f"""wskip AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_words_skipped
+      FROM w WHERE length(word) > {WP_MAX_CHARS})""",
+    ]
+    for k in range(1, WP_STEPS + 1):
+        ctes.append(f"""wc{k} AS MATERIALIZED (
+      SELECT word, symbol, slen FROM (
+        SELECT r.word, v.symbol, v.slen,
+               ROW_NUMBER() OVER (PARTITION BY r.word
+                                  ORDER BY v.slen DESC) AS rn
+        FROM (SELECT word, rest,
+                     unnest(range(1, least(length(rest),
+                                           {WP_MAXP}) + 1)) AS plen
+              FROM wr{k - 1}) r
+        JOIN wvoc v
+          ON v.slen = r.plen
+         AND v.symbol = substr(r.rest, 1, CAST(r.plen AS INT)))
+      WHERE rn = 1)""")
+        ctes.append(f"""wp{k} AS MATERIALIZED (
+      SELECT r.word, r.cnt,
+             COALESCE(c.symbol, '?') AS piece,
+             CAST(COALESCE(c.slen, 1) AS BIGINT) AS consumed,
+             r.rest
+      FROM wr{k - 1} r LEFT JOIN wc{k} c ON c.word = r.word)""")
+        ctes.append(f"""wr{k} AS MATERIALIZED (
+      SELECT word, cnt,
+             substr(rest, CAST(consumed AS INT) + 1) AS rest
+      FROM wp{k}
+      WHERE length(rest) > consumed)""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT piece, cnt FROM wp{k}" for k in range(1, WP_STEPS + 1)
+    )
+    return f"""{_bpe_symbolized_prefix()},
+    {",".join(ctes)},
+    wall AS ({union}),
+    wagg AS (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS uses,
+             CAST(length(piece) AS BIGINT) AS n_chars
+      FROM wall GROUP BY piece)
+    SELECT piece, uses, n_chars, CAST(rk AS BIGINT) AS rk,
+           wskip.n_words_skipped
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY uses DESC, piece) AS rk
+          FROM wagg) t CROSS JOIN wskip
+    WHERE rk <= {WP_TOP}"""
+
+
+@register("tokenizer_wordpiece_encode", oracle=_wordpiece_oracle())
+def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style GREEDY LONGEST-MATCH encoding of the word
+    histogram against the BPE-learned vocabulary: each word (marker-
+    prefixed) is consumed left to right, always taking the longest
+    vocabulary piece that prefixes the remainder ('?' consumes one
+    char when nothing matches — the [UNK]-char fallback), and the
+    report is the cnt-weighted census of emitted pieces (top-WP_TOP)
+    plus the count of length-skipped words. Completes the inference
+    pair: tokenizer_bpe_encode replays merge ORDER, this replays only
+    the merge RESULTS — the two genuinely differ on words where a
+    late-learned long piece shadows an early merge.
+
+    Scale shape: ONE corpus pass builds the histogram; the vocabulary
+    derivation and all WP_STEPS greedy rounds run over the HISTOGRAM
+    (distinct words), never corpus bytes. Each round is an explode of
+    at most WP_MAXP candidate prefix lengths, a hash EQUI-join on the
+    prefix string against the vocabulary (no inequality join, no
+    broadcast of data-derived relations), and a per-word struct-max;
+    the live set only shrinks. The oracle unrolls the identical
+    rounds (8th use of the generated-oracle pattern).
+
+    Ground truth: tests/test_round8_ops.py re-encodes a hand corpus
+    with a plain-Python greedy loop and asserts the census matches."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    words = (
+        d.filter(F.length("text") > 0)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    merges = _bpe_train_merges(words, BPE_TRAIN_ROUNDS)
+    sym = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.split(F.concat(F.lit(BPE_MARKER), F.col("word")), ""), " "
+        ),
+        F.lit(" "),
+    )
+    cur = words.select("cnt", sym.alias("sym"))
+    for _, a, b, _n in merges:
+        cur = cur.withColumn(
+            "sym",
+            F.replace(F.col("sym"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")),
+        )
+    voc = (
+        cur.select(
+            F.explode(F.split(F.trim(F.col("sym")), " ")).alias("symbol")
+        )
+        .distinct()
+        .filter(F.length("symbol") <= WP_MAXP)
+        .withColumn("slen", F.length("symbol").cast("bigint"))
+        .localCheckpoint()
+    )
+    live = (
+        words.filter(F.length("word") <= WP_MAX_CHARS)
+        .select(
+            "word",
+            "cnt",
+            F.concat(F.lit(BPE_MARKER), F.col("word")).alias("rest"),
+        )
+        .localCheckpoint()
+    )
+    skipped = (
+        words.filter(F.length("word") > WP_MAX_CHARS)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_words_skipped"))
+    )
+    piece_parts = []
+    for _ in range(WP_STEPS):
+        cand = live.select(
+            "word",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.least(F.length("rest"), F.lit(WP_MAXP))
+                )
+            ).alias("plen"),
+            F.col("rest"),
+        ).withColumn("prefix", F.expr("substring(rest, 1, plen)"))
+        best = (
+            cand.join(voc, cand.prefix == voc.symbol)
+            .groupBy("word")
+            .agg(F.max(F.struct(F.col("slen"), F.col("symbol"))).alias("m"))
+            .select(
+                F.col("word").alias("bword"),
+                F.col("m.symbol").alias("psym"),
+                F.col("m.slen").alias("pslen"),
+            )
+        )
+        step = live.join(best, live.word == best.bword, "left").select(
+            "word",
+            "cnt",
+            F.coalesce(F.col("psym"), F.lit("?")).alias("piece"),
+            F.coalesce(F.col("pslen"), F.lit(1))
+            .cast("bigint")
+            .alias("consumed"),
+            "rest",
+        )
+        piece_parts.append(step.select("piece", "cnt"))
+        live = (
+            step.filter(F.length("rest") > F.col("consumed"))
+            .select(
+                "word",
+                "cnt",
+                F.expr(
+                    "substring(rest, cast(consumed as int) + 1)"
+                ).alias("rest"),
+            )
+            .localCheckpoint()
+        )
+    allp = piece_parts[0]
+    for p in piece_parts[1:]:
+        allp = allp.unionByName(p)
+    agg = allp.groupBy("piece").agg(
+        F.sum("cnt").cast("bigint").alias("uses")
+    ).withColumn("n_chars", F.length("piece").cast("bigint"))
+    top = agg.orderBy(F.desc("uses"), F.asc("piece")).limit(WP_TOP)
+    w = Window.orderBy(F.desc("uses"), F.asc("piece"))
+    return (
+        top.select(
+            "piece",
+            "uses",
+            "n_chars",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .crossJoin(F.broadcast(skipped))
     )

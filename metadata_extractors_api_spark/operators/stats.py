@@ -2138,3 +2138,156 @@ def orders_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("wilson_lb_e6"), F.asc("n_name"))
     return wil.withColumn("rk", F.row_number().over(w).cast("bigint"))
+
+
+# --- portable Bloom filter: the OR-merge sketch ------------------------------
+#
+# Completes the distributed-sketch merge-algebra triptych: CMS merges
+# by ADDITION (counts), HLL by MAX (register ranks), Bloom by OR (bit
+# sets) — the three shapes every mergeable summary falls into. The
+# bitmap is BLOOM_WORDS int64 words (BLOOM_WORDS*64 bits); BLOOM_K
+# md5-salted hashes per key; membership probes are pure bit tests.
+# Everything is exact integer arithmetic (md5-prefix ints, shiftleft,
+# bit_or, bit_count), so both engines build the IDENTICAL bitmap and
+# the sweep hash-checks the sketch bit for bit.
+BLOOM_WORDS = 64
+BLOOM_K = 3
+
+
+def bloom_oracle_sql(key_sql: str, table: str) -> str:
+    """DuckDB rendering of bitmap build + 20 membership probes for key
+    expression ``key_sql`` over ``table`` — shared by the batch and
+    streaming twins (the cms/hll_oracle_sql discipline). Probes: the
+    10 smallest true keys plus 10 'absent:{i}' keys that can never
+    occur; claimed = all BLOOM_K bits set, truth from an exact semi
+    check; n_set_bits cross-joined as the fill witness."""
+    bits = BLOOM_WORDS * 63
+    h = (
+        "('0x' || substr(md5('bloom' || CAST(j.j AS VARCHAR) || ':' || key),"
+        f" 1, 8))::BIGINT % {bits}"
+    )
+    return f"""
+    WITH keys AS MATERIALIZED (
+      SELECT DISTINCT CAST({key_sql} AS VARCHAR) AS key FROM {table}),
+    cells AS (
+      SELECT ({h}) // 63 AS word, ({h}) % 63 AS bitpos
+      FROM keys, (SELECT unnest(range(0, {BLOOM_K})) AS j) j),
+    bmp AS MATERIALIZED (
+      SELECT word, CAST(bit_or(1::BIGINT << CAST(bitpos AS INT)) AS BIGINT)
+                 AS bits
+      FROM cells GROUP BY word),
+    fill AS (
+      SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS n_set_bits FROM bmp),
+    probes AS (
+      SELECT key, TRUE AS true_member
+      FROM (SELECT key FROM keys ORDER BY key LIMIT 10)
+      UNION ALL
+      SELECT 'absent:' || CAST(unnest(range(0, 10)) AS VARCHAR), FALSE),
+    ptest AS (
+      SELECT p.key, p.true_member,
+             COUNT(*) FILTER (
+               WHERE b.bits IS NOT NULL
+                 AND (b.bits & (1::BIGINT << CAST(({h}) % 63 AS INT))) <> 0
+             ) = {BLOOM_K} AS claimed_member
+      FROM probes p
+      CROSS JOIN (SELECT unnest(range(0, {BLOOM_K})) AS j) j
+      LEFT JOIN bmp b ON b.word = ({h}) // 63
+      GROUP BY p.key, p.true_member)
+    SELECT t.key, t.claimed_member, t.true_member, f.n_set_bits
+    FROM ptest t, fill f
+    """
+
+
+@register(
+    "agg_bloom_membership",
+    oracle=bloom_oracle_sql("o_custkey", "orders"),
+)
+def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Bloom-filter membership: the per-customer key set is
+    absorbed into a BLOOM_WORDS x 63-usable-bit bitmap (BLOOM_K md5-salted
+    hashes per key), then 20 probes — the 10 smallest true keys and
+    10 impossible 'absent:{i}' keys — are answered from the BITMAP
+    ALONE and reported next to exact truth. The Bloom one-sided
+    guarantee (claimed is always true for true members; false
+    positives possible, false negatives never) is asserted in tests.
+    n_set_bits is the fill witness both engines must agree on.
+
+    Scale shape: one distinct pass, a BLOOM_K-way explode, and a
+    map-side-combinable bit_or rollup to a BOUNDED bitmap (the sketch
+    property); probes are a 20-row broadcast against the bitmap."""
+    bits = BLOOM_WORDS * 63
+    keys = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").cast("string").alias("key"))
+        .distinct()
+    )
+
+    def hpos(j, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bloom{j}:"), key)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % bits
+        )
+
+    cells = keys.select(
+        F.explode(
+            F.array(*[hpos(j, F.col("key")) for j in range(BLOOM_K)])
+        ).alias("pos")
+    ).select(
+        F.expr("pos div 63").alias("word"),
+        F.expr("pos % 63").cast("int").alias("bitpos"),
+    )
+    bmp = cells.groupBy("word").agg(
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), bitpos)"))
+        .cast("bigint")
+        .alias("bits")
+    ).localCheckpoint()
+    fill = bmp.agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_set_bits")
+    )
+    present = keys.orderBy("key").limit(10).select(
+        "key", F.lit(True).alias("true_member")
+    )
+    absent = spark.range(0, 10).select(
+        F.concat(F.lit("absent:"), F.col("id").cast("string")).alias("key"),
+        F.lit(False).alias("true_member"),
+    )
+    probes = present.unionByName(absent)
+    pr = probes.select(
+        "key",
+        "true_member",
+        F.explode(
+            F.array(*[hpos(j, F.col("key")) for j in range(BLOOM_K)])
+        ).alias("pos"),
+    ).select(
+        "key",
+        "true_member",
+        F.expr("pos div 63").alias("word"),
+        F.expr("pos % 63").cast("int").alias("bitpos"),
+    )
+    tested = (
+        pr.join(bmp, "word", "left")
+        .select(
+            "key",
+            "true_member",
+            (
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr("shiftleft(cast(1 as bigint), bitpos)")
+                    )
+                    != 0
+                )
+            ).cast("int").alias("hit"),
+        )
+        .groupBy("key", "true_member")
+        .agg((F.sum("hit") == BLOOM_K).alias("claimed_member"))
+    )
+    return tested.crossJoin(F.broadcast(fill)).select(
+        "key", "claimed_member", "true_member", "n_set_bits"
+    )

@@ -1853,3 +1853,125 @@ def mix_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exn.select(
         "source", "n_docs", "toks", "mean_len_e6", "excess_n_e6"
     ).join(w.withColumnRenamed("w_e6", "w_final_e6"), "source")
+
+
+# --- consistent-hash output sharding ----------------------------------------
+#
+# At 100 TB the curated corpus ships to N downstream shards (tokenizer
+# workers, storage buckets, training hosts). Modular hashing re-maps
+# ~100% of keys when N changes; a consistent-hash ring with virtual
+# nodes re-maps only ~1/N — the property that makes incremental shard
+# topology changes affordable. The ring (SHARD_N shards x SHARD_VNODES
+# virtual nodes, md5-positioned on a 32-bit circle) is generated ONCE
+# in Python below and embedded as literals in BOTH engines (the HLL
+# linear-counting-LUT discipline), so assignment is a pure column
+# expression: successor lookup = array_min over the filtered position
+# list, zero joins, zero shuffles until the final per-shard rollup.
+SHARD_N = 8
+SHARD_VNODES = 16
+
+
+def _ring() -> list[tuple[int, int]]:
+    """(position, shard) ring points, collision-checked and sorted."""
+    import hashlib
+
+    pts = []
+    for s in range(SHARD_N):
+        for v in range(SHARD_VNODES):
+            h = hashlib.md5(f"ring:{s}:{v}".encode()).hexdigest()[:8]
+            pts.append((int(h, 16), s))
+    positions = [p for p, _ in pts]
+    assert len(set(positions)) == len(positions), "ring position collision"
+    return sorted(pts)
+
+
+_RING = _ring()
+_RING_ARR_SQL = "[" + ", ".join(str(p) for p, _ in _RING) + "]"
+_RING_WRAP = _RING[0][0]  # smallest position (wrap target)
+
+
+def _ring_case_sql(succ: str) -> str:
+    """128-branch CASE mapping a successor position to its shard id —
+    identical text in both engines."""
+    branches = " ".join(f"WHEN {p} THEN {s}" for p, s in _RING)
+    return f"CASE {succ} {branches} END"
+
+
+def _shard_col(key: F.Column) -> F.Column:
+    """Consistent-hash shard for a string key column: md5-prefix the
+    key onto the 32-bit circle, take the clockwise-successor ring
+    point (array_min over the filtered literal position array, wrap
+    to the ring minimum), map position -> shard via a generated
+    128-branch when-chain. Pure column expressions end to end —
+    whole-stage-codegen'd, zero joins."""
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    arr = F.array(*[F.lit(p).cast("bigint") for p, _ in _RING])
+    succ = F.coalesce(
+        F.array_min(F.filter(arr, lambda x: x >= h)),
+        F.lit(_RING_WRAP).cast("bigint"),
+    )
+    out = F.when(succ == _RING[0][0], F.lit(_RING[0][1]))
+    for p, s in _RING[1:]:
+        out = out.when(succ == p, F.lit(s))
+    return out.cast("bigint")
+
+
+def _shard_oracle_sql(key_sql: str, table: str, keyname: str) -> str:
+    """DuckDB rendering of ring assignment + per-shard rollup for key
+    expression ``key_sql`` over ``table`` — shared by the batch doc
+    router and the streaming event router so the ring geometry can
+    never fork between them (the cms_oracle_sql discipline)."""
+    h = f"('0x' || substr(md5({key_sql}), 1, 8))::BIGINT"
+    succ = (
+        f"coalesce(list_min(list_filter({_RING_ARR_SQL}, "
+        f"x -> x >= {h})), {_RING_WRAP})"
+    )
+    return f"""
+    WITH a AS (
+      SELECT {_ring_case_sql(succ)} AS shard
+      FROM {table}),
+    g AS (
+      SELECT CAST(shard AS BIGINT) AS shard,
+             CAST(COUNT(*) AS BIGINT) AS n_{keyname}
+      FROM a GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_{keyname}) AS BIGINT) AS total FROM g)
+    SELECT g.shard, g.n_{keyname},
+           CAST(g.n_{keyname} * 1000000 // t.total AS BIGINT) AS pct_e6,
+           CAST({SHARD_VNODES} AS BIGINT) AS n_vnodes
+    FROM g, t
+    """
+
+
+@register(
+    "shard_consistent_hash",
+    oracle=_shard_oracle_sql("CAST(doc_id AS VARCHAR)", "documents", "docs"),
+)
+def shard_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash document routing: every doc lands on the ring
+    (md5 of its id on the 32-bit circle) and is owned by the clockwise
+    successor among SHARD_N x SHARD_VNODES virtual nodes; the report
+    is the per-shard census with e6 load share. The property paid for
+    here vs modular hashing: growing/shrinking the shard fleet remaps
+    ~1/N of keys instead of ~all (tested against an independent
+    Python ring in tests/test_round8_ops.py, including the remap-rate
+    bound when a shard is added).
+
+    Scale shape: assignment is a PURE COLUMN EXPRESSION (literal ring
+    array + filter/array_min successor + generated when-chain — the
+    HLL-LUT embed-in-both-engines discipline), so routing is
+    whole-stage-codegen'd at scan speed with ZERO joins; the only
+    shuffle is the SHARD_N-row rollup."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    a = d.select(
+        _shard_col(F.col("doc_id").cast("string")).alias("shard")
+    )
+    g = a.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    t = g.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    return g.crossJoin(F.broadcast(t)).select(
+        "shard",
+        "n_docs",
+        F.expr("n_docs * 1000000 div total").cast("bigint").alias("pct_e6"),
+        F.lit(SHARD_VNODES).cast("bigint").alias("n_vnodes"),
+    )

@@ -1159,3 +1159,154 @@ def stream_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from_us").over(w).alias("valid_to_us"),
         "version",
     ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+from metadata_extractors_api_spark.operators.training import (
+    SHARD_N,
+    _shard_col,
+    _shard_oracle_sql,
+)
+
+
+@register(
+    "stream_shard_router",
+    oracle=_shard_oracle_sql("CAST(user_id AS VARCHAR)", "events", "events"),
+)
+def stream_shard_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of shard_consistent_hash: the event firehose is
+    routed to its consistent-hash shard AS IT ARRIVES (the 100 TB
+    ingest topology — each micro-batch's rows go to the downstream
+    partition that owns their key) and a streaming groupBy maintains
+    the per-shard delivery census across micro-batches. Assignment is
+    the SAME pure-column ring expression as the batch router (shared
+    _shard_col + shared oracle text via _shard_oracle_sql), so the
+    drained census must equal the batch census exactly.
+
+    Streaming state: SHARD_N rows — the router's accounting is
+    sketch-bounded like the CMS/HLL twins, regardless of stream
+    volume or key cardinality."""
+    ev = _events_stream_batched(spark, sf_dir).select(
+        _shard_col(F.col("user_id").cast("string")).alias("shard")
+    )
+    counts = ev.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    final = _run_to_table(counts, spark, "complete")
+    t = final.agg(F.sum("n_events").cast("bigint").alias("total"))
+    from metadata_extractors_api_spark.operators.training import SHARD_VNODES
+
+    return final.crossJoin(F.broadcast(t)).select(
+        "shard",
+        "n_events",
+        F.expr("n_events * 1000000 div total").cast("bigint").alias("pct_e6"),
+        F.lit(SHARD_VNODES).cast("bigint").alias("n_vnodes"),
+    )
+
+
+from metadata_extractors_api_spark.operators.stats import (
+    BLOOM_K,
+    BLOOM_WORDS,
+    bloom_oracle_sql,
+)
+
+
+@register(
+    "stream_bloom_membership",
+    oracle=bloom_oracle_sql("user_id", "events"),
+)
+def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_bloom_membership over events.user_id: each
+    micro-batch ORs its keys' bits into the bitmap via a streaming
+    groupBy(word).bit_or — the OR-merge algebra, completing the sketch
+    triptych beside stream_cms_heavy_hitters (ADD) and
+    stream_hll_distinct (MAX). Bit sets are monotone, so the final
+    bitmap is the per-word bit_or across update-mode emissions, and
+    the 20 membership probes answered from the drained bitmap must
+    equal the batch sketch bit for bit (shared bloom_oracle_sql).
+
+    Streaming state: at most BLOOM_WORDS rows regardless of stream
+    volume or key cardinality."""
+    from metadata_extractors_api_spark.catalog import load
+
+    bits = BLOOM_WORDS * 63
+
+    def hpos(j: int, key):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bloom{j}:"), key)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % bits
+        )
+
+    ev = _events_stream_batched(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("key")
+    )
+    cells = ev.select(
+        F.explode(
+            F.array(*[hpos(j, F.col("key")) for j in range(BLOOM_K)])
+        ).alias("pos")
+    ).select(
+        F.expr("pos div 63").alias("word"),
+        F.expr("pos % 63").cast("int").alias("bitpos"),
+    )
+    stream_bmp = cells.groupBy("word").agg(
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), bitpos)"))
+        .cast("bigint")
+        .alias("bits")
+    )
+    updates = _run_to_table(stream_bmp, spark, "update")
+    bmp = updates.groupBy("word").agg(
+        F.bit_or("bits").cast("bigint").alias("bits")
+    ).localCheckpoint()
+    fill = bmp.agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_set_bits")
+    )
+    keys = (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+    )
+    present = keys.orderBy("key").limit(10).select(
+        "key", F.lit(True).alias("true_member")
+    )
+    absent = spark.range(0, 10).select(
+        F.concat(F.lit("absent:"), F.col("id").cast("string")).alias("key"),
+        F.lit(False).alias("true_member"),
+    )
+    pr = present.unionByName(absent).select(
+        "key",
+        "true_member",
+        F.explode(
+            F.array(*[hpos(j, F.col("key")) for j in range(BLOOM_K)])
+        ).alias("pos"),
+    ).select(
+        "key",
+        "true_member",
+        F.expr("pos div 63").alias("word"),
+        F.expr("pos % 63").cast("int").alias("bitpos"),
+    )
+    tested = (
+        pr.join(bmp, "word", "left")
+        .select(
+            "key",
+            "true_member",
+            (
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr("shiftleft(cast(1 as bigint), bitpos)")
+                    )
+                    != 0
+                )
+            ).cast("int").alias("hit"),
+        )
+        .groupBy("key", "true_member")
+        .agg((F.sum("hit") == BLOOM_K).alias("claimed_member"))
+    )
+    return tested.crossJoin(F.broadcast(fill)).select(
+        "key", "claimed_member", "true_member", "n_set_bits"
+    )

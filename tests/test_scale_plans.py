@@ -462,6 +462,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "text_keyphrase_textrank": {"node,rank"},  # rank over top-15 report
     "tokenizer_bpe_vocab": {"symbol,weight"},  # rank over top-30 report
     "orders_return_rate_wilson": {"n_name,wilson_lb_e6"},  # nation domain (25)
+    "graph_label_propagation": {"community,n_members"},  # rank over top-20 report
+    "tokenizer_wordpiece_encode": {"piece,uses"},  # rank over top-30 report
 }
 
 
