@@ -2628,3 +2628,217 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(skipped))
     )
+
+
+# --- unigram-LM-style Viterbi segmentation ----------------------------------
+#
+# The third inference algorithm over the learned vocabulary:
+# tokenizer_bpe_encode replays merge ORDER, tokenizer_wordpiece_encode
+# is greedy longest-match, tokenizer_viterbi_segment finds the GLOBAL
+# best segmentation — maximize total piece weight (corpus mass of each
+# vocabulary symbol), tie-break fewest pieces then lexicographic path —
+# the decoding shape of SentencePiece's unigram LM, with exact integer
+# scores instead of float log-probs so both engines agree bit for bit.
+# Single chars absent from the learned vocabulary enter with weight 0
+# (the char backstop), so every word is segmentable.
+VIT_STEPS = 13  # max pieces per padded word (= WP_MAX_CHARS + marker)
+VIT_TOP = 20
+
+
+def _viterbi_oracle() -> str:
+    """Generated unrolled oracle: per-(word, position) best-state DP —
+    each step extends every kept state by one vocabulary piece via the
+    prefix-length explode + equi-join, then prunes to the best state
+    per (word, pos) by (score DESC, n_pieces ASC, path ASC)."""
+    ctes = [
+        f"""vagg AS MATERIALIZED (
+      SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS weight
+      FROM (SELECT unnest(string_split(trim(sym), ' ')) AS symbol, cnt
+            FROM cf)
+      WHERE length(symbol) <= {WP_MAXP}
+      GROUP BY symbol)""",
+        f"""vchars AS (
+      SELECT DISTINCT unnest(string_split('{BPE_MARKER}' || word, ''))
+                 AS symbol
+      FROM w WHERE length(word) <= {WP_MAX_CHARS})""",
+        """vvoc AS MATERIALIZED (
+      SELECT symbol, weight, CAST(length(symbol) AS BIGINT) AS slen
+      FROM (SELECT symbol, weight FROM vagg
+            UNION ALL
+            SELECT c.symbol, CAST(0 AS BIGINT)
+            FROM vchars c WHERE c.symbol NOT IN (SELECT symbol FROM vagg)))""",
+        f"""vst0 AS MATERIALIZED (
+      SELECT word, cnt, '{BPE_MARKER}' || word AS padded,
+             CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS score,
+             CAST(0 AS BIGINT) AS np, '' AS path
+      FROM w WHERE length(word) <= {WP_MAX_CHARS})""",
+    ]
+    for t in range(1, VIT_STEPS + 1):
+        ctes.append(f"""vx{t} AS (
+      SELECT s.word, s.cnt, s.padded, s.pos + v.slen AS pos,
+             s.score + v.weight AS score, s.np + 1 AS np,
+             CASE WHEN s.path = '' THEN v.symbol
+                  ELSE s.path || ' ' || v.symbol END AS path
+      FROM (SELECT *, unnest(range(1, least(length(padded) - pos + 1,
+                                            {WP_MAXP}) + 1)) AS plen
+            FROM vst{t - 1}
+            WHERE pos <= length(padded)) s
+      JOIN vvoc v
+        ON v.slen = s.plen
+       AND v.symbol = substr(s.padded, CAST(s.pos AS INT),
+                             CAST(s.plen AS INT)))""")
+        ctes.append(f"""vst{t} AS MATERIALIZED (
+      SELECT word, cnt, padded, pos, score, np, path FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY word, pos
+                                     ORDER BY score DESC, np, path) AS rn
+        FROM (SELECT * FROM vst{t - 1} UNION ALL
+              SELECT * FROM vx{t}))
+      WHERE rn = 1)""")
+    return f"""{_bpe_symbolized_prefix()},
+    {",".join(ctes)},
+    vfin AS (
+      SELECT word, cnt, np, path FROM vst{VIT_STEPS}
+      WHERE pos = length(padded) + 1),
+    vpaths AS (
+      SELECT path, CAST(MAX(np) AS BIGINT) AS n_pieces,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(cnt) AS BIGINT) AS mass
+      FROM vfin GROUP BY path)
+    SELECT path, n_pieces, n_words, mass, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY mass DESC, path) AS rk
+          FROM vpaths)
+    WHERE rk <= {VIT_TOP}"""
+
+
+@register("tokenizer_viterbi_segment", oracle=_viterbi_oracle())
+def tokenizer_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL-best segmentation of every histogram word against the
+    BPE-learned vocabulary: Viterbi DP maximizing total piece weight
+    (each symbol's corpus mass), tie-break fewest pieces then
+    lexicographic path — the decoding shape of SentencePiece's
+    unigram-LM inference in exact integer arithmetic. Completes the
+    inference trio (merge-order replay / greedy longest-match / global
+    optimum); the report is the top-VIT_TOP segmentations by corpus
+    mass, where Viterbi and greedy genuinely differ on words whose
+    long greedy prefix blocks a heavier split.
+
+    Scale shape: all work is HISTOGRAM-sized. The DP keeps ONE best
+    state per (word, position) — VIT_STEPS pruned relational rounds,
+    each an explode of <= WP_MAXP candidate lengths, a hash EQUI-join
+    on the prefix string, and a keyed argmax window; state cardinality
+    is bounded by words x positions and only the frontier extends.
+    Oracle = the identical unrolled chain (9th generated oracle).
+
+    Ground truth: tests/test_round8_ops.py re-derives the DP with a
+    plain-Python Viterbi on a hand corpus."""
+    d = load(spark, sf_dir, "documents", parallelize=True)
+    words = (
+        d.filter(F.length("text") > 0)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
+    merges = _bpe_train_merges(words, BPE_TRAIN_ROUNDS)
+    sym = F.concat(
+        F.lit(" "),
+        F.array_join(
+            F.split(F.concat(F.lit(BPE_MARKER), F.col("word")), ""), " "
+        ),
+        F.lit(" "),
+    )
+    cur = words.select("cnt", sym.alias("sym"))
+    for _, a, b, _n in merges:
+        cur = cur.withColumn(
+            "sym",
+            F.replace(F.col("sym"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")),
+        )
+    vagg = (
+        cur.select(
+            F.explode(F.split(F.trim(F.col("sym")), " ")).alias("symbol"),
+            "cnt",
+        )
+        .filter(F.length("symbol") <= WP_MAXP)
+        .groupBy("symbol")
+        .agg(F.sum("cnt").cast("bigint").alias("weight"))
+    )
+    eligible = words.filter(F.length("word") <= WP_MAX_CHARS)
+    chars = (
+        eligible.select(
+            F.explode(
+                F.split(F.concat(F.lit(BPE_MARKER), F.col("word")), "")
+            ).alias("symbol")
+        )
+        .filter(F.length("symbol") > 0)
+        .distinct()
+    )
+    backstop = chars.join(vagg, "symbol", "left_anti").withColumn(
+        "weight", F.lit(0).cast("bigint")
+    )
+    voc = (
+        vagg.unionByName(backstop)
+        .withColumn("slen", F.length("symbol").cast("bigint"))
+        .localCheckpoint()
+    )
+    st = eligible.select(
+        "word",
+        "cnt",
+        F.concat(F.lit(BPE_MARKER), F.col("word")).alias("padded"),
+        F.lit(1).cast("bigint").alias("pos"),
+        F.lit(0).cast("bigint").alias("score"),
+        F.lit(0).cast("bigint").alias("np"),
+        F.lit("").alias("path"),
+    ).localCheckpoint()
+    cols = ["word", "cnt", "padded", "pos", "score", "np", "path"]
+    w_best = Window.partitionBy("word", "pos").orderBy(
+        F.desc("score"), F.asc("np"), F.asc("path")
+    )
+    for _ in range(VIT_STEPS):
+        frontier = st.filter(F.col("pos") <= F.length("padded")).select(
+            *cols,
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("bigint"),
+                    F.least(
+                        F.length("padded").cast("bigint")
+                        - F.col("pos")
+                        + 1,
+                        F.lit(WP_MAXP).cast("bigint"),
+                    ),
+                )
+            ).alias("plen"),
+        ).withColumn("prefix", F.expr("substring(padded, cast(pos as int), plen)"))
+        ext = frontier.join(voc, frontier.prefix == voc.symbol).select(
+            "word",
+            "cnt",
+            "padded",
+            (F.col("pos") + F.col("slen")).cast("bigint").alias("pos"),
+            (F.col("score") + F.col("weight")).cast("bigint").alias("score"),
+            (F.col("np") + 1).cast("bigint").alias("np"),
+            F.when(F.col("path") == "", F.col("symbol"))
+            .otherwise(F.concat(F.col("path"), F.lit(" "), F.col("symbol")))
+            .alias("path"),
+        )
+        st = (
+            st.unionByName(ext)
+            .withColumn("rn", F.row_number().over(w_best))
+            .filter(F.col("rn") == 1)
+            .select(*cols)
+            .localCheckpoint()
+        )
+    fin = st.filter(F.col("pos") == F.length("padded") + 1)
+    paths = fin.groupBy("path").agg(
+        F.max("np").cast("bigint").alias("n_pieces"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum("cnt").cast("bigint").alias("mass"),
+    )
+    top = paths.orderBy(F.desc("mass"), F.asc("path")).limit(VIT_TOP)
+    w = Window.orderBy(F.desc("mass"), F.asc("path"))
+    return top.select(
+        "path",
+        "n_pieces",
+        "n_words",
+        "mass",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )

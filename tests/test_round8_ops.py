@@ -313,3 +313,95 @@ def test_bloom_membership_invariant_and_python_replay(spark, sf_dir):
     got = {r["key"]: r["claimed_member"] for r in rows}
     assert got == want
     assert rows[0]["n_set_bits"] == len(bitset)
+
+
+# --- Viterbi segmentation ------------------------------------------------------
+
+
+def test_viterbi_segment_matches_python_dp(spark, tmp_path_factory):
+    """Full pipeline on a hand corpus: python trains merges, builds the
+    weighted vocab (+ 0-weight char backstop), runs a classic position
+    DP per word (maximize score, then fewest pieces, then lexicographic
+    path — tuple compare), and the path census must match."""
+    from metadata_extractors_api_spark.operators.corpus import (
+        BPE_MARKER,
+        BPE_TRAIN_ROUNDS,
+        VIT_TOP,
+        WP_MAX_CHARS,
+        WP_MAXP,
+    )
+    from tests.test_round7_ops import _py_bpe_train
+
+    docs = [
+        "ab abc ab abc ab",
+        "abx aby abz abc ab",
+        "ba bab bba ab abc",
+        "ccc ccc ccc c cc",
+    ]
+    d = str(tmp_path_factory.mktemp("vitcorpus"))
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    wc = collections.Counter(w for t in docs for w in t.split(" ") if w)
+    merges = _py_bpe_train(dict(wc), BPE_TRAIN_ROUNDS)
+    syms = {w: " " + " ".join(list(BPE_MARKER + w)) + " " for w in wc}
+    for _k, a, b, _n in merges:
+        for w in syms:
+            syms[w] = syms[w].replace(f" {a} {b} ", f" {a}{b} ")
+    weight = collections.Counter()
+    for w, s in syms.items():
+        for p in s.split():
+            if len(p) <= WP_MAXP:
+                weight[p] += wc[w]
+    chars = {c for w in wc if len(w) <= WP_MAX_CHARS for c in BPE_MARKER + w}
+    vocab = dict(weight)
+    for c in chars:
+        vocab.setdefault(c, 0)
+
+    def viterbi(word: str):
+        padded = BPE_MARKER + word
+        best = {1: (0, 0, "")}  # pos -> (-score is handled via compare)
+        for pos in range(1, len(padded) + 1):
+            if pos not in best:
+                continue
+            sc, np_, path = best[pos]
+            for ln in range(1, min(WP_MAXP, len(padded) - pos + 1) + 1):
+                piece = padded[pos - 1 : pos - 1 + ln]
+                if piece not in vocab:
+                    continue
+                cand = (
+                    sc + vocab[piece],
+                    np_ + 1,
+                    piece if not path else f"{path} {piece}",
+                )
+                tgt = pos + ln
+                cur = best.get(tgt)
+                if cur is None or (-cand[0], cand[1], cand[2]) < (
+                    -cur[0],
+                    cur[1],
+                    cur[2],
+                ):
+                    best[tgt] = cand
+        return best[len(padded) + 1]
+
+    census = {}
+    for w, n in wc.items():
+        if len(w) > WP_MAX_CHARS:
+            continue
+        _sc, np_, path = viterbi(w)
+        e = census.setdefault(path, [np_, 0, 0])
+        e[1] += 1
+        e[2] += n
+    ranked = sorted(census.items(), key=lambda kv: (-kv[1][2], kv[0]))[
+        :VIT_TOP
+    ]
+    want = [
+        (path, np_, nw, mass, i + 1)
+        for i, (path, (np_, nw, mass)) in enumerate(ranked)
+    ]
+    got = [
+        (r["path"], r["n_pieces"], r["n_words"], r["mass"], r["rk"])
+        for r in mdx.QUERIES["tokenizer_viterbi_segment"](spark, d).collect()
+    ]
+    assert sorted(got) == sorted(want)

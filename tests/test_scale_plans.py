@@ -464,6 +464,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "orders_return_rate_wilson": {"n_name,wilson_lb_e6"},  # nation domain (25)
     "graph_label_propagation": {"community,n_members"},  # rank over top-20 report
     "tokenizer_wordpiece_encode": {"piece,uses"},  # rank over top-30 report
+    "tokenizer_viterbi_segment": {"mass,path"},  # rank over top-20 report
 }
 
 
