@@ -951,3 +951,110 @@ def stream_extract_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         _STREAM_RUN_MEMO[key] = out_dir
     return spark.read.schema(_RUN_SCHEMA).parquet(out_dir)
+
+
+@register(
+    "extract_install_plan",
+    oracle=f"""
+    WITH extractors AS (SELECT * FROM {reg.extractors_values_sql()}),
+    ix AS (
+      SELECT id, generate_subscripts(installation, 1) AS idx,
+             unnest(installation) AS spec
+      FROM extractors),
+    firsts AS (
+      SELECT id,
+             MIN(CASE WHEN spec.method = 'pip' THEN idx END) AS first_pip,
+             MIN(CASE WHEN spec.method <> 'pip' THEN idx END)
+                 AS first_nonpip,
+             COUNT(*) AS n_specs
+      FROM ix GROUP BY id),
+    pl AS (
+      SELECT e.id, COALESCE(f.n_specs, 0) AS n_specs,
+             CASE WHEN COALESCE(f.n_specs, 0) = 0
+                       THEN 'error_no_instructions'
+                  WHEN f.first_nonpip IS NOT NULL
+                       AND (f.first_pip IS NULL
+                            OR f.first_nonpip < f.first_pip)
+                       THEN 'error_method_unsupported'
+                  ELSE 'ok_pip' END AS status,
+             CASE WHEN COALESCE(f.n_specs, 0) = 0 THEN NULL
+                  WHEN f.first_nonpip IS NOT NULL
+                       AND (f.first_pip IS NULL
+                            OR f.first_nonpip < f.first_pip)
+                       THEN f.first_nonpip
+                  ELSE f.first_pip END AS cidx
+      FROM extractors e LEFT JOIN firsts f ON f.id = e.id)
+    SELECT p.id AS extractor_id, p.status,
+           CAST(p.n_specs AS BIGINT) AS n_specs,
+           e.installation[p.cidx].method AS chosen_method,
+           CAST(p.cidx AS BIGINT) AS chosen_idx,
+           array_to_string(e.installation[p.cidx].packages, ',')
+               AS packages,
+           e.installation[p.cidx].requires_python AS requires_python
+    FROM pl p JOIN extractors e ON e.id = p.id
+    """,
+)
+def extract_install_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11/A12's install-spec walk as a DATA-PATH operator (the last
+    reference behavior that lived only in prose — __init__.py:177-216):
+    the reference's install() iterates the installation list IN ORDER,
+    pip specs are tried with first-success-wins, and any NON-pip spec
+    encountered first RAISES ('Installation method ... not yet
+    supported') — conda is rejected, not skipped, so a conda-first
+    entry aborts even when a pip spec follows. This query classifies
+    every extractor's install plan exactly that way: 'ok_pip' with the
+    first pip spec's index/packages/requires_python, or
+    'error_method_unsupported' pointing at the offending spec, or
+    'error_no_instructions' for an empty list (the RuntimeError at
+    __init__.py:188-191; unexercised by the fixture, branch kept for
+    parity). The fixture's alt-extractor carries a conda-first spec
+    precisely to pin the reject-over-skip semantics.
+
+    Scale shape: pure column expressions over the dimension-sized
+    extractors relation — indexed-lambda transforms + array_min find
+    the first pip / first non-pip positions, element_at projects the
+    chosen spec; zero joins, zero shuffles."""
+    ex = reg.extractors_df(spark)
+    methods = F.expr("transform(installation, x -> x.method)")
+    first_pip = F.coalesce(
+        F.array_position(methods, F.lit("pip")), F.lit(0)
+    ).cast("int")
+    first_nonpip = F.coalesce(
+        F.array_min(
+            F.expr(
+                "filter(transform(installation,"
+                " (x, i) -> CASE WHEN x.method <> 'pip' THEN i + 1 END),"
+                " v -> v IS NOT NULL)"
+            )
+        ),
+        F.lit(0),
+    ).cast("int")
+    n_specs = F.size("installation")
+    status = (
+        F.when(n_specs == 0, F.lit("error_no_instructions"))
+        .when(
+            (first_nonpip > 0)
+            & ((first_pip == 0) | (first_nonpip < first_pip)),
+            F.lit("error_method_unsupported"),
+        )
+        .otherwise(F.lit("ok_pip"))
+    )
+    cidx = (
+        F.when(n_specs == 0, F.lit(None).cast("int"))
+        .when(
+            (first_nonpip > 0)
+            & ((first_pip == 0) | (first_nonpip < first_pip)),
+            first_nonpip,
+        )
+        .otherwise(first_pip)
+    )
+    chosen = F.element_at("installation", cidx)
+    return ex.select(
+        F.col("id").alias("extractor_id"),
+        status.alias("status"),
+        n_specs.cast("bigint").alias("n_specs"),
+        chosen.getField("method").alias("chosen_method"),
+        cidx.cast("bigint").alias("chosen_idx"),
+        F.array_join(chosen.getField("packages"), ",").alias("packages"),
+        chosen.getField("requires_python").alias("requires_python"),
+    )

@@ -38,7 +38,13 @@ EXTRACTORS: list[tuple] = [
         "alt-extractor",
         [("biologic-mpr", {"input_type": "mpr"})],
         [("cli", "", "altx {{ input_type }} {{ input_path }}")],
-        [("pip", None, None, ["altx"])],
+        # conda FIRST: the reference's install() walks specs in order
+        # and RAISES on any non-pip method before trying later specs
+        # (__init__.py:193-216 — conda is rejected, not skipped), so
+        # this entry exercises the error_method_unsupported path in
+        # extract_install_plan. scan_custom_source's first-package
+        # probe is unaffected (same packages list).
+        [("conda", None, None, ["altx"]), ("pip", None, None, ["altx"])],
     ),
     (
         "csv-extract",

@@ -405,3 +405,32 @@ def test_viterbi_segment_matches_python_dp(spark, tmp_path_factory):
         for r in mdx.QUERIES["tokenizer_viterbi_segment"](spark, d).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+# --- install-plan walk ---------------------------------------------------------
+
+
+def test_install_plan_reject_over_skip_semantics(spark):
+    """The reference's install() RAISES on the first non-pip spec (it
+    does not skip to a later pip spec — __init__.py:193-216); the
+    fixture's conda-first alt-extractor pins exactly that: classified
+    unsupported at index 1 even though a pip spec follows at index 2."""
+    rows = {
+        r["extractor_id"]: r
+        for r in mdx.QUERIES["extract_install_plan"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert rows["alt-extractor"]["status"] == "error_method_unsupported"
+    assert rows["alt-extractor"]["chosen_method"] == "conda"
+    assert rows["alt-extractor"]["chosen_idx"] == 1
+    for eid, pkgs, reqpy in (
+        ("yadg", "yadg~=5.0", ">=3.9"),
+        ("csv-extract", "csvx>=1", None),
+    ):
+        r = rows[eid]
+        assert r["status"] == "ok_pip", r
+        assert r["chosen_method"] == "pip"
+        assert r["packages"] == pkgs
+        assert r["requires_python"] == reqpy
+    assert set(rows) == {"yadg", "alt-extractor", "csv-extract"}
