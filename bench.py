@@ -170,6 +170,16 @@ HEADLINE = [
     "stream_scd2_build",
     "orders_return_rate_wilson",
     "events_funnel_time_bound",
+    # round-9 (driver r8) additions
+    "extract_dispatch_diff",
+    "extract_install_plan",
+    "shard_consistent_hash",
+    "stream_shard_router",
+    "graph_label_propagation",
+    "agg_bloom_membership",
+    "stream_bloom_membership",
+    "tokenizer_wordpiece_encode",
+    "tokenizer_viterbi_segment",
 ]
 
 RUNS = 5

@@ -1899,21 +1899,21 @@ def _ring_case_sql(succ: str) -> str:
 
 def _shard_col(key: F.Column) -> F.Column:
     """Consistent-hash shard for a string key column: md5-prefix the
-    key onto the 32-bit circle, take the clockwise-successor ring
-    point (array_min over the filtered literal position array, wrap
-    to the ring minimum), map position -> shard via a generated
-    128-branch when-chain. Pure column expressions end to end —
-    whole-stage-codegen'd, zero joins."""
+    key onto the 32-bit circle, then a sorted-ascending CASE chain —
+    first ring position >= h wins, falling through to the wrap (the
+    smallest position's shard). One codegen-able expression: h is a
+    single md5/conv subexpression and every branch is one long
+    comparison, so whole-stage codegen evaluates the hash once and
+    short-circuits the chain. (Two rejected forms, both measured: a
+    when-chain keyed on the successor POSITION re-evaluated its
+    array-min subexpression per branch, and a higher-order
+    filter/size scan runs INTERPRETED per row — 5-10x slower on the
+    600k-row streaming path.)"""
     h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
-    arr = F.array(*[F.lit(p).cast("bigint") for p, _ in _RING])
-    succ = F.coalesce(
-        F.array_min(F.filter(arr, lambda x: x >= h)),
-        F.lit(_RING_WRAP).cast("bigint"),
-    )
-    out = F.when(succ == _RING[0][0], F.lit(_RING[0][1]))
+    out = F.when(h <= _RING[0][0], F.lit(_RING[0][1]))
     for p, s in _RING[1:]:
-        out = out.when(succ == p, F.lit(s))
-    return out.cast("bigint")
+        out = out.when(h <= p, F.lit(s))
+    return out.otherwise(F.lit(_RING[0][1])).cast("bigint")
 
 
 def _shard_oracle_sql(key_sql: str, table: str, keyname: str) -> str:
