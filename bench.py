@@ -180,6 +180,10 @@ HEADLINE = [
     "stream_bloom_membership",
     "tokenizer_wordpiece_encode",
     "tokenizer_viterbi_segment",
+    # round-9 wave 2 (this session)
+    "sim_hybrid_rrf",
+    "dedup_semantic_cluster",
+    "text_phrase_search",
 ]
 
 RUNS = 5

@@ -2842,3 +2842,66 @@ def tokenizer_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mass",
         F.row_number().over(w).cast("bigint").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search
+# ---------------------------------------------------------------------------
+
+#: The exact phrase queried (consecutive tokens, in order).
+PHRASE = ("table", "hash", "line")
+
+
+@register(
+    "text_phrase_search",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS token
+      FROM (SELECT doc_id, str_split(text, ' ') AS tk FROM documents)),
+    t0 AS (SELECT doc_id, pos FROM occ WHERE token = '{PHRASE[0]}'),
+    t1 AS (SELECT doc_id, pos FROM occ WHERE token = '{PHRASE[1]}'),
+    t2 AS (SELECT doc_id, pos FROM occ WHERE token = '{PHRASE[2]}')
+    SELECT t0.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(t0.pos) AS BIGINT) AS first_pos
+    FROM t0
+    JOIN t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+    JOIN t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+    GROUP BY t0.doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query over a POSITIONAL inverted index: documents
+    containing the consecutive token sequence PHRASE, with match count
+    and first hit position — the operator that separates a positional
+    index from the bag-of-words index text_boolean_search probes (and
+    the reason real search engines store postings WITH positions).
+
+    Scale shape: the postings stream (doc, pos, token) is filtered to
+    the query's terms BEFORE any shuffle (term-selective predicate at
+    the scan), then the adjacency constraint is two hash equi-joins on
+    (doc_id, pos±k) — each join keyed on the document id, sized by the
+    rarest term's postings list, never the corpus. This is verbatim
+    the distributed phrase-intersection plan of an inverted index: at
+    100 TB the t0/t1/t2 branches are partition-pruned reads of a
+    term-partitioned postings table, and the joins stay doc-local.
+    Position arithmetic is exact integers (1-based to match SQL
+    subscripts)."""
+    d = load(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    t0 = occ.filter(F.col("token") == PHRASE[0]).select("doc_id", "pos")
+    # shift follower positions back so adjacency becomes a pure
+    # (doc_id, pos) equi-join — hash-joinable, no residual filter
+    t1 = occ.filter(F.col("token") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    t2 = occ.filter(F.col("token") == PHRASE[2]).select(
+        "doc_id", (F.col("pos") - 2).alias("pos")
+    )
+    m = t0.join(t1, ["doc_id", "pos"]).join(t2, ["doc_id", "pos"])
+    return m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )

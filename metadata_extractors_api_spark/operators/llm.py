@@ -4511,3 +4511,181 @@ def multimodal_patch_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_gray_e2"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal rank fusion
+# ---------------------------------------------------------------------------
+
+# RRF fusion constants (Cormack, Clarke & Buettcher, SIGIR'09): each
+# retrieval list contributes 1/(K + rank); K=60 is the paper's setting.
+# Scores run in exact integers as floor(1e9 / (K + rank)) — one integer
+# division per contribution, no float summation order hazard.
+RRF_K = 60
+RRF_POOL = 50  # per-list candidate depth fused
+RRF_TERMS = ("vector", "join", "hash")  # lexical query
+
+
+def _rrf_lex_units_sql() -> str:
+    """Exact-integer lexical score over RRF_TERMS with the common
+    denominator df0*df1*df2: sum_i tf_i * N * prod_{j != i} df_j.
+    Ordering by this integer equals ordering by the rational
+    sum_i tf_i * N / df_i (tf·N/df per text_tfidf_topk), bit-exact in
+    both engines."""
+    terms = list(RRF_TERMS)
+    parts = []
+    for i in range(len(terms)):
+        others = " * ".join(f"df{j}" for j in range(len(terms)) if j != i)
+        parts.append(f"tf{i} * n_docs * {others}")
+    return " + ".join(parts)
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents),
+    tf AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS tf{i}" for i, t in enumerate(RRF_TERMS))}
+      FROM occ WHERE token IN {RRF_TERMS!r}
+      GROUP BY doc_id),
+    stats AS (
+      SELECT {", ".join(f"COUNT(DISTINCT CASE WHEN token = '{t}' THEN doc_id END) AS df{i}" for i, t in enumerate(RRF_TERMS))},
+             (SELECT COUNT(*) FROM documents) AS n_docs
+      FROM occ WHERE token IN {RRF_TERMS!r}),
+    lex AS (
+      SELECT doc_id,
+             CAST({_rrf_lex_units_sql()} AS BIGINT) AS lex_units
+      FROM tf CROSS JOIN stats),
+    lex_top AS (
+      SELECT doc_id, lex_units,
+             ROW_NUMBER() OVER (ORDER BY lex_units DESC, doc_id) AS lex_rank
+      FROM lex
+      ORDER BY lex_units DESC, doc_id LIMIT {RRF_POOL}),
+    en AS (
+      SELECT vec_id, embedding,
+             {_sql_dot('embedding', 'embedding')} AS nn
+      FROM embeddings),
+    q AS (SELECT embedding AS qe, nn AS qn FROM en WHERE vec_id = 0),
+    vec_top AS (
+      SELECT vec_id,
+             round(({_sql_dot('en.embedding', 'qe')} / 1e12)
+                   / (sqrt(nn / 1e12) * sqrt(qn / 1e12)), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               ORDER BY round(({_sql_dot('en.embedding', 'qe')} / 1e12)
+                        / (sqrt(nn / 1e12) * sqrt(qn / 1e12)), 6) DESC,
+                        vec_id) AS vec_rank
+      FROM en, q
+      ORDER BY cosine DESC, vec_id LIMIT {RRF_POOL})
+    SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+           l.lex_rank AS lex_rank,
+           v.vec_rank AS vec_rank,
+           CAST(COALESCE(1000000000 // ({RRF_K} + l.lex_rank), 0)
+              + COALESCE(1000000000 // ({RRF_K} + v.vec_rank), 0)
+              AS BIGINT) AS rrf_e9
+    FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.vec_id
+    ORDER BY rrf_e9 DESC, doc_id LIMIT 10
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR'09 — the standard fusion for BM25 + dense retrieval in RAG
+    stacks): a lexical top-RRF_POOL list (rational tf·N/df over the
+    RRF_TERMS query, summed exactly via the common-denominator integer
+    form) and a dense top-RRF_POOL list (cosine vs the vec_id=0 query,
+    exact scaled-int dots) are fused on the shared id space by
+    rrf = sum over lists of floor(1e9/(60+rank)), exact integers.
+
+    Scale shape: each list is one corpus pass ending in
+    TakeOrderedAndProject (heap top-k, never a global sort); the rank
+    windows run over the two RRF_POOL-row heads only; fusion is a
+    full-outer join of two 50-row relations. At 100 TB the lexical
+    pass is the inverted-index probe (here a conditional aggregate
+    over the token stream) and the dense pass is the ANN probe —
+    sim_ann_ivf_trained swaps in for the brute-force side without
+    touching the fusion. The reference has no retrieval surface; this
+    extends its corpus query semantics (SURVEY §2.B.11)."""
+    d = load(spark, sf_dir, "documents")
+    occ = (
+        d.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .filter(F.col("token").isin(*RRF_TERMS))
+    )
+    tf = occ.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, t in enumerate(RRF_TERMS)
+        ]
+    )
+    stats = occ.agg(
+        *[
+            F.count_distinct(
+                F.when(F.col("token") == t, F.col("doc_id"))
+            ).alias(f"df{i}")
+            for i, t in enumerate(RRF_TERMS)
+        ]
+    ).crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs"))))
+    lex_units = None
+    for i in range(len(RRF_TERMS)):
+        others = F.lit(1)
+        for j in range(len(RRF_TERMS)):
+            if j != i:
+                others = others * F.col(f"df{j}")
+        contrib = F.col(f"tf{i}") * F.col("n_docs") * others
+        lex_units = contrib if lex_units is None else lex_units + contrib
+    lex_top = (
+        tf.crossJoin(F.broadcast(stats))
+        .select("doc_id", lex_units.cast("bigint").alias("lex_units"))
+        .orderBy(F.desc("lex_units"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    wl = Window.orderBy(F.desc("lex_units"), F.asc("doc_id"))
+    lex_ranked = lex_top.withColumn("lex_rank", F.row_number().over(wl)).select(
+        "doc_id", "lex_rank"
+    )
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    en = e.select(
+        "vec_id",
+        "embedding",
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
+    )
+    q = en.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("nn").alias("qn")
+    )
+    vec_top = (
+        en.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_from_scaled(
+                dot_scaled(F.col("embedding"), F.col("qe")),
+                F.col("nn"),
+                F.col("qn"),
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(RRF_POOL)
+    )
+    wv = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    vec_ranked = vec_top.withColumn("vec_rank", F.row_number().over(wv)).select(
+        "vec_id", "vec_rank"
+    )
+    fused = lex_ranked.join(
+        vec_ranked, lex_ranked.doc_id == vec_ranked.vec_id, "full_outer"
+    ).select(
+        F.coalesce("doc_id", "vec_id").alias("doc_id"),
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(
+                F.expr(f"1000000000 div ({RRF_K} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000000 div ({RRF_K} + vec_rank)"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_e9"),
+    )
+    return fused.orderBy(F.desc("rrf_e9"), F.asc("doc_id")).limit(10)

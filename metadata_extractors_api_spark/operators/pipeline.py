@@ -28,6 +28,7 @@ from metadata_extractors_api_spark.operators.llm import (
     _ann_memo,
     _minhash_pairs_ctes,
     _sql_dot,
+    cosine_from_scaled,
     dedup_minhash,
     dot_scaled,
     tokens_col,
@@ -1503,3 +1504,149 @@ def _medoid_report(comp: DataFrame, shingles: DataFrame) -> DataFrame:
         )
     )
     return small_report.unionByName(quarantine)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (cluster-then-prune)
+# ---------------------------------------------------------------------------
+
+#: Pairwise-cosine threshold above which two same-cluster members are
+#: semantic duplicates (SemDeDup's epsilon).
+SEM_T = 0.35
+#: Cluster-size gate for the within-cluster all-pairs phase: clusters
+#: larger than this are QUARANTINED (action='quarantine', counts = -1)
+#: instead of paying O(C^2) on one cluster key. SemDeDup's own scale
+#: contract is that K grows with N so cluster size stays bounded; the
+#: fixture trains K=4, so the cap is the explicit guard for running the
+#: fixture geometry beyond bench SFs (inert through sf0.1; trips before
+#: any cluster's pair count exceeds ~0.7M).
+SEM_CLUSTER_CAP = 1200
+
+
+def _semdedup_oracle() -> str:
+    chain, _dist, assign = _km_chain()
+    return f"""
+    WITH {chain},
+    sizes AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM {assign} GROUP BY 1),
+    en AS (
+      SELECT vec_id, embedding,
+             {_sql_dot('embedding', 'embedding')} AS nn
+      FROM embeddings),
+    small AS MATERIALIZED (
+      SELECT a.vec_id, a.cluster, s.n_members, en.embedding, en.nn
+      FROM {assign} a
+      JOIN sizes s USING (cluster)
+      JOIN en ON en.vec_id = a.vec_id
+      WHERE s.n_members <= {SEM_CLUSTER_CAP}),
+    prs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM small a JOIN small b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(({_sql_dot('a.embedding', 'b.embedding')} / 1e12)
+                  / (sqrt(a.nn / 1e12) * sqrt(b.nn / 1e12)), 6)
+            >= CAST({SEM_T} AS DOUBLE)),
+    nsl AS (
+      SELECT vb AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_sim_lower
+      FROM prs GROUP BY 1)
+    SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster, s.n_members,
+           COALESCE(n.n_sim_lower, 0) AS n_sim_lower,
+           CASE WHEN COALESCE(n.n_sim_lower, 0) > 0
+                THEN 'prune' ELSE 'keep' END AS action
+    FROM small s LEFT JOIN nsl n USING (vec_id)
+    UNION ALL
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, s.n_members,
+           CAST(-1 AS BIGINT) AS n_sim_lower, 'quarantine' AS action
+    FROM {assign} a JOIN sizes s USING (cluster)
+    WHERE s.n_members > {SEM_CLUSTER_CAP}
+    """
+
+
+@register("dedup_semantic_cluster", oracle=_semdedup_oracle())
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, cluster-then-prune (SemDeDup, Abbas et
+    al. 2023): embeddings are assigned to the k-means model kmeans_train
+    fits (same deterministic init and Lloyd rounds), and the pairwise-
+    cosine check runs ONLY within a cluster — the trick that turns the
+    corpus-wide O(N^2) semantic-duplicate search into K bounded
+    all-pairs problems. A member is pruned when any LOWER-id member of
+    its own cluster is within epsilon (cosine >= SEM_T), keeping
+    exactly one representative per duplicate chain (min-id keeper, the
+    dedup_exact convention).
+
+    Scale shape: assignment is the broadcast-centroid join kmeans_train
+    already proved; the pair space is an equi-join on the CLUSTER key
+    (never data x data), and SemDeDup's own contract — K scales with N
+    so cluster populations stay bounded — is enforced rather than
+    assumed by SEM_CLUSTER_CAP: over-cap clusters come back as
+    deterministic 'quarantine' rows (the dedup_cluster_medoid /
+    dedup_minhash_bucket_stats cap discipline), so a degenerate
+    embedding collapse can never make one reducer quadratic. Exact
+    scaled-int dots as everywhere (no float-order hazard)."""
+    pts = _km_pts(spark, sf_dir)
+    cent = _km_train(pts)
+    assign = _km_assign(pts, cent).select("vec_id", "cluster")
+    sizes = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    en = e.select(
+        "vec_id",
+        "embedding",
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
+    )
+    member = assign.join(F.broadcast(sizes), "cluster").join(en, "vec_id")
+    small = member.filter(F.col("n_members") <= SEM_CLUSTER_CAP)
+    a = small.select(
+        F.col("cluster").alias("c"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    b = small.select(
+        F.col("cluster").alias("c"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    prs = (
+        a.join(b, "c")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(
+            cosine_from_scaled(
+                dot_scaled(F.col("ea"), F.col("eb")),
+                F.col("na"),
+                F.col("nb"),
+            )
+            >= F.lit(SEM_T)
+        )
+    )
+    nsl = prs.groupBy(F.col("vb").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sim_lower")
+    )
+    kept = (
+        small.join(nsl, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            F.coalesce("n_sim_lower", F.lit(0)).cast("bigint").alias(
+                "n_sim_lower"
+            ),
+            F.when(F.coalesce("n_sim_lower", F.lit(0)) > 0, "prune")
+            .otherwise("keep")
+            .alias("action"),
+        )
+    )
+    quarantined = (
+        member.filter(F.col("n_members") > SEM_CLUSTER_CAP)
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n_members",
+            F.lit(-1).cast("bigint").alias("n_sim_lower"),
+            F.lit("quarantine").alias("action"),
+        )
+    )
+    return kept.unionAll(quarantined)

@@ -1,0 +1,176 @@
+"""Independent ground-truth tests for round-9 operators: plain-Python /
+numpy answers, deliberately NOT the shared Spark/DuckDB oracle formulas
+— when both engines share a formula, the sweep cannot catch a formula
+bug (the round-3 review's blind spot, closed per-round since)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow.parquet as pq
+
+import metadata_extractors_api_spark as mdx
+
+
+def _docs(sf_dir):
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    return {
+        int(i): s.split(" ")
+        for i, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+
+
+def _embs(sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    return {
+        int(i): np.asarray(v, dtype=np.float64)
+        for i, v in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
+
+
+def _dot_scaled(a, b):
+    # exact scaled-int dot: sum of floor(x*y*1e12) per dimension
+    return int(sum(math.floor(float(x) * float(y) * 1e12) for x, y in zip(a, b)))
+
+
+def _cos(a, b):
+    d = _dot_scaled(a, b)
+    na, nb = _dot_scaled(a, a), _dot_scaled(b, b)
+    return round((d / 1e12) / (math.sqrt(na / 1e12) * math.sqrt(nb / 1e12)), 6)
+
+
+# --- sim_hybrid_rrf ----------------------------------------------------------
+
+
+def test_rrf_fusion_matches_python_replay(spark, sf_dir):
+    """Full replay of both retrieval lists and the RRF fusion in plain
+    Python (Counter-based lexical scores as RATIONALS via fractions,
+    numpy cosines), vs the registered query."""
+    from fractions import Fraction
+
+    from metadata_extractors_api_spark.operators.llm import (
+        RRF_K,
+        RRF_POOL,
+        RRF_TERMS,
+    )
+
+    docs = _docs(sf_dir)
+    n_docs = len(docs)
+    df = {t: sum(1 for tk in docs.values() if t in tk) for t in RRF_TERMS}
+    lex_scores = {}
+    for d, tk in docs.items():
+        s = sum(
+            Fraction(tk.count(t) * n_docs, df[t]) for t in RRF_TERMS if df[t]
+        )
+        if s > 0:
+            lex_scores[d] = s
+    lex_order = sorted(lex_scores, key=lambda d: (-lex_scores[d], d))[:RRF_POOL]
+    lex_rank = {d: i + 1 for i, d in enumerate(lex_order)}
+
+    embs = _embs(sf_dir)
+    q = embs[0]
+    cos = {v: _cos(e, q) for v, e in embs.items()}
+    vec_order = sorted(cos, key=lambda v: (-cos[v], v))[:RRF_POOL]
+    vec_rank = {v: i + 1 for i, v in enumerate(vec_order)}
+
+    fused = {}
+    for d, r in lex_rank.items():
+        fused[d] = fused.get(d, 0) + 10**9 // (RRF_K + r)
+    for v, r in vec_rank.items():
+        fused[v] = fused.get(v, 0) + 10**9 // (RRF_K + r)
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = [
+        (r["doc_id"], r["rrf_e9"])
+        for r in mdx.QUERIES["sim_hybrid_rrf"](spark, sf_dir)
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+# --- dedup_semantic_cluster --------------------------------------------------
+
+
+def test_semantic_cluster_prune_matches_numpy_lloyd(spark, sf_dir):
+    """Lloyd's k-means re-run in exact integer numpy (quantized coords,
+    floor-divide centroid update — the same determinism contract), then
+    the SemDeDup min-id prune replayed brute-force within clusters."""
+    from metadata_extractors_api_spark.operators.pipeline import (
+        KM_ITERS,
+        KM_K,
+        KM_SCALE,
+        SEM_T,
+    )
+
+    embs = _embs(sf_dir)
+    ids = sorted(embs)
+    X = np.array(
+        [[math.floor(float(x) * KM_SCALE) for x in embs[i]] for i in ids],
+        dtype=object,  # exact ints
+    )
+    cent = {c: X[ids.index(c + 1)].copy() for c in range(KM_K)}
+
+    def assign():
+        out = {}
+        for r, i in enumerate(ids):
+            best = min(
+                range(KM_K),
+                key=lambda c: (int(sum((X[r] - cent[c]) ** 2)), c),
+            )
+            out[i] = best
+        return out
+
+    for _ in range(KM_ITERS):
+        a = assign()
+        for c in range(KM_K):
+            rows = [X[ids.index(i)] for i in ids if a[i] == c]
+            if rows:
+                s = np.sum(rows, axis=0)
+                cent[c] = np.array(
+                    [int(v) // len(rows) for v in s], dtype=object
+                )
+    a = assign()
+
+    pruned = set()
+    for i in ids:
+        for j in ids:
+            if j >= i:
+                break
+            if a[j] == a[i] and _cos(embs[j], embs[i]) >= SEM_T:
+                pruned.add(i)
+                break
+
+    rows = mdx.QUERIES["dedup_semantic_cluster"](spark, sf_dir).collect()
+    got_assign = {r["vec_id"]: r["cluster"] for r in rows}
+    got_pruned = {r["vec_id"] for r in rows if r["action"] == "prune"}
+    assert all(r["action"] != "quarantine" for r in rows)  # cap inert here
+    assert got_assign == a
+    assert got_pruned == pruned
+
+
+# --- text_phrase_search ------------------------------------------------------
+
+
+def test_phrase_search_matches_python_scan(spark, sf_dir):
+    """Naive sliding-window phrase scan per document (no index), vs the
+    positional-index join plan."""
+    from metadata_extractors_api_spark.operators.corpus import PHRASE
+
+    docs = _docs(sf_dir)
+    want = {}
+    k = len(PHRASE)
+    for d, tk in docs.items():
+        hits = [
+            i + 1
+            for i in range(len(tk) - k + 1)
+            if tuple(tk[i : i + k]) == PHRASE
+        ]
+        if hits:
+            want[d] = (len(hits), hits[0])
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in mdx.QUERIES["text_phrase_search"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -465,6 +465,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "graph_label_propagation": {"community,n_members"},  # rank over top-20 report
     "tokenizer_wordpiece_encode": {"piece,uses"},  # rank over top-30 report
     "tokenizer_viterbi_segment": {"mass,path"},  # rank over top-20 report
+    # ranks over the two LIMIT-RRF_POOL fusion heads (50 rows each)
+    "sim_hybrid_rrf": {"doc_id,lex_units", "cosine,vec_id"},
 }
 
 
@@ -608,6 +610,8 @@ _PAIR_JOIN_ALLOWLIST = {
     # broadcast probe/query batches bounded by literal filters
     # (vec_id < k / 100-probe slices): one corpus pass per batch
     "sim_topk": {"BroadcastNestedLoopJoin:"},
+    # dense side of the fusion: same vec_id=0 broadcast probe as sim_topk
+    "sim_hybrid_rrf": {"BroadcastNestedLoopJoin:"},
     "sim_topk_batch": {"BroadcastNestedLoopJoin:qid,vec_id"},
     "embedding_matryoshka_audit": {"BroadcastNestedLoopJoin:qid,vec_id"},
     "sim_knn_label_audit": {"BroadcastNestedLoopJoin:qid,vec_id"},
