@@ -184,6 +184,9 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "dedup_semantic_cluster",
     "text_phrase_search",
+    "graph_link_prediction",
+    "graph_bfs_landmarks",
+    "embedding_random_projection",
 ]
 
 RUNS = 5

@@ -2905,3 +2905,240 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.min("pos").cast("bigint").alias("first_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# link prediction + landmark BFS over the co-supply graph
+# ---------------------------------------------------------------------------
+
+#: High-quantity trade filter bounding the co-supply graph's degree
+#: (same discipline as LPA_MIN_QTY): at sf0.1 this holds the wedge
+#: count (sum of deg^2, the link-prediction candidate space) near 4M.
+LP_MIN_QTY = 48
+LP_TOP = 20
+#: BFS horizon (unrolled rounds) and landmark seed set.
+BFS_ROUNDS = 4
+BFS_LANDMARKS = (1, 2, 3)
+
+_LP_EDGES_SQL = f"""
+    ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_quantity >= {LP_MIN_QTY}),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM ps a JOIN ps b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey),
+    und AS (SELECT s1 AS src, s2 AS dst FROM e
+            UNION ALL SELECT s2, s1 FROM e)"""
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_LP_EDGES_SQL},
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY 1),
+    wedge AS (
+      SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
+      GROUP BY 1, 2),
+    cand AS (
+      SELECT w.a, w.b, w.cn FROM wedge w
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s1 = w.a AND e.s2 = w.b))
+    SELECT c.a AS s1, c.b AS s2, c.cn,
+           da.d AS deg_a, db.d AS deg_b,
+           CAST(c.cn * 1000000 // (da.d + db.d - c.cn) AS BIGINT)
+               AS jaccard_e6
+    FROM cand c
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b
+    ORDER BY c.cn DESC, jaccard_e6 DESC, s1, s2
+    LIMIT {LP_TOP}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
+    2003): the top-LP_TOP NON-adjacent supplier pairs of the
+    high-quantity co-supply graph ranked by common-neighbor count with
+    the neighborhood-Jaccard tiebreak — the "who should be trading but
+    isn't" recommendation query, and the fourth graph primitive next to
+    centrality (pagerank/HITS), cohesion (k-core), and communities
+    (LPA).
+
+    Scale shape: candidates come from the WEDGE join (two adjacency
+    copies equi-joined on the shared neighbor) — the candidate space is
+    sum(deg^2), bounded by the LP_MIN_QTY degree filter exactly like
+    LPA bounds its rounds, with hub skew falling under the same
+    AQE-skew/cap discipline the LSH bucket family documents; existing
+    edges leave via a left-anti join on the (s1, s2) key; degrees are
+    map-side-combinable counts; jaccard_e6 is exact integer division;
+    the report is TakeOrdered, never a global sort."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= LP_MIN_QTY)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    b = ps.withColumnsRenamed({"l_suppkey": "s2"})
+    e = (
+        ps.withColumnsRenamed({"l_suppkey": "s1"})
+        .join(b, "l_partkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+        .localCheckpoint()  # shared by wedge (x2), anti-join, degrees
+    )
+    und = e.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionByName(
+        e.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    x = und.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    y = und.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+    wedge = (
+        x.join(y, "c")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    cand = wedge.join(
+        e,
+        (wedge.a == e.s1) & (wedge.b == e.s2),
+        "left_anti",
+    )
+    da = deg.withColumnsRenamed({"node": "a", "d": "deg_a"})
+    db = deg.withColumnsRenamed({"node": "b", "d": "deg_b"})
+    scored = (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("s1"),
+            F.col("b").alias("s2"),
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.expr("cn * 1000000 div (deg_a + deg_b - cn)")
+            .cast("bigint")
+            .alias("jaccard_e6"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("cn"), F.desc("jaccard_e6"), F.asc("s1"), F.asc("s2")
+    ).limit(LP_TOP)
+
+
+def _bfs_oracle() -> str:
+    seeds = ", ".join(str(s) for s in BFS_LANDMARKS)
+    ctes = [
+        f"""d0 AS (
+      SELECT src AS node, CAST(0 AS BIGINT) AS dist
+      FROM (SELECT DISTINCT src FROM und)
+      WHERE src IN ({seeds}))"""
+    ]
+    for k in range(1, BFS_ROUNDS + 1):
+        ctes.append(f"""d{k} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM d{k - 1} d JOIN und e ON e.src = d.node
+        UNION ALL SELECT node, dist FROM d{k - 1})
+      GROUP BY node)""")
+    chain = ",\n    ".join(ctes)
+    last, prev = f"d{BFS_ROUNDS}", f"d{BFS_ROUNDS - 1}"
+    return f"""
+    WITH {_LP_EDGES_SQL},
+    {chain},
+    improved AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_changed
+      FROM {last} l LEFT JOIN {prev} p USING (node)
+      WHERE p.dist IS NULL OR l.dist < p.dist),
+    nodes AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes FROM und)
+    SELECT l.dist, CAST(COUNT(*) AS BIGINT) AS n_at_dist,
+           (SELECT n_changed FROM improved) AS n_changed,
+           (SELECT n_nodes FROM nodes)
+             - (SELECT COUNT(*) FROM {last}) AS n_unreached
+    FROM {last} l
+    GROUP BY l.dist
+    """
+
+
+@register("graph_bfs_landmarks", oracle=_bfs_oracle())
+def graph_bfs_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS from the BFS_LANDMARKS seed set over the
+    high-quantity co-supply graph: distance-to-nearest-landmark
+    histogram after BFS_ROUNDS unrolled relaxation rounds, with
+    n_changed (nodes whose distance improved in the FINAL round — the
+    graph_pagerank residual-witness discipline: 0 certifies the
+    horizon sufficed) and n_unreached (outside the landmarks'
+    BFS_ROUNDS-ball). This is the landmark/hub distance-sketch
+    primitive behind graph proximity features and reachability audits.
+
+    Scale shape: each round is ONE edge join against the current
+    frontier plus a map-side-combinable MIN per node — the Pregel/
+    GraphX BFS profile; the distance relation is localCheckpointed per
+    round so lineage never replays the graph build; rounds are a fixed
+    unrolled horizon with the convergence witness in-band. At 100 TB
+    this is exactly as parallel as BFS_ROUNDS shuffle joins."""
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= LP_MIN_QTY)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    b = ps.withColumnsRenamed({"l_suppkey": "s2"})
+    e = (
+        ps.withColumnsRenamed({"l_suppkey": "s1"})
+        .join(b, "l_partkey")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    und = (
+        e.select(F.col("s1").alias("src"), F.col("s2").alias("dst"))
+        .unionByName(
+            e.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    dist = (
+        und.select("src")
+        .distinct()
+        .filter(F.col("src").isin(*BFS_LANDMARKS))
+        .select(F.col("src").alias("node"), F.lit(0).cast("bigint").alias("dist"))
+        .localCheckpoint()
+    )
+    prev = dist
+    for _ in range(BFS_ROUNDS):
+        prev = dist
+        relax = und.join(dist, und.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            relax.unionByName(dist.select("node", "dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    p = prev.withColumnsRenamed({"dist": "pdist"})
+    improved = (
+        dist.join(p, "node", "left")
+        .filter(F.col("pdist").isNull() | (F.col("dist") < F.col("pdist")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_changed"))
+    )
+    n_nodes = und.select("src").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    n_reached = dist.agg(F.count(F.lit(1)).cast("bigint").alias("n_reached"))
+    return (
+        dist.groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_at_dist"))
+        .crossJoin(F.broadcast(improved))
+        .crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_reached))
+        .select(
+            "dist",
+            "n_at_dist",
+            "n_changed",
+            (F.col("n_nodes") - F.col("n_reached")).alias("n_unreached"),
+        )
+    )

@@ -1650,3 +1650,109 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kept.unionAll(quarantined)
+
+
+# ---------------------------------------------------------------------------
+# random projection (Johnson–Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+RP_OUT = 8  # projected dimensionality
+RP_SCALE = 1 << 24  # exact quantization of input coords (KM_SCALE regime)
+RP_DIM = 64  # input dimensionality of the embeddings fixture
+#: Deterministic ±1 sign matrix (Achlioptas 2003 database-friendly JL):
+#: sign(j,d) from the same Knuth multiplicative stream the LSH planes
+#: use — no RNG, every engine and run agrees.
+RP_SIGNS = [
+    [
+        1 if (((j * RP_DIM + d) * 2654435761) % 4294967296) < 2147483648 else -1
+        for d in range(RP_DIM)
+    ]
+    for j in range(RP_OUT)
+]
+
+
+def _rp_proj_sql(j: int) -> str:
+    lits = "[" + ", ".join(str(s) for s in RP_SIGNS[j]) + "]"
+    return (
+        f"CAST(list_sum(list_transform(embedding, (x,i) -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {RP_SCALE}) AS BIGINT)"
+        f" * ({lits})[i])) AS BIGINT)"
+    )
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH p AS (
+      SELECT vec_id,
+             {", ".join(f"{_rp_proj_sql(j)} AS p{j}" for j in range(RP_OUT))},
+             CAST(list_sum(list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * {RP_SCALE}) AS BIGINT)
+               * CAST(floor(CAST(x AS DOUBLE) * {RP_SCALE}) AS BIGINT)))
+               AS BIGINT) AS norm_in
+      FROM embeddings)
+    SELECT vec_id, {", ".join(f"p{j}" for j in range(RP_OUT))},
+           norm_in,
+           CAST(({" + ".join(f"p{j}*p{j}" for j in range(RP_OUT))})
+                AS BIGINT) AS norm_out,
+           CAST((({" + ".join(f"p{j}*p{j}" for j in range(RP_OUT))}) // {1 << 20})
+                * 1000000 // ({RP_OUT} * (norm_in // {1 << 20}))
+                AS BIGINT) AS jl_ratio_e6
+    FROM p
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with the deterministic
+    ±1 sign matrix (Achlioptas 2003): every embedding mapped from
+    RP_DIM to RP_OUT exact-integer coordinates, plus the per-vector JL
+    distortion witness jl_ratio_e6 = 1e6 · ||y||² / (m·||x||²) (≈1e6
+    when the embedding is JL-faithful — E[y_j²] = ||x||² for ±1
+    signs), computed entirely in down-shifted integer arithmetic so
+    the witness is engine-exact, not a float.
+
+    Scale shape: one map pass, zero shuffles, whole-stage codegen —
+    the projection every ANN/sketch pipeline runs before indexing at
+    100 TB (reduces the LSH/IVF build's byte footprint 8×), in the
+    same exact-int regime as dot_scaled so the oracle matches
+    bitwise."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    xs = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(float(RP_SCALE))).cast(
+            "bigint"
+        ),
+    )
+    d = e.select("vec_id", xs.alias("xs"))
+    projs = []
+    for j in range(RP_OUT):
+        signs = F.array(*[F.lit(s) for s in RP_SIGNS[j]])
+        prods = F.zip_with(
+            F.col("xs"), signs, lambda v, s: v * s.cast("bigint")
+        )
+        projs.append(
+            F.aggregate(
+                prods, F.lit(0).cast("bigint"), lambda acc, v: acc + v
+            ).alias(f"p{j}")
+        )
+    norm_in = F.aggregate(
+        F.transform(F.col("xs"), lambda v: v * v),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    ).alias("norm_in")
+    p = d.select("vec_id", *projs, norm_in)
+    norm_out = None
+    for j in range(RP_OUT):
+        t = F.col(f"p{j}") * F.col(f"p{j}")
+        norm_out = t if norm_out is None else norm_out + t
+    return p.select(
+        "vec_id",
+        *[f"p{j}" for j in range(RP_OUT)],
+        "norm_in",
+        norm_out.cast("bigint").alias("norm_out"),
+        F.expr(
+            f"(({' + '.join(f'p{j}*p{j}' for j in range(RP_OUT))}) div {1 << 20})"
+            f" * 1000000 div ({RP_OUT} * (norm_in div {1 << 20}))"
+        )
+        .cast("bigint")
+        .alias("jl_ratio_e6"),
+    )

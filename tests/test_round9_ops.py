@@ -174,3 +174,133 @@ def test_phrase_search_matches_python_scan(spark, sf_dir):
         for r in mdx.QUERIES["text_phrase_search"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --- graph_link_prediction / graph_bfs_landmarks -----------------------------
+
+
+def _co_supply_edges(sf_dir, min_qty):
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+    by_part = {}
+    for p, s, q in zip(
+        t["l_partkey"].to_pylist(),
+        t["l_suppkey"].to_pylist(),
+        t["l_quantity"].to_pylist(),
+    ):
+        if float(q) >= min_qty:
+            by_part.setdefault(p, set()).add(s)
+    edges = set()
+    for sup in by_part.values():
+        ss = sorted(sup)
+        for i in range(len(ss)):
+            for j in range(i + 1, len(ss)):
+                edges.add((ss[i], ss[j]))
+    return edges
+
+
+def test_link_prediction_matches_python_wedges(spark, sf_dir):
+    from metadata_extractors_api_spark.operators.corpus import (
+        LP_MIN_QTY,
+        LP_TOP,
+    )
+
+    edges = _co_supply_edges(sf_dir, LP_MIN_QTY)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores = []
+    nodes = sorted(adj)
+    # brute force: every non-adjacent pair with >=1 common neighbor
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in edges:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn:
+                jac = cn * 10**6 // (len(adj[a]) + len(adj[b]) - cn)
+                scores.append((-cn, -jac, a, b))
+    want = [
+        (a, b, -ncn, -njac)
+        for ncn, njac, a, b in sorted(scores)[:LP_TOP]
+    ]
+    got = [
+        (r["s1"], r["s2"], r["cn"], r["jaccard_e6"])
+        for r in mdx.QUERIES["graph_link_prediction"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_bfs_landmarks_matches_python_bfs(spark, sf_dir):
+    from collections import deque
+
+    from metadata_extractors_api_spark.operators.corpus import (
+        BFS_LANDMARKS,
+        BFS_ROUNDS,
+        LP_MIN_QTY,
+    )
+
+    edges = _co_supply_edges(sf_dir, LP_MIN_QTY)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {}
+    dq = deque()
+    for s in BFS_LANDMARKS:
+        if s in adj:
+            dist[s] = 0
+            dq.append(s)
+    while dq:
+        u = dq.popleft()
+        if dist[u] >= BFS_ROUNDS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    hist = {}
+    for d in dist.values():
+        hist[d] = hist.get(d, 0) + 1
+    n_unreached = len(adj) - len(dist)
+    n_changed = sum(1 for d in dist.values() if d == BFS_ROUNDS)
+
+    rows = mdx.QUERIES["graph_bfs_landmarks"](spark, sf_dir).collect()
+    got_hist = {r["dist"]: r["n_at_dist"] for r in rows}
+    assert got_hist == hist
+    assert all(r["n_unreached"] == n_unreached for r in rows)
+    assert all(r["n_changed"] == n_changed for r in rows)
+
+
+# --- embedding_random_projection ----------------------------------------------
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    from metadata_extractors_api_spark.operators.pipeline import (
+        RP_OUT,
+        RP_SCALE,
+        RP_SIGNS,
+    )
+
+    embs = _embs(sf_dir)
+    S = np.array(RP_SIGNS, dtype=object)  # RP_OUT x 64, exact ints
+    rows = mdx.QUERIES["embedding_random_projection"](spark, sf_dir).collect()
+    assert len(rows) == len(embs)
+    for r in rows[:50]:
+        x = embs[r["vec_id"]]
+        xs = np.array([math.floor(float(v) * RP_SCALE) for v in x], dtype=object)
+        p = S @ xs
+        assert [r[f"p{j}"] for j in range(RP_OUT)] == list(p)
+        norm_in = int(xs @ xs)
+        norm_out = int(p @ p)
+        assert r["norm_in"] == norm_in and r["norm_out"] == norm_out
+        want_ratio = (norm_out // (1 << 20)) * 10**6 // (RP_OUT * (norm_in // (1 << 20)))
+        assert r["jl_ratio_e6"] == want_ratio
+    # JL sanity: a single 8-dim projection has chi-square(8) spread, so
+    # individual ratios roam widely — but the MEAN over vectors must
+    # concentrate near 1e6 (E[y_j^2] = ||x||^2 for ±1 signs)
+    mean_ratio = sum(r["jl_ratio_e6"] for r in rows) / len(rows)
+    assert 800_000 < mean_ratio < 1_200_000
