@@ -187,6 +187,8 @@ HEADLINE = [
     "graph_link_prediction",
     "graph_bfs_landmarks",
     "embedding_random_projection",
+    "stream_markov_transition",
+    "tokenizer_unigram_em_step",
 ]
 
 RUNS = 5

@@ -2710,9 +2710,13 @@ def _viterbi_oracle() -> str:
     WHERE rk <= {VIT_TOP}"""
 
 
-@register("tokenizer_viterbi_segment", oracle=_viterbi_oracle())
-def tokenizer_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GLOBAL-best segmentation of every histogram word against the
+def _viterbi_fin_voc(spark: SparkSession, sf_dir: str):
+    """Shared Viterbi DP core, factored so tokenizer_unigram_em_step can
+    re-count piece masses from the SAME segmentation: returns (fin, voc)
+    — per-word global-best final states (word, cnt, np, path) and the
+    weighted vocabulary (symbol, weight, slen).
+
+    GLOBAL-best segmentation of every histogram word against the
     BPE-learned vocabulary: Viterbi DP maximizing total piece weight
     (each symbol's corpus mass), tie-break fewest pieces then
     lexicographic path — the decoding shape of SentencePiece's
@@ -2828,6 +2832,16 @@ def tokenizer_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     fin = st.filter(F.col("pos") == F.length("padded") + 1)
+    return fin, voc
+
+
+@register("tokenizer_viterbi_segment", oracle=_viterbi_oracle())
+def tokenizer_viterbi_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-VIT_TOP global-best segmentations by corpus mass — see
+    _viterbi_fin_voc for the DP core, constants, scale shape, and the
+    ground-truth reference (tests/test_round8_ops.py re-derives the DP
+    with a plain-Python Viterbi on a hand corpus)."""
+    fin, _voc = _viterbi_fin_voc(spark, sf_dir)
     paths = fin.groupBy("path").agg(
         F.max("np").cast("bigint").alias("n_pieces"),
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
@@ -3141,4 +3155,79 @@ def graph_bfs_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_changed",
             (F.col("n_nodes") - F.col("n_reached")).alias("n_unreached"),
         )
+    )
+
+
+EM_TOP = 30
+
+
+def _unigram_em_oracle() -> str:
+    """Generated oracle: the Viterbi chain through vfin, then the hard-EM
+    M-step recount (explode segmentation paths weighted by word count)
+    joined against the E-step's input weights."""
+    vit = _viterbi_oracle()
+    # reuse everything up to (and including) the vfin CTE; replace the
+    # report tail with the recount
+    head = vit[: vit.index("vpaths AS (")]
+    return f"""{head}emq AS (
+      SELECT unnest(string_split(path, ' ')) AS symbol, cnt
+      FROM vfin WHERE path <> ''),
+    emn AS (
+      SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS new_mass
+      FROM emq GROUP BY symbol),
+    emj AS (
+      SELECT n.symbol, COALESCE(v.weight, 0) AS old_weight, n.new_mass,
+             n.new_mass - COALESCE(v.weight, 0) AS delta
+      FROM emn n LEFT JOIN vvoc v USING (symbol)),
+    emt AS (
+      SELECT * FROM emj ORDER BY new_mass DESC, symbol LIMIT {EM_TOP})
+    SELECT symbol, old_weight, new_mass, delta,
+           ROW_NUMBER() OVER (ORDER BY new_mass DESC, symbol) AS rk
+    FROM emt
+    """
+
+
+@register("tokenizer_unigram_em_step", oracle=_unigram_em_oracle())
+def tokenizer_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hard-EM (Viterbi-EM) re-estimation round of the unigram
+    tokenizer (the training loop of SentencePiece's unigram LM, Kudo
+    2018, in its exact-arithmetic hard-EM form): the E-step is the
+    GLOBAL-best segmentation _viterbi_fin_voc already computes; the
+    M-step re-counts each piece's corpus mass under that segmentation
+    (explode the winning paths, weight by word frequency). The report
+    is the top-EM_TOP pieces by re-estimated mass with the BPE-derived
+    input weight and the delta — pieces whose mass GROWS are the ones
+    Viterbi routes more words through than BPE's greedy merges did;
+    pieces at delta = -old_weight died (no winning path uses them),
+    which is exactly the pruning signal the unigram trainer iterates
+    on.
+
+    Scale shape: inherits the DP core's histogram-sized bound; the
+    M-step adds one explode of the (distinct-word)-sized winning-path
+    relation and a map-side-combinable sum — at 100 TB the recount
+    cost scales with vocabulary x mean pieces-per-word, independent of
+    corpus bytes (the Sennrich trainer argument, applied to EM)."""
+    fin, voc = _viterbi_fin_voc(spark, sf_dir)
+    seg = fin.filter(F.col("path") != "").select(
+        F.explode(F.split("path", " ")).alias("symbol"), "cnt"
+    )
+    new = seg.groupBy("symbol").agg(
+        F.sum("cnt").cast("bigint").alias("new_mass")
+    )
+    j = new.join(voc.select("symbol", "weight"), "symbol", "left").select(
+        "symbol",
+        F.coalesce("weight", F.lit(0)).cast("bigint").alias("old_weight"),
+        "new_mass",
+        (F.col("new_mass") - F.coalesce("weight", F.lit(0)))
+        .cast("bigint")
+        .alias("delta"),
+    )
+    top = j.orderBy(F.desc("new_mass"), F.asc("symbol")).limit(EM_TOP)
+    w = Window.orderBy(F.desc("new_mass"), F.asc("symbol"))
+    return top.select(
+        "symbol",
+        "old_weight",
+        "new_mass",
+        "delta",
+        F.row_number().over(w).cast("bigint").alias("rk"),
     )

@@ -1310,3 +1310,115 @@ def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tested.crossJoin(F.broadcast(fill)).select(
         "key", "claimed_member", "true_member", "n_set_bits"
     )
+
+
+@register(
+    "stream_markov_transition",
+    oracle="""
+    WITH tr AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events)
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY src), 6)
+               AS p
+    FROM tr WHERE dst IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def stream_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_markov_transition: the first-order
+    transition matrix maintained INCREMENTALLY in keyed state. Unlike
+    stream_pattern_funnel (whose state is the growing code string),
+    the state here is the per-user (prev, cur) count map plus the last
+    event type seen — bounded by the TYPE ALPHABET squared per key, so
+    state bytes do not grow with events-per-key at all: the strongest
+    state bound in the twin family (the last-event carry is also what
+    links transitions ACROSS micro-batch boundaries, the CEP property
+    a per-batch lag window would silently drop; the restart test pins
+    exactly that carry).
+
+    Serving side: final state per user (monotone n, the module's
+    convention), parse the canonical count string, aggregate the
+    global (src, dst) matrix, row-normalize over the tiny type-pair
+    relation. Same oracle as the batch twin — the batch/stream
+    symmetry contract."""
+    ev = _events_stream_batched(spark, sf_dir)
+    updates = _run_to_table(_markov_updates(ev), spark, "update")
+    return _markov_serve(updates)
+
+
+def _markov_updates(ev: DataFrame) -> DataFrame:
+    """Stateful half of stream_markov_transition (factored out for the
+    checkpoint-restart harness): raw event stream in, per-user
+    (n_events, canonical transition-count string) update stream out.
+    State carries the last event type so transitions spanning a
+    micro-batch (or restart) boundary are counted exactly once."""
+    import pandas as pd
+
+    coded = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+
+    def update(key, pdfs, state):
+        n, last, cstr = state.get if state.exists else (0, None, "")
+        counts = {}
+        if cstr:
+            for ent in cstr.split("|"):
+                k, v = ent.rsplit(":", 1)
+                counts[k] = int(v)
+        rows = []
+        for pdf in pdfs:
+            rows.extend(zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]))
+        rows.sort(key=lambda r: (r[0], r[1]))
+        for _, _, et in rows:
+            if last is not None:
+                k = f"{last}>{et}"
+                counts[k] = counts.get(k, 0) + 1
+            last = et
+        n += len(rows)
+        cstr = "|".join(f"{k}:{v}" for k, v in sorted(counts.items()))
+        state.update((n, last, cstr))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "cstr": [cstr]}
+        )
+
+    return coded.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, cstr string",
+        stateStructType="n bigint, last string, cstr string",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def _markov_serve(updates: DataFrame) -> DataFrame:
+    """Serving side of stream_markov_transition: keep each user's final
+    state (max n_events — monotone), parse the count string, aggregate
+    the global transition matrix, row-normalize."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    ent_re = r"^(.*)>([^>:]*):(\d+)$"
+    final = (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("cstr") != ""))
+        .select(F.explode(F.split("cstr", "\\|")).alias("ent"))
+        .select(
+            F.regexp_extract("ent", ent_re, 1).alias("src"),
+            F.regexp_extract("ent", ent_re, 2).alias("dst"),
+            F.regexp_extract("ent", ent_re, 3).cast("bigint").alias("cnt"),
+        )
+    )
+    counts = final.groupBy("src", "dst").agg(
+        F.sum("cnt").cast("bigint").alias("n")
+    )
+    tot_w = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(tot_w), 6).alias("p"),
+    ).orderBy("src", "dst")

@@ -304,3 +304,97 @@ def test_random_projection_matches_numpy(spark, sf_dir):
     # concentrate near 1e6 (E[y_j^2] = ||x||^2 for ±1 signs)
     mean_ratio = sum(r["jl_ratio_e6"] for r in rows) / len(rows)
     assert 800_000 < mean_ratio < 1_200_000
+
+
+# --- tokenizer_unigram_em_step -------------------------------------------------
+
+
+def test_unigram_em_step_matches_python_recount(spark, tmp_path_factory):
+    """Hand corpus: python trains the merges, runs the position-DP
+    Viterbi per word (same tuple compare as the round-8 test), then the
+    hard-EM recount — explode winning paths weighted by word count —
+    and the top-EM_TOP report must match exactly."""
+    import collections
+
+    from metadata_extractors_api_spark.operators.corpus import (
+        BPE_MARKER,
+        BPE_TRAIN_ROUNDS,
+        EM_TOP,
+        WP_MAX_CHARS,
+        WP_MAXP,
+    )
+    from tests.test_round7_ops import _py_bpe_train
+
+    docs = [
+        "ab abc ab abc ab",
+        "abx aby abz abc ab",
+        "ba bab bba ab abc",
+        "ccc ccc ccc c cc",
+    ]
+    d = str(tmp_path_factory.mktemp("emcorpus"))
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    wc = collections.Counter(w for t in docs for w in t.split(" ") if w)
+    merges = _py_bpe_train(dict(wc), BPE_TRAIN_ROUNDS)
+    syms = {w: " " + " ".join(list(BPE_MARKER + w)) + " " for w in wc}
+    for _k, a, b, _n in merges:
+        for w in syms:
+            syms[w] = syms[w].replace(f" {a} {b} ", f" {a}{b} ")
+    weight = collections.Counter()
+    for w, s in syms.items():
+        for p in s.split():
+            if len(p) <= WP_MAXP:
+                weight[p] += wc[w]
+    chars = {c for w in wc if len(w) <= WP_MAX_CHARS for c in BPE_MARKER + w}
+    vocab = dict(weight)
+    for c in chars:
+        vocab.setdefault(c, 0)
+
+    def viterbi(word):
+        padded = BPE_MARKER + word
+        best = {1: (0, 0, "")}
+        for pos in range(1, len(padded) + 1):
+            if pos not in best:
+                continue
+            sc, np_, path = best[pos]
+            for ln in range(1, min(WP_MAXP, len(padded) - pos + 1) + 1):
+                piece = padded[pos - 1 : pos - 1 + ln]
+                if piece not in vocab:
+                    continue
+                cand = (
+                    sc + vocab[piece],
+                    np_ + 1,
+                    piece if not path else f"{path} {piece}",
+                )
+                tgt = pos + ln
+                cur = best.get(tgt)
+                if cur is None or (-cand[0], cand[1], cand[2]) < (
+                    -cur[0],
+                    cur[1],
+                    cur[2],
+                ):
+                    best[tgt] = cand
+        return best[len(padded) + 1]
+
+    new_mass = collections.Counter()
+    for w, n in wc.items():
+        if len(w) > WP_MAX_CHARS:
+            continue
+        _sc, _np, path = viterbi(w)
+        for p in path.split(" "):
+            if p:
+                new_mass[p] += n
+    ranked = sorted(new_mass.items(), key=lambda kv: (-kv[1], kv[0]))[:EM_TOP]
+    want = [
+        (sym, vocab.get(sym, 0), m, m - vocab.get(sym, 0), i + 1)
+        for i, (sym, m) in enumerate(ranked)
+    ]
+    got = [
+        (r["symbol"], r["old_weight"], r["new_mass"], r["delta"], r["rk"])
+        for r in mdx.QUERIES["tokenizer_unigram_em_step"](spark, d)
+        .orderBy("rk")
+        .collect()
+    ]
+    assert got == want

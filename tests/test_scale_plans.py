@@ -467,6 +467,7 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "tokenizer_viterbi_segment": {"mass,path"},  # rank over top-20 report
     # ranks over the two LIMIT-RRF_POOL fusion heads (50 rows each)
     "sim_hybrid_rrf": {"doc_id,lex_units", "cosine,vec_id"},
+    "tokenizer_unigram_em_step": {"new_mass,symbol"},  # rank over top-30 report
 }
 
 

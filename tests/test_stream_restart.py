@@ -183,3 +183,40 @@ def test_ewma_tws_state_survives_restart(spark, sf_dir):
             f"{et}: run-2 n_obs {n2} did not build on run-1 "
             f"{n_obs_run1.get(et)}"
         )
+
+
+def test_markov_transition_state_survives_restart(spark, sf_dir):
+    """The markov twin's distinguishing property: the LAST-EVENT carry
+    in state links transitions across the restart boundary. Beyond the
+    standard resume assertions, this checks the total transition count
+    equals total_events - n_users (every user contributes exactly
+    len(events)-1 transitions) — impossible if the boundary transition
+    were dropped by a state-less run 2."""
+    from metadata_extractors_api_spark.streaming.windows import (
+        _markov_serve,
+        _markov_updates,
+    )
+
+    updates, b1, b2 = _restart_drain(spark, sf_dir, _markov_updates)
+    assert b1 == 2, f"run 1 ran {b1} micro-batches, expected 2"
+    assert b2 == 1, f"run 2 ran {b2} micro-batches, expected 1 (replay?)"
+    got = (
+        _markov_serve(updates.drop("run", "batch_id"))
+        .toPandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    want = (
+        mdx.QUERIES["stream_markov_transition"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # conservation: sum(n) == total events - distinct users (per-user
+    # chains of length L contribute L-1 transitions; a dropped boundary
+    # transition breaks this identity)
+    ev = mdx.catalog.load(spark, sf_dir, "events")
+    total = ev.count()
+    users = ev.select("user_id").distinct().count()
+    assert int(got["n"].sum()) == total - users
