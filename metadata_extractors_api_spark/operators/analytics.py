@@ -1810,3 +1810,156 @@ def scd2_build_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(F.unix_micros("ts")).over(w2).alias("valid_to_us"),
         F.row_number().over(w2).cast("bigint").alias("version"),
     ).withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling + robust trend
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_ohlc_bars",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+             o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    seq AS (
+      SELECT day // 7 AS bar, day, o_orderkey, cents,
+             ROW_NUMBER() OVER (PARTITION BY day // 7
+                                ORDER BY day, o_orderkey) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY day // 7
+                                ORDER BY day DESC, o_orderkey DESC) AS rn_close
+      FROM pts)
+    SELECT bar,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN cents END) AS BIGINT) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents
+    FROM seq
+    GROUP BY bar
+    """,
+)
+def timeseries_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick downsampling of the order-price stream into
+    7-day bars: open/close are the first/last trade of the bar under
+    the total (day, orderkey) order, high/low the extrema, with count
+    and exact-cent volume — the classic time-series downsample every
+    monitoring store runs (and the aggregation shape win_first_last
+    expresses per-key, lifted to calendar bars). The bar key is exact
+    integer epoch-day // 7, not an engine week function (ISO-week
+    definitions differ across engines).
+
+    Scale shape: one shuffle on the bar key; the first/last selection
+    is two BAR-partitioned rank windows (parallel at any SF — bars are
+    calendar-bounded but rows within a bar scale, and the windows
+    partition on the same key as the final aggregate, so the exchange
+    is reused); money is exact integer cents end to end."""
+    o = load(spark, sf_dir, "orders").select(
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+        .cast("bigint")
+        .alias("day"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    pts = o.withColumn("bar", F.expr("day div 7").cast("bigint"))
+    w_open = Window.partitionBy("bar").orderBy(F.asc("day"), F.asc("o_orderkey"))
+    w_close = Window.partitionBy("bar").orderBy(
+        F.desc("day"), F.desc("o_orderkey")
+    )
+    seq = pts.select(
+        "bar",
+        "cents",
+        F.row_number().over(w_open).alias("rn_open"),
+        F.row_number().over(w_close).alias("rn_close"),
+    )
+    return seq.groupBy("bar").agg(
+        F.max(F.when(F.col("rn_open") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.max(F.when(F.col("rn_close") == 1, F.col("cents")))
+        .cast("bigint")
+        .alias("close_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("volume_cents"),
+    )
+
+
+@register(
+    "trend_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 2592000000000 AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY 1),
+    prs AS (
+      SELECT a.m AS m1, b.m AS m2,
+             b.c - a.c AS num, b.m - a.m AS den
+      FROM daily a JOIN daily b ON b.m > a.m),
+    ranked AS (
+      SELECT num, den, m1, m2,
+             ROW_NUMBER() OVER (
+               ORDER BY num * 1.0 / den, m1, m2) AS rn,
+             COUNT(*) OVER () AS n
+      FROM prs)
+    SELECT CAST(num AS BIGINT) AS slope_num,
+           CAST(den AS BIGINT) AS slope_den,
+           ROUND(num * 1.0 / den, 6) AS slope,
+           CAST(n AS BIGINT) AS n_pairs
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+)
+def trend_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend over the monthly order-count series: the
+    MEDIAN of all pairwise slopes (c_j - c_i)/(m_j - m_i) — the
+    breakdown-point-0.29 complement to trend_linear_slope's OLS (one
+    wild month moves OLS arbitrarily; Theil–Sen shrugs). The slope is
+    reported as the exact integer fraction plus its rounded IEEE value.
+
+    Scale shape: the pair space is CALENDAR-BOUNDED — months of order
+    history squared (~84² / 2 pairs at any SF), independent of data
+    volume, built from the month-grain aggregate (one map-side-
+    combinable count) — the same bounded-domain-join contract as the
+    gap-fill spines; the median pick is one rank window over the pair
+    domain. All ordering is total: IEEE slope value (identical doubles
+    in both engines) with (m1, m2) tiebreak."""
+    o = load(spark, sf_dir, "orders")
+    daily = o.select(
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 2592000000000")
+        .cast("bigint")
+        .alias("m")
+    ).groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = daily.withColumnsRenamed({"m": "m1", "c": "c1"})
+    b = daily.withColumnsRenamed({"m": "m2", "c": "c2"})
+    prs = a.join(b, F.col("m2") > F.col("m1")).select(
+        "m1",
+        "m2",
+        (F.col("c2") - F.col("c1")).alias("num"),
+        (F.col("m2") - F.col("m1")).alias("den"),
+    )
+    w = Window.orderBy(
+        (F.col("num") * F.lit(1.0) / F.col("den")).asc(),
+        F.asc("m1"),
+        F.asc("m2"),
+    )
+    ranked = prs.select(
+        "num",
+        "den",
+        "m1",
+        "m2",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(
+        F.col("num").cast("bigint").alias("slope_num"),
+        F.col("den").cast("bigint").alias("slope_den"),
+        F.round(F.col("num") * F.lit(1.0) / F.col("den"), 6).alias("slope"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+    )

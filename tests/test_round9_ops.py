@@ -398,3 +398,83 @@ def test_unigram_em_step_matches_python_recount(spark, tmp_path_factory):
         .collect()
     ]
     assert got == want
+
+
+# --- timeseries_ohlc_bars / trend_theil_sen ------------------------------------
+
+
+def _orders(sf_dir):
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    out = []
+    for k, d, p in zip(
+        t["o_orderkey"].to_pylist(),
+        t["o_orderdate"].to_pylist(),
+        t["o_totalprice"].to_pylist(),
+    ):
+        epoch_us = int(d.timestamp() * 1e6) if hasattr(d, "timestamp") else None
+        # timestamps are tz-naive; compute epoch days from the date parts
+        import datetime
+
+        day = (d.date() - datetime.date(1970, 1, 1)).days
+        out.append((int(k), day, round(float(p) * 100)))
+    return out
+
+
+def test_ohlc_bars_match_python_fold(spark, sf_dir):
+    rows = _orders(sf_dir)
+    bars = {}
+    for k, day, cents in rows:
+        b = bars.setdefault(day // 7, [])
+        b.append((day, k, cents))
+    want = {}
+    for bar, pts in bars.items():
+        pts.sort()
+        want[bar] = (
+            pts[0][2],
+            max(c for _, _, c in pts),
+            min(c for _, _, c in pts),
+            pts[-1][2],
+            len(pts),
+            sum(c for _, _, c in pts),
+        )
+    got = {
+        r["bar"]: (
+            r["open_cents"],
+            r["high_cents"],
+            r["low_cents"],
+            r["close_cents"],
+            r["n_orders"],
+            r["volume_cents"],
+        )
+        for r in mdx.QUERIES["timeseries_ohlc_bars"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_theil_sen_matches_python_median_of_slopes(spark, sf_dir):
+    from fractions import Fraction
+
+    rows = _orders(sf_dir)
+    monthly = {}
+    # month grain = epoch_us div 2592000000000 = epoch_day*86400e6 div 2592e9
+    for _, day, _ in rows:
+        m = (day * 86400 * 10**6) // 2592000000000
+        monthly[m] = monthly.get(m, 0) + 1
+    ms = sorted(monthly)
+    slopes = []
+    for i, m1 in enumerate(ms):
+        for m2 in ms[i + 1 :]:
+            slopes.append(
+                (Fraction(monthly[m2] - monthly[m1], m2 - m1), m1, m2)
+            )
+    slopes.sort()
+    n = len(slopes)
+    med = slopes[(n + 1) // 2 - 1]
+    r = mdx.QUERIES["trend_theil_sen"](spark, sf_dir).collect()
+    assert len(r) == 1
+    got = r[0]
+    assert got["n_pairs"] == n
+    assert Fraction(got["slope_num"], got["slope_den"]) == med[0]

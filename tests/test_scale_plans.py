@@ -468,6 +468,8 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # ranks over the two LIMIT-RRF_POOL fusion heads (50 rows each)
     "sim_hybrid_rrf": {"doc_id,lex_units", "cosine,vec_id"},
     "tokenizer_unigram_em_step": {"new_mass,symbol"},  # rank over top-30 report
+    # slope median over the calendar-bounded month-pair domain (~84²/2)
+    "trend_theil_sen": {"_w0,m1,m2", "<global-unordered>"},
 }
 
 
@@ -629,6 +631,9 @@ _PAIR_JOIN_ALLOWLIST = {
     # side streams (round-5 fix -- the hint previously pointed at the
     # vocab side)
     "text_source_divergence": {"BroadcastNestedLoopJoin:"},
+    # month-grain pair domain: both sides are the calendar-bounded
+    # monthly aggregate (~84 rows at any SF), never data
+    "trend_theil_sen": {"BroadcastNestedLoopJoin:m1,m2"},
 }
 
 

@@ -199,6 +199,8 @@ HEADLINE = [
     "embedding_random_projection",
     "stream_markov_transition",
     "tokenizer_unigram_em_step",
+    "timeseries_ohlc_bars",
+    "trend_theil_sen",
 ]
 
 INTERESTING = re.compile(
