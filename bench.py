@@ -191,6 +191,7 @@ HEADLINE = [
     "tokenizer_unigram_em_step",
     "timeseries_ohlc_bars",
     "trend_theil_sen",
+    "stream_ohlc_bars",
 ]
 
 RUNS = 5

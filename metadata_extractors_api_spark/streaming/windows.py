@@ -1422,3 +1422,129 @@ def _markov_serve(updates: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(tot_w), 6).alias("p"),
     ).orderBy("src", "dst")
+
+
+@register(
+    "stream_ohlc_bars",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+             ts, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS v_e6
+      FROM events),
+    seq AS (
+      SELECT day, v_e6,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY ts, event_id) AS rn_open,
+             ROW_NUMBER() OVER (PARTITION BY day
+                                ORDER BY ts DESC, event_id DESC) AS rn_close
+      FROM pts)
+    SELECT day,
+           CAST(MAX(CASE WHEN rn_open = 1 THEN v_e6 END) AS BIGINT) AS open_e6,
+           CAST(MAX(v_e6) AS BIGINT) AS high_e6,
+           CAST(MIN(v_e6) AS BIGINT) AS low_e6,
+           CAST(MAX(CASE WHEN rn_close = 1 THEN v_e6 END) AS BIGINT) AS close_e6,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v_e6) AS BIGINT) AS sum_e6
+    FROM seq
+    GROUP BY day
+    """,
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the OHLC downsample (timeseries_ohlc_bars
+    lifts the same aggregation over orders): daily bars over the event
+    value stream maintained in keyed state — the canonical
+    ORDER-SENSITIVE streaming aggregate. High/low/count/sum merge
+    commutatively (any twin handles those), but open and close do NOT:
+    the state carries the (ts, event_id) witness of the current
+    open/close and only replaces it when a strictly earlier/later
+    observation arrives, which makes the fold correct regardless of
+    how rows split across micro-batches. State is one fixed-width row
+    per bar — bounded by the calendar, not the event volume.
+
+    Scale shape: keyed state per bar; each micro-batch folds
+    map-side into per-bar partials before the state update, so a 100
+    TB replay is bounded by bars x batch count. Values in exact
+    floor(v*1e6) integers (the dot_scaled discipline) — no float-order
+    hazard between the stream fold and the batch oracle."""
+    ev = _events_stream_batched(spark, sf_dir)
+    updates = _run_to_table(_ohlc_updates(ev), spark, "update")
+    return _ohlc_serve(updates)
+
+
+def _ohlc_updates(ev: DataFrame) -> DataFrame:
+    """Stateful half of stream_ohlc_bars (factored for the
+    checkpoint-restart harness): the order-sensitive fold with the
+    (ts, event_id) open/close witnesses carried in state."""
+    import pandas as pd
+
+    coded = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * F.lit(1000000.0)).cast("bigint").alias("v_e6"),
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            (n, o_us, o_id, o_v, c_us, c_id, c_v, hi, lo, tot) = state.get
+        else:
+            n, o_us, o_id, o_v, c_us, c_id, c_v, hi, lo, tot = (
+                0, None, None, None, None, None, None, None, None, 0,
+            )
+        for pdf in pdfs:
+            for ts_us, eid, v in zip(pdf["ts_us"], pdf["event_id"], pdf["v_e6"]):
+                ts_us, eid, v = int(ts_us), int(eid), int(v)
+                if o_us is None or (ts_us, eid) < (o_us, o_id):
+                    o_us, o_id, o_v = ts_us, eid, v
+                if c_us is None or (ts_us, eid) > (c_us, c_id):
+                    c_us, c_id, c_v = ts_us, eid, v
+                hi = v if hi is None else max(hi, v)
+                lo = v if lo is None else min(lo, v)
+                tot += v
+                n += 1
+        state.update((n, o_us, o_id, o_v, c_us, c_id, c_v, hi, lo, tot))
+        yield pd.DataFrame(
+            {
+                "day": [key[0]],
+                "open_e6": [o_v],
+                "high_e6": [hi],
+                "low_e6": [lo],
+                "close_e6": [c_v],
+                "n_events": [n],
+                "sum_e6": [tot],
+            }
+        )
+
+    return coded.groupBy("day").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "day bigint, open_e6 bigint, high_e6 bigint, low_e6 bigint, "
+            "close_e6 bigint, n_events bigint, sum_e6 bigint"
+        ),
+        stateStructType=(
+            "n bigint, o_us bigint, o_id bigint, o_v bigint, "
+            "c_us bigint, c_id bigint, c_v bigint, "
+            "hi bigint, lo bigint, tot bigint"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+def _ohlc_serve(updates: DataFrame) -> DataFrame:
+    """Serving side of stream_ohlc_bars: final state per bar."""
+    w = Window.partitionBy("day").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "day",
+            "open_e6",
+            "high_e6",
+            "low_e6",
+            "close_e6",
+            "n_events",
+            "sum_e6",
+        )
+    )

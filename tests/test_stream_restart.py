@@ -220,3 +220,99 @@ def test_markov_transition_state_survives_restart(spark, sf_dir):
     total = ev.count()
     users = ev.select("user_id").distinct().count()
     assert int(got["n"].sum()) == total - users
+
+
+def test_ohlc_state_survives_restart_out_of_order_split(spark, sf_dir):
+    """The OHLC twin's distinguishing property, tested on the HARDEST
+    split: unlike the funnel/markov twins (which need time-contiguous
+    chunks), the OHLC fold carries (ts, event_id) open/close WITNESSES
+    in state, so it is correct under ARBITRARY row-to-batch assignment.
+    Events are split by event_id parity — every bar spans the restart
+    boundary, run 2 sees a time-interleaved half — and the resumed
+    result must still equal the batch answer exactly, with every bar's
+    run-2 state building on run 1's."""
+    import pandas as pd
+
+    from metadata_extractors_api_spark.catalog import load
+    from metadata_extractors_api_spark.streaming.windows import (
+        _events_stream_from_dir,
+        _ohlc_serve,
+        _ohlc_updates,
+    )
+
+    base = tempfile.mkdtemp(prefix="mdx_ohlc_restart_")
+    staged = os.path.join(base, "in")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(staged)
+    ev = load(spark, sf_dir, "events")
+    for i, pred in enumerate(
+        [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]
+    ):
+        part_dir = os.path.join(base, f"_p{i}")
+        ev.filter(pred).coalesce(1).write.parquet(part_dir)
+        part = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(base, f"ev_{i:03d}.parquet")
+        os.rename(os.path.join(part_dir, part), dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    def drain(run_id):
+        def sink_batch(df, batch_id):
+            df.withColumn("run", F.lit(run_id)).withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(sink)
+
+        out = _ohlc_updates(_events_stream_from_dir(spark, staged))
+        q = (
+            out.writeStream.foreachBatch(sink_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    shutil.copy2(os.path.join(base, "ev_000.parquet"),
+                 os.path.join(staged, "ev_000.parquet"))
+    drain(1)
+    shutil.copy2(os.path.join(base, "ev_001.parquet"),
+                 os.path.join(staged, "ev_001.parquet"))
+    drain(2)
+
+    updates = spark.read.parquet(sink)
+    per_run = {
+        r["run"]: r["n"]
+        for r in updates.groupBy("run")
+        .agg(F.countDistinct("batch_id").alias("n"))
+        .collect()
+    }
+    assert per_run.get(1) == 1 and per_run.get(2) == 1
+    got = (
+        _ohlc_serve(updates.drop("run", "batch_id"))
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    want = (
+        mdx.QUERIES["stream_ohlc_bars"](spark, sf_dir)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # EVERY bar spans the boundary under the parity split: run-2 state
+    # must build on run 1 (n grows), and the final open/close must be
+    # the global witnesses, not run-2-local ones
+    r1 = {
+        r["day"]: r["n_events"]
+        for r in updates.filter(F.col("run") == 1).collect()
+    }
+    r2 = {
+        r["day"]: r["n_events"]
+        for r in updates.filter(F.col("run") == 2).collect()
+    }
+    assert set(r1) == set(r2) and r1
+    for day, n2 in r2.items():
+        assert n2 > r1[day], f"bar {day} did not build on run-1 state"
