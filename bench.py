@@ -192,6 +192,7 @@ HEADLINE = [
     "timeseries_ohlc_bars",
     "trend_theil_sen",
     "stream_ohlc_bars",
+    "graph_ppr",
 ]
 
 RUNS = 5

@@ -1756,3 +1756,129 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("jl_ratio_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank
+# ---------------------------------------------------------------------------
+
+PPR_SEEDS = (0, 5, 10)  # personalization set (nation keys)
+
+
+def _ppr_oracle() -> str:
+    seeds = ", ".join(str(s) for s in PPR_SEEDS)
+    base = (
+        f"CASE WHEN n.node IN ({seeds}) THEN {PR_BASE} ELSE 0 END"
+    )
+    ctes = [
+        _PR_EDGE_CTES.strip().replace(
+            f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS rank FROM nodes)",
+            f"r0 AS (SELECT node, CAST(CASE WHEN node IN ({seeds}) "
+            f"THEN {PR_SCALE} ELSE 0 END AS BIGINT) AS rank FROM nodes)",
+        )
+    ]
+    for i in range(1, PR_ITERS + 1):
+        ctes.append(f"""c{i} AS (
+      SELECT e.dst AS node,
+             SUM((85 * (r.rank // d.deg)) // 100) AS c
+      FROM edges e
+      JOIN r{i - 1} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY e.dst)""")
+        ctes.append(f"""r{i} AS (
+      SELECT n.node,
+             CAST({base} + COALESCE(c.c, 0) AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)""")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT r.node, r.rank AS rank_units,
+           r.node IN ({seeds}) AS is_seed,
+           res.residual_units
+    FROM r{PR_ITERS} r CROSS JOIN (
+      SELECT CAST(SUM(ABS(a.rank - b.rank)) AS BIGINT) AS residual_units
+      FROM r{PR_ITERS} a JOIN r{PR_ITERS - 1} b ON b.node = a.node) res"""
+    )
+
+
+@register("graph_ppr", oracle=_ppr_oracle())
+def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the PPR_SEEDS nation set over the
+    trade graph: the teleport mass returns to the SEEDS instead of
+    spreading uniformly (rank-units init and 15% restart both
+    seed-gated), so the stationary mass measures proximity TO the
+    seeds — the recommendation/expansion primitive behind 'similar
+    entities to these' queries, next to global pagerank (importance),
+    HITS (hub/authority), and BFS landmarks (hop distance: PPR is its
+    weighted, damping-discounted refinement). Same exact-integer
+    regime, same per-iteration join+aggregate Pregel shape, same
+    localCheckpoint lineage discipline, and the same residual_units
+    convergence witness as graph_pagerank — one more unrolled-oracle
+    iterative.
+
+    Reference basis: extends the §2.B.11 graph family (the reference
+    has no graph surface); personalization per Page et al. 1999 §6 /
+    Jeh & Widom 2003."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    seed_col = F.col("node").isin(*PPR_SEEDS)
+    base = F.when(seed_col, F.lit(PR_BASE)).otherwise(F.lit(0))
+
+    ranks = nodes.withColumn(
+        "rank",
+        F.when(seed_col, F.lit(PR_SCALE)).otherwise(F.lit(0)).cast("bigint"),
+    )
+    prev = ranks
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges_deg.join(ranks, edges_deg.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(85 * (rank div deg)) div 100").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        prev = ranks
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (base + F.coalesce(F.col("c"), F.lit(0)))
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    res = (
+        ranks.join(prev.withColumnsRenamed({"rank": "prev_rank"}), "node")
+        .agg(
+            F.sum(F.abs(F.col("rank") - F.col("prev_rank")))
+            .cast("bigint")
+            .alias("residual_units")
+        )
+    )
+    return ranks.crossJoin(F.broadcast(res)).select(
+        "node",
+        F.col("rank").alias("rank_units"),
+        seed_col.alias("is_seed"),
+        "residual_units",
+    )

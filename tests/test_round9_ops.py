@@ -478,3 +478,65 @@ def test_theil_sen_matches_python_median_of_slopes(spark, sf_dir):
     got = r[0]
     assert got["n_pairs"] == n
     assert Fraction(got["slope_num"], got["slope_den"]) == med[0]
+
+
+# --- graph_ppr -----------------------------------------------------------------
+
+
+def test_ppr_matches_python_power_iteration(spark, sf_dir):
+    """Integer power iteration replayed in plain Python over the
+    nation trade graph built with dict joins (not SQL)."""
+    from metadata_extractors_api_spark.operators.pipeline import (
+        PPR_SEEDS,
+        PR_BASE,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    o2c = dict(zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()))
+    c2n = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    s2n = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()))
+    edges = {
+        (c2n[o2c[ok]], s2n[sk])
+        for ok, sk in zip(
+            li["l_orderkey"].to_pylist(), li["l_suppkey"].to_pylist()
+        )
+    }
+    nodes = sorted(nation["n_nationkey"].to_pylist())
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    seeds = set(PPR_SEEDS)
+    rank = {n: (PR_SCALE if n in seeds else 0) for n in nodes}
+    prev = dict(rank)
+    for _ in range(PR_ITERS):
+        contrib = {n: 0 for n in nodes}
+        for s, t in edges:
+            contrib[t] += (85 * (rank[s] // deg[s])) // 100
+        prev = dict(rank)
+        rank = {
+            n: (PR_BASE if n in seeds else 0) + contrib[n] for n in nodes
+        }
+    residual = sum(abs(rank[n] - prev[n]) for n in nodes)
+
+    rows = mdx.QUERIES["graph_ppr"](spark, sf_dir).collect()
+    got = {r["node"]: (r["rank_units"], r["is_seed"], r["residual_units"]) for r in rows}
+    want = {n: (rank[n], n in seeds, residual) for n in nodes}
+    assert got == want
+    # personalization sanity: total mass concentrates on/near seeds —
+    # every seed outranks the global minimum
+    mn = min(rank.values())
+    assert all(rank[s] > mn for s in seeds if s in rank)
