@@ -193,6 +193,7 @@ HEADLINE = [
     "trend_theil_sen",
     "stream_ohlc_bars",
     "graph_ppr",
+    "dedup_semantic_apply",
 ]
 
 RUNS = 5

@@ -1882,3 +1882,57 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed_col.alias("is_seed"),
         "residual_units",
     )
+
+
+@register(
+    "dedup_semantic_apply",
+    oracle=f"""
+    WITH sem AS ({_semdedup_oracle().strip()})
+    SELECT CAST(s.cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN s.action = 'keep' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN s.action = 'prune' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned,
+           CAST(SUM(CASE WHEN s.action = 'quarantine' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quarantined,
+           CAST(SUM(CASE WHEN s.action = 'keep' THEN e.label ELSE 0 END)
+                AS BIGINT) AS kept_label_mass
+    FROM sem s JOIN embeddings e ON e.vec_id = s.vec_id
+    GROUP BY 1
+    """,
+)
+def dedup_semantic_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup family's APPLY step (mirror of dedup_apply
+    for the minhash family): per-cluster before/after census of the
+    SemDeDup prune — members, kept, pruned, quarantined — plus a
+    content witness over the SURVIVING set (the label mass of kept
+    vectors, joined back against the source relation), the audit row a
+    production semantic-prune run ships with. Detect (the pairwise
+    phase) and apply (this anti-join-shaped census) stay separate so
+    the expensive phase runs once and many consumers apply its
+    verdicts.
+
+    Scale shape: dedup_semantic_cluster's bounded plan plus one
+    map-side-combinable rollup on the cluster key and one hash join
+    back to the source on vec_id."""
+    sem = dedup_semantic_cluster(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings", parallelize=True).select(
+        "vec_id", "label"
+    )
+    j = sem.join(e, "vec_id")
+    return j.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("action") == "keep", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("action") == "prune", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pruned"),
+        F.sum(F.when(F.col("action") == "quarantine", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_quarantined"),
+        F.sum(F.when(F.col("action") == "keep", F.col("label")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_label_mass"),
+    )

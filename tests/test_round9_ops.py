@@ -540,3 +540,41 @@ def test_ppr_matches_python_power_iteration(spark, sf_dir):
     # every seed outranks the global minimum
     mn = min(rank.values())
     assert all(rank[s] > mn for s in seeds if s in rank)
+
+
+def test_semantic_apply_census_consistent_with_cluster_verdicts(spark, sf_dir):
+    """The apply census re-derived from the detect operator's own rows
+    (collected independently), plus invariants: kept+pruned+quarantined
+    == members, and at least one cluster actually pruned something."""
+    det = mdx.QUERIES["dedup_semantic_cluster"](spark, sf_dir).collect()
+    embs_lab = {
+        int(i): int(l)
+        for i, l in zip(
+            pq.read_table(f"{sf_dir}/embeddings.parquet")["vec_id"].to_pylist(),
+            pq.read_table(f"{sf_dir}/embeddings.parquet")["label"].to_pylist(),
+        )
+    }
+    want = {}
+    for r in det:
+        c = want.setdefault(r["cluster"], [0, 0, 0, 0, 0])
+        c[0] += 1
+        if r["action"] == "keep":
+            c[1] += 1
+            c[4] += embs_lab[r["vec_id"]]
+        elif r["action"] == "prune":
+            c[2] += 1
+        else:
+            c[3] += 1
+    got = {
+        r["cluster"]: [
+            r["n_members"],
+            r["n_kept"],
+            r["n_pruned"],
+            r["n_quarantined"],
+            r["kept_label_mass"],
+        ]
+        for r in mdx.QUERIES["dedup_semantic_apply"](spark, sf_dir).collect()
+    }
+    assert got == want
+    assert all(v[1] + v[2] + v[3] == v[0] for v in got.values())
+    assert any(v[2] > 0 for v in got.values()), "prune phase was vacuous"

@@ -203,6 +203,7 @@ HEADLINE = [
     "trend_theil_sen",
     "stream_ohlc_bars",
     "graph_ppr",
+    "dedup_semantic_apply",
 ]
 
 INTERESTING = re.compile(

@@ -77,6 +77,21 @@ def build_sf1(spark, src: str, dst: str) -> None:
     tiled("lineitem", ["l_orderkey", "l_suppkey", "l_partkey"])
     tiled("events", ["event_id", "user_id"])
     tiled("documents", ["doc_id"], textmap=True)
+    # embeddings tile with duplicated vectors across copies: the
+    # semantic-dedup decade then exercises the SEM_CLUSTER_CAP
+    # quarantine contract (K fixed while N grows 10x — every cluster
+    # exceeds the cap, by design; SemDeDup's prescription is to scale
+    # K with N, which restores the pairwise phase)
+    tiled("embeddings", ["vec_id"])
+    # entity dims scale with SF; nation is the fixed 25-row dimension
+    tiled("customer", ["c_custkey"])
+    tiled("supplier", ["s_suppkey"])
+    for fixed in ("nation", "region"):
+        out_path = f"{dst}/{fixed}.parquet"
+        if not os.path.exists(out_path):
+            spark.read.parquet(f"{src}/{fixed}.parquet").write.mode(
+                "overwrite"
+            ).parquet(out_path)
 
 
 def main() -> int:
