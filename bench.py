@@ -194,6 +194,8 @@ HEADLINE = [
     "stream_ohlc_bars",
     "graph_ppr",
     "dedup_semantic_apply",
+    "orders_supplier_hhi",
+    "scan_fixed_width",
 ]
 
 RUNS = 5

@@ -690,3 +690,41 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "scan_fixed_width",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (mainframe/COBOL copybook) text format, write AND
+    parse: the nation dim rendered as 31-byte fixed-offset records
+    (key 4 | name 25 | region 2), written through the
+    text sink, read back as raw lines, and parsed by SUBSTRING offsets
+    into typed columns — the connector Spark lacks natively and every
+    bank/telecom ingest still needs. The oracle recomputes the
+    render+parse identity over the source relation, so an off-by-one
+    offset, a lost trailing-space rtrim, or a cast slip hash-fails.
+
+    Scale shape: render is one codegen map pass; parse is
+    substring+cast in whole-stage codegen over the text scan —
+    per-line work, embarrassingly parallel, no shuffle until a
+    consumer aggregates. At 100 TB this is exactly how a fixed-width
+    feed lands: text source, offset projection at the scan, types at
+    the boundary (the scan_registry_json declared-cast discipline)."""
+    n = load(spark, sf_dir, "nation")
+    line = F.concat(
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0"),
+        F.rpad(F.col("n_name"), 25, " "),
+        F.lpad(F.col("n_regionkey").cast("string"), 2, "0"),
+    )
+    out = tempfile.mkdtemp(prefix="mdx_fixedwidth_") + "/nation_fw"
+    n.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    return raw.select(
+        F.substring("value", 1, 4).cast("int").alias("n_nationkey"),
+        F.rtrim(F.substring("value", 5, 25)).alias("n_name"),
+        F.substring("value", 30, 2).cast("int").alias("n_regionkey"),
+    )

@@ -1880,3 +1880,70 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ltv_per_cust_cents"),
     )
+
+
+@register(
+    "orders_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey AS supp,
+             CAST(SUM(CAST(round(l.l_extendedprice) AS BIGINT)) AS BIGINT)
+                 AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT nation, CAST(SUM(r) AS BIGINT) AS t,
+             CAST(SUM(r * r) AS BIGINT) AS sum_sq,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             CAST(MAX(r) AS BIGINT) AS top_r
+      FROM rev GROUP BY 1)
+    SELECT n.n_name AS nation_name,
+           n_suppliers,
+           ROUND(sum_sq * 1.0 / (t * 1.0 * t), 6) AS hhi,
+           ROUND(top_r * 1.0 / t, 6) AS top_share
+    FROM tot JOIN nation n ON n.n_nationkey = tot.nation
+    """,
+)
+def orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue per
+    nation (plus the single-supplier top share): the antitrust /
+    supply-risk lens the inequality family lacked — Gini and Theil
+    measure dispersion, HHI measures CONCENTRATION (sum of squared
+    market shares; 1/n at perfect competition, 1.0 at monopoly).
+
+    Exactness: revenue in whole-dollar integers, sum-of-squares and
+    totals as exact int64 aggregates (whole dollars keep r^2 sums
+    under int64 through sf1; the cents-precision variant would
+    down-scale first), HHI as ONE IEEE division of exact integers —
+    the lift/confidence discipline. Scale shape: two
+    map-side-combinable aggregations (supplier grain, then nation
+    grain) and a broadcast join to the 25-row nation dim."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), F.col("l_suppkey"))
+        .agg(
+            F.sum(F.round("l_extendedprice").cast("bigint"))
+            .cast("bigint")
+            .alias("r")
+        )
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("r").cast("bigint").alias("t"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sum_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.max("r").cast("bigint").alias("top_r"),
+    )
+    return tot.join(
+        F.broadcast(nation), tot.nation == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation_name"),
+        "n_suppliers",
+        F.round(
+            F.col("sum_sq") * F.lit(1.0) / (F.col("t") * F.lit(1.0) * F.col("t")),
+            6,
+        ).alias("hhi"),
+        F.round(F.col("top_r") * F.lit(1.0) / F.col("t"), 6).alias("top_share"),
+    )

@@ -578,3 +578,59 @@ def test_semantic_apply_census_consistent_with_cluster_verdicts(spark, sf_dir):
     assert got == want
     assert all(v[1] + v[2] + v[3] == v[0] for v in got.values())
     assert any(v[2] > 0 for v in got.values()), "prune phase was vacuous"
+
+
+# --- orders_supplier_hhi / scan_fixed_width -------------------------------------
+
+
+def test_hhi_matches_python_shares(spark, sf_dir):
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_extendedprice"]
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    s2n = dict(zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist()))
+    names = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    rev = {}
+    for sk, p in zip(li["l_suppkey"].to_pylist(), li["l_extendedprice"].to_pylist()):
+        key = (s2n[sk], sk)
+        # mirror the operator's whole-dollar HALF_UP rounding (python's
+        # round() is banker's — floor(x+0.5) matches Spark/DuckDB here)
+        rev[key] = rev.get(key, 0) + math.floor(float(p) + 0.5)
+    by_nation = {}
+    for (n, _s), r in rev.items():
+        e = by_nation.setdefault(n, [0, 0, 0, 0])  # t, sum_sq, n, top
+        e[0] += r
+        e[1] += r * r
+        e[2] += 1
+        e[3] = max(e[3], r)
+    want = {
+        names[n]: (e[2], round(e[1] / (e[0] * e[0]), 6), round(e[3] / e[0], 6))
+        for n, e in by_nation.items()
+    }
+    got = {
+        r["nation_name"]: (r["n_suppliers"], r["hhi"], r["top_share"])
+        for r in mdx.QUERIES["orders_supplier_hhi"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # sanity: HHI lives in [1/n, 1]
+    for n, h, _ in got.values():
+        assert 1 / n - 1e-9 <= h <= 1.0
+
+
+def test_fixed_width_roundtrip_is_lossless(spark, sf_dir):
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    want = sorted(
+        zip(
+            nat["n_nationkey"].to_pylist(),
+            nat["n_name"].to_pylist(),
+            nat["n_regionkey"].to_pylist(),
+        )
+    )
+    got = sorted(
+        (r["n_nationkey"], r["n_name"], r["n_regionkey"])
+        for r in mdx.QUERIES["scan_fixed_width"](spark, sf_dir).collect()
+    )
+    assert got == want

@@ -204,6 +204,8 @@ HEADLINE = [
     "stream_ohlc_bars",
     "graph_ppr",
     "dedup_semantic_apply",
+    "orders_supplier_hhi",
+    "scan_fixed_width",
 ]
 
 INTERESTING = re.compile(
