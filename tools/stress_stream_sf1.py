@@ -117,6 +117,8 @@ def main() -> int:
         _cms_updates,
         _events_stream_batched,
         _hll_updates,
+        _markov_updates,
+        _ohlc_updates,
         _pattern_funnel_updates,
         _scd2_updates,
     )
@@ -140,6 +142,10 @@ def main() -> int:
         ),
         "stream_scd2_build": (_scd2_updates, "append"),
         "stream_pattern_funnel": (_pattern_funnel_updates, "update"),
+        # round-9 twins: markov state = alphabet^2 per USER; ohlc state
+        # = one fixed row per CALENDAR BAR (grows with neither)
+        "stream_markov_transition": (_markov_updates, "update"),
+        "stream_ohlc_bars": (_ohlc_updates, "update"),
     }
 
     out = {}
@@ -179,6 +185,16 @@ def main() -> int:
             "keyed state must scale with KEYS (10x tiled users), not events",
             k,
         )
+    mk = out["stream_markov_transition"]
+    assert mk["sf0.1"]["state_rows"] == users[args.src], mk
+    assert mk["sf1"]["state_rows"] == 10 * mk["sf0.1"]["state_rows"], (
+        "markov keyed state must scale with USERS (10x), not events",
+        mk,
+    )
+    ohlc = out["stream_ohlc_bars"]
+    # the tiled sf1 keeps the same 30-day window: CALENDAR-keyed state
+    # must be IDENTICAL across the decade — 10x events, zero state growth
+    assert ohlc["sf1"]["state_rows"] == ohlc["sf0.1"]["state_rows"], ohlc
     out["_users"] = {"sf0.1": users[args.src], "sf1": users[args.dest]}
     out["_asserts"] = "all bounded-state contracts held at sf1"
     print(json.dumps(out))
