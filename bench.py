@@ -196,6 +196,7 @@ HEADLINE = [
     "dedup_semantic_apply",
     "orders_supplier_hhi",
     "scan_fixed_width",
+    "multimodal_audio_frames",
 ]
 
 RUNS = 5

@@ -4689,3 +4689,117 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf_e9"),
     )
     return fused.orderBy(F.desc("rrf_e9"), F.asc("doc_id")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# audio plumbing: frame / hop / energy
+# ---------------------------------------------------------------------------
+
+AUDIO_FRAME = 64  # samples per frame
+AUDIO_HOP = 32  # hop size (50% overlap)
+
+
+@register(
+    "multimodal_audio_frames",
+    oracle=f"""
+    WITH pcm AS (
+      SELECT doc_id,
+             list_transform(str_split(text, ''), c -> ord(c) - 64)
+                 AS samples
+      FROM documents),
+    shaped AS (
+      SELECT doc_id, samples,
+             CAST(len(samples) AS BIGINT) AS n_samples,
+             CAST(CASE WHEN len(samples) >= {AUDIO_FRAME}
+                  THEN (len(samples) - {AUDIO_FRAME}) // {AUDIO_HOP} + 1
+                  ELSE 0 END AS BIGINT) AS n_frames
+      FROM pcm),
+    en AS (
+      SELECT doc_id, n_samples, n_frames,
+             list_transform(range(0, CAST(n_frames AS INT)), i ->
+               list_sum(list_transform(
+                 list_slice(samples, i * {AUDIO_HOP} + 1,
+                            i * {AUDIO_HOP} + {AUDIO_FRAME}),
+                 v -> CAST(v AS BIGINT) * v))) AS fe
+      FROM shaped)
+    SELECT doc_id, n_samples, n_frames,
+           CAST(COALESCE(list_sum(fe), 0) AS BIGINT) AS total_energy,
+           CAST(COALESCE(list_max(fe), -1) AS BIGINT) AS max_frame_energy,
+           CAST(COALESCE(list_position(fe, list_max(fe)), 0) AS BIGINT)
+               AS argmax_frame
+    FROM en
+    """,
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio ingestion plumbing — framing, hop, and per-frame energy —
+    over a DETERMINISTIC fake PCM decode (text code points centered at
+    64), the multimodal family's stub discipline: the decode is a
+    stand-in (a real build maps this to soundfile/ffmpeg inside the
+    same mapInPandas slot the image decoder occupies), but the framing
+    arithmetic every audio featurizer needs — windows of AUDIO_FRAME
+    samples at AUDIO_HOP (50% overlap), frame count, per-frame energy,
+    loudest-frame argmax — is real, exact-integer, and oracle-checked
+    per element (one mis-sliced sample boundary fails the hash).
+
+    Scale shape: pure array higher-order functions inside whole-stage
+    codegen — zero shuffles, zero UDFs, embarrassingly parallel; the
+    overlap factor (x2 at 50% hop) is the only data amplification and
+    it is constant. The 1-based argmax is first-max (list_position /
+    array_position agree), a total tiebreak."""
+    d = load(spark, sf_dir, "documents")
+    samples = F.transform(
+        F.split(F.col("text"), ""), lambda c: F.ascii(c) - F.lit(64)
+    )
+    shaped = d.select("doc_id", samples.alias("samples")).select(
+        "doc_id",
+        "samples",
+        F.size("samples").cast("bigint").alias("n_samples"),
+        F.when(
+            F.size("samples") >= AUDIO_FRAME,
+            ((F.size("samples") - AUDIO_FRAME) / AUDIO_HOP).cast("bigint")
+            + 1,
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_frames"),
+    )
+    fe = F.transform(
+        F.sequence(
+            F.lit(0).cast("int"),
+            (F.col("n_frames") - 1).cast("int"),
+        ),
+        lambda i: F.aggregate(
+            F.slice(
+                F.col("samples"),
+                i * AUDIO_HOP + 1,
+                F.lit(AUDIO_FRAME),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v.cast("bigint") * v.cast("bigint"),
+        ),
+    )
+    en = shaped.select(
+        "doc_id",
+        "n_samples",
+        "n_frames",
+        F.when(F.col("n_frames") > 0, fe)
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("fe"),
+    )
+    total = F.aggregate(
+        F.col("fe"), F.lit(0).cast("bigint"), lambda a, v: a + v
+    )
+    return en.select(
+        "doc_id",
+        "n_samples",
+        "n_frames",
+        F.coalesce(total, F.lit(0)).cast("bigint").alias("total_energy"),
+        F.coalesce(F.array_max("fe"), F.lit(-1))
+        .cast("bigint")
+        .alias("max_frame_energy"),
+        F.coalesce(
+            F.array_position(F.col("fe"), F.array_max("fe")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("argmax_frame"),
+    )

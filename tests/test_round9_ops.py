@@ -634,3 +634,42 @@ def test_fixed_width_roundtrip_is_lossless(spark, sf_dir):
         for r in mdx.QUERIES["scan_fixed_width"](spark, sf_dir).collect()
     )
     assert got == want
+
+
+# --- multimodal_audio_frames ----------------------------------------------------
+
+
+def test_audio_frames_match_python_framing(spark, sf_dir):
+    from metadata_extractors_api_spark.operators.llm import (
+        AUDIO_FRAME,
+        AUDIO_HOP,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        samples = [ord(c) - 64 for c in text]
+        n = len(samples)
+        nf = (n - AUDIO_FRAME) // AUDIO_HOP + 1 if n >= AUDIO_FRAME else 0
+        fe = [
+            sum(v * v for v in samples[i * AUDIO_HOP : i * AUDIO_HOP + AUDIO_FRAME])
+            for i in range(nf)
+        ]
+        want[d] = (
+            n,
+            nf,
+            sum(fe),
+            max(fe) if fe else -1,
+            fe.index(max(fe)) + 1 if fe else 0,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_samples"],
+            r["n_frames"],
+            r["total_energy"],
+            r["max_frame_energy"],
+            r["argmax_frame"],
+        )
+        for r in mdx.QUERIES["multimodal_audio_frames"](spark, sf_dir).collect()
+    }
+    assert got == want

@@ -206,6 +206,7 @@ HEADLINE = [
     "dedup_semantic_apply",
     "orders_supplier_hhi",
     "scan_fixed_width",
+    "multimodal_audio_frames",
 ]
 
 INTERESTING = re.compile(
