@@ -4531,11 +4531,16 @@ def _rrf_lex_units_sql() -> str:
     denominator df0*df1*df2: sum_i tf_i * N * prod_{j != i} df_j.
     Ordering by this integer equals ordering by the rational
     sum_i tf_i * N / df_i (tf·N/df per text_tfidf_topk), bit-exact in
-    both engines."""
+    both engines.  Each df is guarded with GREATEST(df, 1): a zero df
+    would otherwise multiply every OTHER term's contribution to zero,
+    and the guard is exact because df_i = 0 implies tf_i = 0 in every
+    document (the term contributes nothing either way)."""
     terms = list(RRF_TERMS)
     parts = []
     for i in range(len(terms)):
-        others = " * ".join(f"df{j}" for j in range(len(terms)) if j != i)
+        others = " * ".join(
+            f"GREATEST(df{j}, 1)" for j in range(len(terms)) if j != i
+        )
         parts.append(f"tf{i} * n_docs * {others}")
     return " + ".join(parts)
 
@@ -4632,7 +4637,9 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         others = F.lit(1)
         for j in range(len(RRF_TERMS)):
             if j != i:
-                others = others * F.col(f"df{j}")
+                # GREATEST(df, 1): see _rrf_lex_units_sql — exact guard
+                # against a zero df zeroing the other terms' scores.
+                others = others * F.greatest(F.col(f"df{j}"), F.lit(1))
         contrib = F.col(f"tf{i}") * F.col("n_docs") * others
         lex_units = contrib if lex_units is None else lex_units + contrib
     lex_top = (

@@ -475,6 +475,7 @@ def zorder_cluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session-scoped memo of the partitioned fact layout for the DPP demo
 # (the write is setup, not the measured operation).
 _DPP_DIR_MEMO: dict[tuple[int, str], str] = {}
+_FIXEDWIDTH_MEMO: dict[tuple[int, str], str] = {}
 
 
 @register(
@@ -720,8 +721,17 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rpad(F.col("n_name"), 25, " "),
         F.lpad(F.col("n_regionkey").cast("string"), 2, "0"),
     )
-    out = tempfile.mkdtemp(prefix="mdx_fixedwidth_") + "/nation_fw"
-    n.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(out)
+    # Memoized per (session, sf_dir) like _EVSPLIT_MEMO: repeated
+    # sweep/bench invocations reuse one rendered directory instead of
+    # leaking a fresh mkdtemp per call.
+    memo_key = (id(spark), os.path.abspath(sf_dir))
+    out = _FIXEDWIDTH_MEMO.get(memo_key)
+    if out is None or not os.path.isdir(out):
+        out = tempfile.mkdtemp(prefix="mdx_fixedwidth_") + "/nation_fw"
+        n.select(line.alias("value")).coalesce(1).write.mode(
+            "overwrite"
+        ).text(out)
+        _FIXEDWIDTH_MEMO[memo_key] = out
     raw = spark.read.text(out)
     return raw.select(
         F.substring("value", 1, 4).cast("int").alias("n_nationkey"),

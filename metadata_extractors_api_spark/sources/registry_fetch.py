@@ -108,7 +108,14 @@ def fetch_registry_snapshot(
                     f"{entry_url!r}.\nFull error: {e}"
                 )
             ex_rows[name] = json.dumps(entry["data"], sort_keys=True)
-    staging = tempfile.mkdtemp(prefix="mdx_regsnap_")
+    # Stage NEXT TO the destination so the final os.rename is a
+    # same-filesystem atomic replace (mkdtemp in the system TMPDIR would
+    # EXDEV whenever /tmp is tmpfs and out_dir lives on a data volume).
+    out_dir = os.path.abspath(out_dir)
+    parent = os.path.dirname(out_dir) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="mdx_regsnap_", dir=parent)
+    old_aside = None
     try:
         os.makedirs(os.path.join(staging, "filetypes"))
         os.makedirs(os.path.join(staging, "extractors"))
@@ -120,12 +127,24 @@ def fetch_registry_snapshot(
             os.path.join(staging, "extractors", "part.jsonl"), "w"
         ) as f:
             f.write("\n".join(ex_rows.values()) + "\n")
+        # Atomic replace: move the old snapshot aside (same-fs rename),
+        # rename the new one in, only then delete the old.  A crash in
+        # any window leaves either the old or the new snapshot intact.
         if os.path.exists(out_dir):
-            shutil.rmtree(out_dir)
+            old_aside = tempfile.mkdtemp(prefix="mdx_regsnap_old_", dir=parent)
+            os.rmdir(old_aside)
+            os.rename(out_dir, old_aside)
         os.rename(staging, out_dir)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
+        if old_aside is not None and os.path.exists(old_aside):
+            if not os.path.exists(out_dir):
+                os.rename(old_aside, out_dir)
+            else:
+                shutil.rmtree(old_aside, ignore_errors=True)
         raise
+    if old_aside is not None:
+        shutil.rmtree(old_aside, ignore_errors=True)
     return out_dir
 
 

@@ -1364,24 +1364,32 @@ def _markov_updates(ev: DataFrame) -> DataFrame:
         "event_type",
     )
 
+    import json as _json
+
     def update(key, pdfs, state):
+        # State encodes the transition counts as a JSON array of
+        # [src, dst, cnt] triples: JSON escaping makes arbitrary
+        # event_type values (containing '|', '>', ':', quotes, ...)
+        # round-trip exactly — no delimiter-collision corruption.
         n, last, cstr = state.get if state.exists else (0, None, "")
         counts = {}
         if cstr:
-            for ent in cstr.split("|"):
-                k, v = ent.rsplit(":", 1)
-                counts[k] = int(v)
+            for src, dst, cnt in _json.loads(cstr):
+                counts[(src, dst)] = int(cnt)
         rows = []
         for pdf in pdfs:
             rows.extend(zip(pdf["ts_us"], pdf["event_id"], pdf["event_type"]))
         rows.sort(key=lambda r: (r[0], r[1]))
         for _, _, et in rows:
             if last is not None:
-                k = f"{last}>{et}"
+                k = (last, et)
                 counts[k] = counts.get(k, 0) + 1
             last = et
         n += len(rows)
-        cstr = "|".join(f"{k}:{v}" for k, v in sorted(counts.items()))
+        cstr = _json.dumps(
+            [[s, d, c] for (s, d), c in sorted(counts.items())],
+            sort_keys=True,
+        )
         state.update((n, last, cstr))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "cstr": [cstr]}
@@ -1401,16 +1409,25 @@ def _markov_serve(updates: DataFrame) -> DataFrame:
     state (max n_events — monotone), parse the count string, aggregate
     the global transition matrix, row-normalize."""
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    ent_re = r"^(.*)>([^>:]*):(\d+)$"
     final = (
         updates.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("cstr") != ""))
-        .select(F.explode(F.split("cstr", "\\|")).alias("ent"))
+        .filter((F.col("rn") == 1) & (F.col("cstr") != "[]"))
         .select(
-            F.regexp_extract("ent", ent_re, 1).alias("src"),
-            F.regexp_extract("ent", ent_re, 2).alias("dst"),
-            F.regexp_extract("ent", ent_re, 3).cast("bigint").alias("cnt"),
+            F.explode(
+                F.from_json("cstr", "array<array<string>>")
+            ).alias("ent")
         )
+        .select(
+            F.col("ent")[0].alias("src"),
+            F.col("ent")[1].alias("dst"),
+            F.col("ent")[2].cast("bigint").alias("cnt"),
+        )
+    )
+    # Typed-decode guard: a state row the JSON decode could not parse
+    # would surface as NULL cnt — fail loudly instead of dropping it.
+    final = final.withColumn(
+        "cnt",
+        F.when(F.col("cnt").isNull(), F.raise_error(F.lit("corrupt markov state entry"))).otherwise(F.col("cnt")),
     )
     counts = final.groupBy("src", "dst").agg(
         F.sum("cnt").cast("bigint").alias("n")
@@ -1431,7 +1448,8 @@ def _markov_serve(updates: DataFrame) -> DataFrame:
       SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
              ts, event_id,
              CAST(floor(value * 1000000) AS BIGINT) AS v_e6
-      FROM events),
+      FROM events
+      WHERE value IS NOT NULL),
     seq AS (
       SELECT day, v_e6,
              ROW_NUMBER() OVER (PARTITION BY day
@@ -1478,7 +1496,11 @@ def _ohlc_updates(ev: DataFrame) -> DataFrame:
     (ts, event_id) open/close witnesses carried in state."""
     import pandas as pd
 
-    coded = ev.select(
+    # Explicit shared null semantics with the batch oracle (WHERE value
+    # IS NOT NULL there): drop null samples BEFORE the stateful fold —
+    # int(v) in the fold would raise on NaN where SQL aggregates would
+    # silently skip, so both twins filter identically instead.
+    coded = ev.filter(F.col("value").isNotNull()).select(
         F.expr("unix_micros(ts) div 86400000000").cast("bigint").alias("day"),
         F.unix_micros("ts").alias("ts_us"),
         "event_id",
