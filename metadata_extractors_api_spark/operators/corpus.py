@@ -2930,6 +2930,17 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: count (sum of deg^2, the link-prediction candidate space) near 4M.
 LP_MIN_QTY = 48
 LP_TOP = 20
+#: Degree gate for the wedge join's CENTER role: a node with more than
+#: this many neighbors would contribute O(deg^2) wedge pairs on one
+#: join key (the hub hazard), so hot centers are excluded from wedge
+#: generation and come back as deterministic quarantine rows
+#: (s2 = cn = deg_b = jaccard_e6 = -1) — the dedup_cluster_medoid /
+#: SEM_CLUSTER_CAP census+cap discipline. Fixture max degree is 106 at
+#: sf0.1 (9 / 63 below), so the cap is inert through the bench SFs and
+#: the sf1 decade (per-copy keys keep degrees unchanged); a hot hub
+#: caps its center pair count at ~LP_CENTER_CAP^2/2 ≈ 131k instead of
+#: unbounded.
+LP_CENTER_CAP = 512
 #: BFS horizon (unrolled rounds) and landmark seed set.
 BFS_ROUNDS = 4
 BFS_LANDMARKS = (1, 2, 3)
@@ -2952,22 +2963,33 @@ _LP_EDGES_SQL = f"""
     WITH {_LP_EDGES_SQL},
     deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
             FROM und GROUP BY 1),
+    und_ok AS (
+      SELECT u.src, u.dst FROM und u
+      JOIN deg g ON g.node = u.src
+      WHERE g.d <= {LP_CENTER_CAP}),
     wedge AS (
       SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS cn
-      FROM und x JOIN und y ON x.src = y.src AND x.dst < y.dst
+      FROM und_ok x JOIN und_ok y ON x.src = y.src AND x.dst < y.dst
       GROUP BY 1, 2),
     cand AS (
       SELECT w.a, w.b, w.cn FROM wedge w
-      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s1 = w.a AND e.s2 = w.b))
-    SELECT c.a AS s1, c.b AS s2, c.cn,
-           da.d AS deg_a, db.d AS deg_b,
-           CAST(c.cn * 1000000 // (da.d + db.d - c.cn) AS BIGINT)
-               AS jaccard_e6
-    FROM cand c
-    JOIN deg da ON da.node = c.a
-    JOIN deg db ON db.node = c.b
-    ORDER BY c.cn DESC, jaccard_e6 DESC, s1, s2
-    LIMIT {LP_TOP}
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s1 = w.a AND e.s2 = w.b)),
+    top AS (
+      SELECT CAST(c.a AS BIGINT) AS s1, CAST(c.b AS BIGINT) AS s2, c.cn,
+             da.d AS deg_a, db.d AS deg_b,
+             CAST(c.cn * 1000000 // (da.d + db.d - c.cn) AS BIGINT)
+                 AS jaccard_e6
+      FROM cand c
+      JOIN deg da ON da.node = c.a
+      JOIN deg db ON db.node = c.b
+      ORDER BY c.cn DESC, jaccard_e6 DESC, s1, s2
+      LIMIT {LP_TOP})
+    SELECT * FROM top
+    UNION ALL
+    SELECT CAST(node AS BIGINT) AS s1, CAST(-1 AS BIGINT) AS s2,
+           CAST(-1 AS BIGINT) AS cn, d AS deg_a,
+           CAST(-1 AS BIGINT) AS deg_b, CAST(-1 AS BIGINT) AS jaccard_e6
+    FROM deg WHERE d > {LP_CENTER_CAP}
     """,
 )
 def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2981,10 +3003,14 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: candidates come from the WEDGE join (two adjacency
     copies equi-joined on the shared neighbor) — the candidate space is
-    sum(deg^2), bounded by the LP_MIN_QTY degree filter exactly like
-    LPA bounds its rounds, with hub skew falling under the same
-    AQE-skew/cap discipline the LSH bucket family documents; existing
-    edges leave via a left-anti join on the (s1, s2) key; degrees are
+    sum(deg^2), bounded structurally by an explicit census+cap gate:
+    the degree census runs first and nodes with more than
+    LP_CENTER_CAP neighbors are EXCLUDED from the center role (their
+    O(deg^2) pair blow-up never reaches the join) and emitted as
+    deterministic quarantine rows (s2 = cn = -1) appended to the
+    report — the dedup_cluster_medoid / SEM_CLUSTER_CAP discipline, so
+    a hub key can never make one reducer quadratic. Existing edges
+    leave via a left-anti join on the (s1, s2) key; degrees are
     map-side-combinable counts; jaccard_e6 is exact integer division;
     the report is TakeOrdered, never a global sort."""
     ps = (
@@ -3007,9 +3033,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
+    ).localCheckpoint()  # census reused: gate, quarantine, deg_a/deg_b
+    # Census+cap gate: strip hot centers BEFORE wedge generation so no
+    # single join key carries more than LP_CENTER_CAP^2/2 pairs.
+    und_ok = (
+        und.join(deg, und.src == deg.node)
+        .filter(F.col("d") <= LP_CENTER_CAP)
+        .select("src", "dst")
     )
-    x = und.select(F.col("src").alias("c"), F.col("dst").alias("a"))
-    y = und.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+    x = und_ok.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    y = und_ok.select(F.col("src").alias("c"), F.col("dst").alias("b"))
     wedge = (
         x.join(y, "c")
         .filter(F.col("a") < F.col("b"))
@@ -3027,8 +3060,8 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(da, "a")
         .join(db, "b")
         .select(
-            F.col("a").alias("s1"),
-            F.col("b").alias("s2"),
+            F.col("a").cast("bigint").alias("s1"),
+            F.col("b").cast("bigint").alias("s2"),
             "cn",
             "deg_a",
             "deg_b",
@@ -3037,9 +3070,18 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_e6"),
         )
     )
-    return scored.orderBy(
+    top = scored.orderBy(
         F.desc("cn"), F.desc("jaccard_e6"), F.asc("s1"), F.asc("s2")
     ).limit(LP_TOP)
+    quarantine = deg.filter(F.col("d") > LP_CENTER_CAP).select(
+        F.col("node").cast("bigint").alias("s1"),
+        F.lit(-1).cast("bigint").alias("s2"),
+        F.lit(-1).cast("bigint").alias("cn"),
+        F.col("d").alias("deg_a"),
+        F.lit(-1).cast("bigint").alias("deg_b"),
+        F.lit(-1).cast("bigint").alias("jaccard_e6"),
+    )
+    return top.unionAll(quarantine)
 
 
 def _bfs_oracle() -> str:

@@ -224,10 +224,13 @@ def _km_update_cte(name: str, assign: str) -> str:
       GROUP BY 1, 2)"""
 
 
-def _km_chain() -> tuple[str, str, str]:
+def _km_chain(k_sql: str | None = None) -> tuple[str, str, str]:
     """The unrolled training chain shared by every consumer of the
     trained model: returns (CTE list from pts through the final
-    assignment, final-distance CTE name, final-assignment CTE name)."""
+    assignment, final-distance CTE name, final-assignment CTE name).
+    ``k_sql`` overrides the centroid count — a SQL expression (scalar
+    subquery allowed) in place of the fixed KM_K; the SemDeDup chain
+    passes the data-adaptive ceil(N / SEM_TARGET_CLUSTER)."""
     iters = []
     cent = "c0"
     for i in range(1, KM_ITERS + 1):
@@ -243,6 +246,7 @@ def _km_chain() -> tuple[str, str, str]:
         _km_assign_cte(f"a{final}", f"d{final}"),
     ]
     chain = ",\n    ".join(iters)
+    k_expr = str(KM_K) if k_sql is None else k_sql
     prefix = f"""pts AS (
       SELECT vec_id, i AS d,
              CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT) AS xs
@@ -251,7 +255,7 @@ def _km_chain() -> tuple[str, str, str]:
                    unnest(embedding) AS x
             FROM embeddings)),
     c0 AS (SELECT vec_id - 1 AS cluster, d, xs AS c
-           FROM pts WHERE vec_id BETWEEN 1 AND {KM_K}),
+           FROM pts WHERE vec_id BETWEEN 1 AND {k_expr}),
     {chain}"""
     return prefix, f"d{final}", f"a{final}"
 
@@ -313,12 +317,12 @@ def _km_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _km_train(pts: DataFrame, with_prev: bool = False):
-    """KM_ITERS Lloyd rounds from the deterministic init (vec_id 1..K);
+def _km_train(pts: DataFrame, with_prev: bool = False, k: int = KM_K):
+    """KM_ITERS Lloyd rounds from the deterministic init (vec_id 1..k);
     returns the trained centroid table (cluster, d, c), or the pair
     (cent, prev_cent) when ``with_prev`` — the penultimate iterate
     feeds kmeans_train's convergence witness."""
-    cent = pts.filter(F.col("vec_id").between(1, KM_K)).select(
+    cent = pts.filter(F.col("vec_id").between(1, k)).select(
         (F.col("vec_id") - 1).alias("cluster"), "d", F.col("xs").alias("c")
     )
     prev = cent
@@ -1516,15 +1520,37 @@ SEM_T = 0.35
 #: Cluster-size gate for the within-cluster all-pairs phase: clusters
 #: larger than this are QUARANTINED (action='quarantine', counts = -1)
 #: instead of paying O(C^2) on one cluster key. SemDeDup's own scale
-#: contract is that K grows with N so cluster size stays bounded; the
-#: fixture trains K=4, so the cap is the explicit guard for running the
-#: fixture geometry beyond bench SFs (inert through sf0.1; trips before
-#: any cluster's pair count exceeds ~0.7M).
+#: contract is that K grows with N so cluster size stays bounded —
+#: enforced here by the DATA-ADAPTIVE K below (mean cluster size stays
+#: ~SEM_TARGET_CLUSTER at every N); the cap is the residual guard for
+#: a degenerate embedding collapse piling one cluster far above the
+#: mean (trips before any cluster's pair count exceeds ~0.7M).
 SEM_CLUSTER_CAP = 1200
+#: Target mean cluster population: the SemDeDup K is derived from the
+#: corpus census as K = ceil(N / SEM_TARGET_CLUSTER), so K grows with
+#: N (the paper's contract) instead of inheriting kmeans_train's fixed
+#: KM_K. At the fixtures: N=500 -> K=4 (same geometry kmeans_train
+#: trains), N=2000 (sf0.1) -> K=14, N=20000 (the sf1 decade) -> K=134
+#: — the pairwise phase stays executed, not quarantined, as data grows.
+SEM_TARGET_CLUSTER = 150
+
+#: SQL form of the adaptive K (exact integer ceil-division), usable as
+#: a scalar subquery inside the unrolled training chain.
+_SEM_K_SQL = (
+    f"(SELECT (COUNT(*) + {SEM_TARGET_CLUSTER} - 1) // {SEM_TARGET_CLUSTER}"
+    " FROM embeddings)"
+)
+
+
+def _sem_k(spark: SparkSession, sf_dir: str) -> int:
+    """Data-adaptive SemDeDup K = ceil(N / SEM_TARGET_CLUSTER) from a
+    one-row corpus census (parquet-metadata count — no scan)."""
+    n = load(spark, sf_dir, "embeddings", parallelize=True).count()
+    return (n + SEM_TARGET_CLUSTER - 1) // SEM_TARGET_CLUSTER
 
 
 def _semdedup_oracle() -> str:
-    chain, _dist, assign = _km_chain()
+    chain, _dist, assign = _km_chain(k_sql=_SEM_K_SQL)
     return f"""
     WITH {chain},
     sizes AS (
@@ -1578,14 +1604,19 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: assignment is the broadcast-centroid join kmeans_train
     already proved; the pair space is an equi-join on the CLUSTER key
     (never data x data), and SemDeDup's own contract — K scales with N
-    so cluster populations stay bounded — is enforced rather than
-    assumed by SEM_CLUSTER_CAP: over-cap clusters come back as
-    deterministic 'quarantine' rows (the dedup_cluster_medoid /
-    dedup_minhash_bucket_stats cap discipline), so a degenerate
-    embedding collapse can never make one reducer quadratic. Exact
+    so cluster populations stay bounded — is ENFORCED structurally:
+    K = ceil(N / SEM_TARGET_CLUSTER) from a one-row corpus census (the
+    same expression a scalar subquery computes in the oracle), so the
+    mean cluster stays ~SEM_TARGET_CLUSTER members at any N and the
+    pairwise phase keeps executing as data grows 10x/100x.
+    SEM_CLUSTER_CAP remains the residual guard for a degenerate
+    embedding collapse piling one cluster far above the mean: over-cap
+    clusters come back as deterministic 'quarantine' rows (the
+    dedup_cluster_medoid / dedup_minhash_bucket_stats cap discipline),
+    so a pathological key can never make one reducer quadratic. Exact
     scaled-int dots as everywhere (no float-order hazard)."""
     pts = _km_pts(spark, sf_dir)
-    cent = _km_train(pts)
+    cent = _km_train(pts, k=_sem_k(spark, sf_dir))
     assign = _km_assign(pts, cent).select("vec_id", "cluster")
     sizes = assign.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")

@@ -99,24 +99,27 @@ def test_semantic_cluster_prune_matches_numpy_lloyd(spark, sf_dir):
     the SemDeDup min-id prune replayed brute-force within clusters."""
     from metadata_extractors_api_spark.operators.pipeline import (
         KM_ITERS,
-        KM_K,
         KM_SCALE,
         SEM_T,
+        SEM_TARGET_CLUSTER,
     )
 
     embs = _embs(sf_dir)
     ids = sorted(embs)
+    # Data-adaptive SemDeDup K (the paper's K ∝ N contract), computed
+    # independently from the corpus census.
+    km_k = -(-len(ids) // SEM_TARGET_CLUSTER)
     X = np.array(
         [[math.floor(float(x) * KM_SCALE) for x in embs[i]] for i in ids],
         dtype=object,  # exact ints
     )
-    cent = {c: X[ids.index(c + 1)].copy() for c in range(KM_K)}
+    cent = {c: X[ids.index(c + 1)].copy() for c in range(km_k)}
 
     def assign():
         out = {}
         for r, i in enumerate(ids):
             best = min(
-                range(KM_K),
+                range(km_k),
                 key=lambda c: (int(sum((X[r] - cent[c]) ** 2)), c),
             )
             out[i] = best
@@ -124,7 +127,7 @@ def test_semantic_cluster_prune_matches_numpy_lloyd(spark, sf_dir):
 
     for _ in range(KM_ITERS):
         a = assign()
-        for c in range(KM_K):
+        for c in range(km_k):
             rows = [X[ids.index(i)] for i in ids if a[i] == c]
             if rows:
                 s = np.sum(rows, axis=0)

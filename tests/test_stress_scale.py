@@ -738,3 +738,62 @@ def test_medoid_giant_family_is_quarantined_50k(spark):
     p = rows[200_000]
     assert (p["medoid_doc_id"], p["n_members"], p["sum_dist_e6"],
             p["quarantined"]) == (200_000, 2, 500_000, False)
+
+
+def test_link_prediction_quarantines_hot_hub_part(spark, tmp_path_factory):
+    """Round-9 verdict item 2: graph_link_prediction's wedge join under
+    an adversarial HOT part — one part supplied by 3,000 suppliers (a
+    3,000-clique; every member's degree 2,999 >> LP_CENTER_CAP), among
+    planted 2-part chains. The census+cap gate must (a) keep the
+    O(deg^2) clique centers out of the wedge join, (b) surface every
+    hot node as a deterministic quarantine row, and (c) leave the
+    planted path predictions intact."""
+    import metadata_extractors_api_spark as mdx
+    from metadata_extractors_api_spark.operators.corpus import (
+        LP_CENTER_CAP,
+        LP_TOP,
+    )
+
+    d = str(tmp_path_factory.mktemp("hotpart"))
+    hot = spark.range(3_000).select(
+        F.lit(999_999).cast("long").alias("l_partkey"),
+        (F.col("id") + 1_000_000).alias("l_suppkey"),
+        F.lit(50.0).alias("l_quantity"),
+    )
+    # 500 planted chains: part 2k links suppliers (3k, 3k+1), part 2k+1
+    # links (3k+1, 3k+2) -> prediction (3k, 3k+2) with cn=1 and
+    # jaccard_e6 = 1e6 // (1 + 1 - 1) = 1_000_000.
+    k = spark.range(500)
+    chain = None
+    for part_expr, supp_expr in (
+        (F.col("id") * 2, F.col("id") * 3),
+        (F.col("id") * 2, F.col("id") * 3 + 1),
+        (F.col("id") * 2 + 1, F.col("id") * 3 + 1),
+        (F.col("id") * 2 + 1, F.col("id") * 3 + 2),
+    ):
+        piece = k.select(
+            part_expr.cast("long").alias("l_partkey"),
+            supp_expr.cast("long").alias("l_suppkey"),
+            F.lit(50.0).alias("l_quantity"),
+        )
+        chain = piece if chain is None else chain.unionByName(piece)
+    hot.unionByName(chain).write.parquet(f"{d}/lineitem.parquet")
+
+    rows = mdx.QUERIES["graph_link_prediction"](spark, d).collect()
+    quarantined = [r for r in rows if r["s2"] == -1]
+    predicted = [r for r in rows if r["s2"] != -1]
+    # (b) every clique member is a quarantine row with its true degree
+    assert len(quarantined) == 3_000
+    assert all(r["deg_a"] == 2_999 > LP_CENTER_CAP for r in quarantined)
+    assert all(r["s1"] >= 1_000_000 for r in quarantined)
+    assert all(
+        r["cn"] == -1 and r["deg_b"] == -1 and r["jaccard_e6"] == -1
+        for r in quarantined
+    )
+    # (c) the planted signal survives: top-LP_TOP chain predictions
+    assert len(predicted) == LP_TOP
+    for r in predicted:
+        assert r["s2"] == r["s1"] + 2 and r["s1"] % 3 == 0
+        assert r["cn"] == 1 and r["jaccard_e6"] == 1_000_000
+    # deterministic order tail: lowest s1 chains win the tiebreak
+    assert sorted(r["s1"] for r in predicted) == [3 * i for i in range(LP_TOP)]

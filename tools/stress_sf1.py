@@ -116,6 +116,41 @@ def main() -> int:
         QUERIES[name](spark, sf).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    def check_semantic_decade(sf):
+        """Adaptive-K contract at the decade: K = ceil(N/SEM_TARGET)
+        keeps clusters bounded, so the pairwise phase EXECUTES (not a
+        quarantine census) and no surviving cluster exceeds the cap."""
+        from pyspark.sql import functions as F
+
+        from metadata_extractors_api_spark.operators.pipeline import (
+            SEM_CLUSTER_CAP,
+        )
+
+        r = (
+            QUERIES["dedup_semantic_cluster"](spark, sf)
+            .groupBy("action")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("n_members").alias("max_members"),
+            )
+            .collect()
+        )
+        by = {row["action"]: row for row in r}
+        n_q = by["quarantine"]["n"] if "quarantine" in by else 0
+        n_tot = sum(row["n"] for row in r)
+        assert n_q < n_tot, "decade run degenerated to a quarantine census"
+        max_kept = max(
+            (by[a]["max_members"] for a in ("keep", "prune") if a in by),
+            default=0,
+        )
+        assert max_kept <= SEM_CLUSTER_CAP
+        print(
+            f"semantic decade: quarantine {n_q}/{n_tot} rows, "
+            f"max surviving cluster {max_kept} <= cap {SEM_CLUSTER_CAP}",
+            file=sys.stderr,
+            flush=True,
+        )
+
     out = {}
     for name in names:
         run(name, args.src)
@@ -127,6 +162,8 @@ def main() -> int:
             "sf1_s": round(c, 2),
             "ratio": round(c / a, 2),
         }
+        if name == "dedup_semantic_cluster":
+            check_semantic_decade(args.dest)
         print(name, out[name], file=sys.stderr, flush=True)
     print(json.dumps(out))
     return 0
