@@ -182,6 +182,7 @@ HEADLINE = [
     "tokenizer_viterbi_segment",
     # round-9 wave 2 (this session)
     "sim_hybrid_rrf",
+    "sim_hybrid_rrf_ann",
     "dedup_semantic_cluster",
     "text_phrase_search",
     "graph_link_prediction",
@@ -189,6 +190,7 @@ HEADLINE = [
     "embedding_random_projection",
     "stream_markov_transition",
     "tokenizer_unigram_em_step",
+    "tokenizer_unigram_em_train",
     "timeseries_ohlc_bars",
     "trend_theil_sen",
     "stream_ohlc_bars",
@@ -197,6 +199,7 @@ HEADLINE = [
     "orders_supplier_hhi",
     "scan_fixed_width",
     "multimodal_audio_frames",
+    "multimodal_audio_decode_errors",
 ]
 
 RUNS = 5

@@ -2735,6 +2735,15 @@ def _viterbi_fin_voc(spark: SparkSession, sf_dir: str):
 
     Ground truth: tests/test_round8_ops.py re-derives the DP with a
     plain-Python Viterbi on a hand corpus."""
+    eligible, _chars, voc = _viterbi_base(spark, sf_dir)
+    return _viterbi_dp(eligible, voc), voc
+
+
+def _viterbi_base(spark: SparkSession, sf_dir: str):
+    """Builds the Viterbi inputs once: (eligible word histogram, char
+    alphabet, BPE-mass-weighted vocabulary). Split from the DP so the
+    unigram EM train loop can re-run the DP under re-estimated
+    weights."""
     d = load(spark, sf_dir, "documents", parallelize=True)
     words = (
         d.filter(F.length("text") > 0)
@@ -2785,6 +2794,13 @@ def _viterbi_fin_voc(spark: SparkSession, sf_dir: str):
         .withColumn("slen", F.length("symbol").cast("bigint"))
         .localCheckpoint()
     )
+    return eligible, chars.localCheckpoint(), voc
+
+
+def _viterbi_dp(eligible: DataFrame, voc: DataFrame) -> DataFrame:
+    """The pruned Viterbi DP (one best state per (word, position),
+    VIT_STEPS unrolled rounds) over an arbitrary weighted vocabulary;
+    returns the per-word final states (word, cnt, ..., np, path)."""
     st = eligible.select(
         "word",
         "cnt",
@@ -2831,8 +2847,7 @@ def _viterbi_fin_voc(spark: SparkSession, sf_dir: str):
             .select(*cols)
             .localCheckpoint()
         )
-    fin = st.filter(F.col("pos") == F.length("padded") + 1)
-    return fin, voc
+    return st.filter(F.col("pos") == F.length("padded") + 1)
 
 
 @register("tokenizer_viterbi_segment", oracle=_viterbi_oracle())
@@ -3227,6 +3242,175 @@ def _unigram_em_oracle() -> str:
            ROW_NUMBER() OVER (ORDER BY new_mass DESC, symbol) AS rk
     FROM emt
     """
+
+
+def _vit_dp_sql(pfx: str, voc: str) -> str:
+    """DP chain CTEs (st0 -> stVIT_STEPS -> fin) with prefixed names
+    over an arbitrary weighted-vocab CTE — the second E-step of the
+    unrolled EM train reuses the identical chain under voc1."""
+    ctes = [
+        f"""{pfx}st0 AS MATERIALIZED (
+      SELECT word, cnt, '{BPE_MARKER}' || word AS padded,
+             CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS score,
+             CAST(0 AS BIGINT) AS np, '' AS path
+      FROM w WHERE length(word) <= {WP_MAX_CHARS})"""
+    ]
+    for t in range(1, VIT_STEPS + 1):
+        ctes.append(f"""{pfx}x{t} AS (
+      SELECT s.word, s.cnt, s.padded, s.pos + v.slen AS pos,
+             s.score + v.weight AS score, s.np + 1 AS np,
+             CASE WHEN s.path = '' THEN v.symbol
+                  ELSE s.path || ' ' || v.symbol END AS path
+      FROM (SELECT *, unnest(range(1, least(length(padded) - pos + 1,
+                                            {WP_MAXP}) + 1)) AS plen
+            FROM {pfx}st{t - 1}
+            WHERE pos <= length(padded)) s
+      JOIN {voc} v
+        ON v.slen = s.plen
+       AND v.symbol = substr(s.padded, CAST(s.pos AS INT),
+                             CAST(s.plen AS INT)))""")
+        ctes.append(f"""{pfx}st{t} AS MATERIALIZED (
+      SELECT word, cnt, padded, pos, score, np, path FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY word, pos
+                                     ORDER BY score DESC, np, path) AS rn
+        FROM (SELECT * FROM {pfx}st{t - 1} UNION ALL
+              SELECT * FROM {pfx}x{t}))
+      WHERE rn = 1)""")
+    ctes.append(f"""{pfx}fin AS (
+      SELECT word, cnt, np, path FROM {pfx}st{VIT_STEPS}
+      WHERE pos = length(padded) + 1)""")
+    return ",\n    ".join(ctes)
+
+
+def _em_mstep_sql(r: int, fin: str, prev_voc: str) -> str:
+    """M-step CTEs for EM round r: piece-mass recount from the winning
+    segmentations, the re-estimated vocabulary (unused multi-char
+    pieces DIE, the char alphabet persists as the backstop), and the
+    exact-integer L1 residual vs the previous vocabulary."""
+    return f"""em{r}n AS (
+      SELECT symbol, CAST(SUM(cnt) AS BIGINT) AS w
+      FROM (SELECT unnest(string_split(path, ' ')) AS symbol, cnt
+            FROM {fin} WHERE path <> '')
+      GROUP BY symbol),
+    voc{r} AS MATERIALIZED (
+      SELECT symbol, weight, CAST(length(symbol) AS BIGINT) AS slen FROM (
+        SELECT symbol, w AS weight FROM em{r}n WHERE length(symbol) > 1
+        UNION ALL
+        SELECT c.symbol, COALESCE(n.w, 0) AS weight
+        FROM vchars c LEFT JOIN em{r}n n USING (symbol))),
+    res{r} AS (
+      SELECT CAST(SUM(ABS(COALESCE(n.weight, 0) - COALESCE(o.weight, 0)))
+                  AS BIGINT) AS r
+      FROM (SELECT symbol, weight FROM {prev_voc}) o
+      FULL OUTER JOIN (SELECT symbol, weight FROM voc{r}) n
+        USING (symbol))"""
+
+
+EM_TRAIN_ROUNDS = 2
+
+
+def _unigram_em_train_oracle() -> str:
+    """Generated oracle for the unrolled hard-EM train: the Viterbi
+    chain (E1) through vfin, M-step recount + residual (M1), a second
+    full DP chain under the re-estimated voc1 (E2), second recount +
+    residual (M2), top-EM_TOP final masses with both per-round
+    residual witnesses replicated on every row."""
+    vit = _viterbi_oracle()
+    head = vit[: vit.index("vpaths AS (")]
+    return f"""{head}{_em_mstep_sql(1, "vfin", "vvoc")},
+    {_vit_dp_sql("u", "voc1")},
+    {_em_mstep_sql(2, "ufin", "voc1")},
+    emtop AS (
+      SELECT symbol, weight FROM voc2
+      ORDER BY weight DESC, symbol LIMIT {EM_TOP})
+    SELECT symbol, CAST(weight AS BIGINT) AS mass,
+           CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, symbol)
+                AS BIGINT) AS rk,
+           (SELECT r FROM res1) AS res1_units,
+           (SELECT r FROM res2) AS res2_units
+    FROM emtop
+    """
+
+
+@register("tokenizer_unigram_em_train", oracle=_unigram_em_train_oracle())
+def tokenizer_unigram_em_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNROLLED hard-EM training loop of the unigram tokenizer
+    (SentencePiece's unigram LM, Kudo 2018), completing train→segment
+    for the unigram family the way BPE got train→vocab→encode:
+    EM_TRAIN_ROUNDS alternations of E-step (global-best Viterbi
+    segmentation of the word histogram under the current piece
+    weights — the _viterbi_dp core) and M-step (exact-integer recount
+    of each piece's corpus mass under that segmentation; unused
+    multi-char pieces DIE, the char alphabet persists as the
+    segmentability backstop). Each round emits the L1 piece-mass
+    residual |new - old| summed over the vocabulary union — the
+    kmeans/pagerank convergence-witness discipline: a horizon that
+    silently under-converges shows up as a residual the oracle must
+    reproduce, not as an invisible wrong answer. Report: top-EM_TOP
+    final pieces by mass with both per-round residuals in-band.
+
+    Scale shape: every phase is HISTOGRAM-sized (the Sennrich trainer
+    argument applied to EM) — each E-step is VIT_STEPS pruned
+    relational rounds over (word, position) states, each M-step one
+    explode + map-side-combinable sum, each residual one full-outer
+    join of two vocabulary relations; iteration cost is independent of
+    corpus bytes. The vocabularies are localCheckpointed per round so
+    the second DP never replays the first."""
+    eligible, chars, voc = _viterbi_base(spark, sf_dir)
+    fin = _viterbi_dp(eligible, voc)
+    residuals = []
+    cur = voc
+    for r in range(EM_TRAIN_ROUNDS):
+        seg = fin.filter(F.col("path") != "").select(
+            F.explode(F.split("path", " ")).alias("symbol"), "cnt"
+        )
+        nm = seg.groupBy("symbol").agg(
+            F.sum("cnt").cast("bigint").alias("w")
+        )
+        multi = nm.filter(F.length("symbol") > 1).select(
+            "symbol", F.col("w").cast("bigint").alias("weight")
+        )
+        charw = chars.join(nm, "symbol", "left").select(
+            "symbol",
+            F.coalesce("w", F.lit(0)).cast("bigint").alias("weight"),
+        )
+        new_voc = (
+            multi.unionByName(charw)
+            .withColumn("slen", F.length("symbol").cast("bigint"))
+            .localCheckpoint()
+        )
+        res = (
+            cur.select("symbol", F.col("weight").alias("ow"))
+            .join(
+                new_voc.select("symbol", F.col("weight").alias("nw")),
+                "symbol",
+                "full_outer",
+            )
+            .agg(
+                F.sum(
+                    F.abs(
+                        F.coalesce("nw", F.lit(0))
+                        - F.coalesce("ow", F.lit(0))
+                    )
+                )
+                .cast("bigint")
+                .alias(f"res{r + 1}_units")
+            )
+        )
+        residuals.append(res)
+        cur = new_voc
+        if r < EM_TRAIN_ROUNDS - 1:
+            fin = _viterbi_dp(eligible, cur)
+    top = cur.orderBy(F.desc("weight"), F.asc("symbol")).limit(EM_TOP)
+    w = Window.orderBy(F.desc("weight"), F.asc("symbol"))
+    out = top.select(
+        "symbol",
+        F.col("weight").cast("bigint").alias("mass"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+    for res in residuals:
+        out = out.crossJoin(F.broadcast(res))
+    return out
 
 
 @register("tokenizer_unigram_em_step", oracle=_unigram_em_oracle())

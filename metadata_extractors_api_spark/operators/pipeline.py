@@ -24,9 +24,13 @@ from pyspark.sql import functions as F
 
 from metadata_extractors_api_spark.catalog import load, session_key
 from metadata_extractors_api_spark.operators.llm import (
+    RRF_POOL,
     SCALE,
     _ann_memo,
     _minhash_pairs_ctes,
+    _rrf_fuse,
+    _rrf_lex_ranked,
+    _rrf_oracle,
     _sql_dot,
     cosine_from_scaled,
     dedup_minhash,
@@ -495,18 +499,11 @@ def _ivf_trained_oracle() -> str:
     """
 
 
-@register("sim_ann_ivf_trained", oracle=_ivf_trained_oracle())
-def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN search over a TRAINED inverted file: k-means centroids from
-    the exact-int64 Lloyd loop assign every vector a cluster, the
-    corpus is written partitioned by that cluster id (one-off build,
-    memoized per session), and the query probes its
-    IVF_TRAINED_NPROBE nearest clusters as a partition-pruned scan
-    with exact cosine ranking inside. Train/assign/probe distances are
-    all exact integer arithmetic, so model AND search hash-match the
-    generated oracle end to end. At scale the index build is one
-    training job plus one partitioned write; each query then reads
-    only nprobe/K of the corpus."""
+def _ivf_trained_index(spark: SparkSession, sf_dir: str):
+    """Build-or-reuse the trained IVF index (memoized per session):
+    k-means model -> cluster-partitioned parquet write, plus the
+    query's probed-cluster list and memoized 1-row query vector.
+    Shared by sim_ann_ivf_trained and sim_hybrid_rrf_ann."""
 
     def build() -> dict:
         pts = _km_pts(spark, sf_dir)
@@ -546,6 +543,22 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         (session_key(spark), sf_dir, "ivf_trained_df"),
         lambda: spark.read.parquet(st["path"]),
     )
+    return st, idx_df
+
+
+@register("sim_ann_ivf_trained", oracle=_ivf_trained_oracle())
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search over a TRAINED inverted file: k-means centroids from
+    the exact-int64 Lloyd loop assign every vector a cluster, the
+    corpus is written partitioned by that cluster id (one-off build,
+    memoized per session), and the query probes its
+    IVF_TRAINED_NPROBE nearest clusters as a partition-pruned scan
+    with exact cosine ranking inside. Train/assign/probe distances are
+    all exact integer arithmetic, so model AND search hash-match the
+    generated oracle end to end. At scale the index build is one
+    training job plus one partitioned write; each query then reads
+    only nprobe/K of the corpus."""
+    st, idx_df = _ivf_trained_index(spark, sf_dir)
     qe = F.array(*[F.lit(float(v)) for v in st["emb"]])
     cos = (
         (dot_scaled(F.col("embedding"), qe) / F.lit(SCALE))
@@ -566,6 +579,68 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("cos") * F.lit(1e6)).cast("bigint").alias("score_e6"),
         )
     )
+
+
+def _ivf_rrf_oracle() -> str:
+    """RRF fusion oracle with the IVF-probed dense side: the k-means
+    train chain + probed-cluster selection prefix the shared RRF text,
+    and the dense candidate list carries the cluster-membership join
+    and probe predicate."""
+    chain, dist, assign = _km_chain()
+    prefix = f"""{chain},
+    qsel AS (
+      SELECT cluster FROM (
+        SELECT cluster, row_number() OVER (ORDER BY dist, cluster) AS rn
+        FROM {dist} WHERE vec_id = 0)
+      WHERE rn <= {IVF_TRAINED_NPROBE}),
+    """
+    return _rrf_oracle(
+        prefix=prefix,
+        dense_join=f"JOIN {assign} ivfa ON ivfa.vec_id = en.vec_id",
+        dense_where="WHERE ivfa.cluster IN (SELECT cluster FROM qsel)",
+    )
+
+
+@register("sim_hybrid_rrf_ann", oracle=_ivf_rrf_oracle())
+def sim_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (RRF fusion) with the ANN-backed dense side —
+    the swap sim_hybrid_rrf's docstring promises: the lexical
+    top-RRF_POOL list is identical (shared _rrf_lex_ranked), but the
+    dense list comes from the TRAINED IVF index's partition-pruned
+    probe (sim_ann_ivf_trained's memoized cluster-partitioned parquet,
+    scanned with a static cluster IN-list) instead of a full corpus
+    pass — candidates ranked by the same exact scaled-int cosine, then
+    fused by the same floor(1e9/(60+rank)) integers.
+
+    Scale shape: at 100 TB the dense side reads nprobe/K of the corpus
+    (PartitionFilters-pruned scan, plan-asserted in
+    tests/test_scale_plans.py) while the brute-force twin reads all of
+    it; fusion stays a full-outer join of two RRF_POOL-row relations.
+    The oracle retrains the k-means chain and applies the identical
+    probe predicate, so recall loss from probing is REPRODUCED, not
+    hidden — the two variants' outputs differ exactly where the IVF
+    probe genuinely misses."""
+    lex_ranked = _rrf_lex_ranked(spark, sf_dir)
+    st, idx_df = _ivf_trained_index(spark, sf_dir)
+    qe = F.array(*[F.lit(float(v)) for v in st["emb"]])
+    vec_top = (
+        idx_df.filter(F.col("cluster").isin(st["probe"]))
+        .select(
+            "vec_id",
+            cosine_from_scaled(
+                dot_scaled(F.col("embedding"), qe),
+                dot_scaled(F.col("embedding"), F.col("embedding")),
+                F.lit(st["qn"]),
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(RRF_POOL)
+    )
+    wv = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    vec_ranked = vec_top.withColumn("vec_rank", F.row_number().over(wv)).select(
+        "vec_id", "vec_rank"
+    )
+    return _rrf_fuse(lex_ranked, vec_ranked)
 
 
 # --- integer-scaled PageRank (iterative graph algorithm) -------------------

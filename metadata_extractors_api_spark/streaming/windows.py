@@ -825,40 +825,81 @@ def stream_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Order correctness across batches: the batched source's chunks are
     time-contiguous with pinned mtimes (see _events_stream_batched),
-    so appending each micro-batch's (ts, event_id)-sorted codes to the
-    stored string reproduces the global order; equal-ts ties cannot
-    straddle chunks (chunk predicates cut on ts). State is the code
-    string itself — bounded by per-user history, the same bound the
-    batch twin documents. That makes this the ONE twin whose state
-    bytes grow with events-per-key (measured ~160 B/user at both
-    bench decades, tools/stress_stream_sf1.py); a production stream
-    with unbounded per-user histories would cap or window the code
-    string (keep the last K codes — the funnel regex only needs a
-    bounded suffix once a match is recorded)."""
+    so folding each micro-batch's (ts, event_id)-sorted codes through
+    the stored automaton reproduces the global-order evaluation;
+    equal-ts ties cannot straddle chunks (chunk predicates cut on ts).
+    State is the MATCH-AUTOMATON position, not the code string: the
+    NFA active-state set of the funnel regex packed into one bitmask
+    plus the absorbing matched flag — CONSTANT bytes per key no matter
+    how many events the user produces (the proper CEP discipline; the
+    density decade in tools/stress_stream_sf1.py asserts state bytes
+    stay flat at 10x events over the SAME keys). The serving-time
+    output (user_id, n_events, matched) is unchanged, so the batch
+    oracle — the regex over the full accumulated sequence — still
+    certifies the fold exactly."""
     ev = _events_stream_batched(spark, sf_dir)
     updates = _run_to_table(_pattern_funnel_updates(ev), spark, "update")
     return _pattern_funnel_serve(updates)
 
 
+def _funnel_automaton_step(mask: int, matched: bool, code: str):
+    """One NFA step of the funnel regex s[^pe]*v[^pe]*c[^pe]*p under
+    SEARCH semantics (match anywhere). The active-state set is a
+    3-bit mask — bit 0: matched 's' (inside the first [^pe]* span),
+    bit 1: matched 'v', bit 2: matched 'c' — plus the absorbing
+    ``matched`` flag; the implicit start state is always active (a
+    new attempt can begin at any 's'). Stage bits survive a character
+    only while it stays inside [^pe]*; 'p' from bit 2 completes the
+    funnel. Constant work, constant state."""
+    if matched:
+        return 0, True
+    alive = code != "p" and code != "e"
+    new = 0
+    if code == "s":
+        new |= 1
+    if mask & 1:
+        if code == "v":
+            new |= 2
+        if alive:
+            new |= 1
+    if mask & 2:
+        if code == "c":
+            new |= 4
+        if alive:
+            new |= 2
+    if mask & 4:
+        if code == "p":
+            return 0, True
+        if alive:
+            new |= 4
+    return new, False
+
+
 def _pattern_funnel_updates(ev: DataFrame) -> DataFrame:
     """The stateful half of stream_pattern_funnel: raw event stream in,
-    per-user accumulated (n_events, code-string) update stream out.
-    Factored out so the checkpoint-restart test can drain it in two
-    separately-started queries against one checkpoint."""
+    per-user (n_events, matched) update stream out, state = the packed
+    funnel-automaton position (one bitmask + flag — constant bytes per
+    key, independent of events-per-user). Factored out so the
+    checkpoint-restart test can drain it in two separately-started
+    queries against one checkpoint."""
     import pandas as pd
 
     def update(key, pdfs, state):
-        n, s = state.get if state.exists else (0, "")
+        n, mask, matched = state.get if state.exists else (0, 0, False)
+        mask, matched = int(mask), bool(matched)
         rows = []
         for pdf in pdfs:
             rows.extend(
                 zip(pdf["ts_us"], pdf["event_id"], pdf["code"])
             )
         rows.sort(key=lambda r: (r[0], r[1]))
-        s = s + "".join(r[2] for r in rows)
+        for _, _, code in rows:
+            mask, matched = _funnel_automaton_step(mask, matched, code)
         n += len(rows)
-        state.update((n, s))
-        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "s": [s]})
+        state.update((n, mask, matched))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "matched": [matched]}
+        )
 
     coded = ev.select(
         "user_id",
@@ -868,8 +909,8 @@ def _pattern_funnel_updates(ev: DataFrame) -> DataFrame:
     )
     return coded.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType="user_id bigint, n_events bigint, s string",
-        stateStructType="n bigint, s string",
+        outputStructType="user_id bigint, n_events bigint, matched boolean",
+        stateStructType="n bigint, mask bigint, matched boolean",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
@@ -877,21 +918,14 @@ def _pattern_funnel_updates(ev: DataFrame) -> DataFrame:
 
 def _pattern_funnel_serve(updates: DataFrame) -> DataFrame:
     """Serving side of stream_pattern_funnel: keep each user's final
-    accumulated state (max n_events — the counters are monotone) and
-    evaluate the funnel regex at read time."""
-    from metadata_extractors_api_spark.operators.extended import (
-        FUNNEL_PATTERN,
-    )
-
+    update (max n_events — the counters are monotone); the funnel
+    verdict is already folded into the automaton state, so serving is
+    a projection."""
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         updates.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            "n_events",
-            F.col("s").rlike(FUNNEL_PATTERN).alias("matched"),
-        )
+        .select("user_id", "n_events", "matched")
     )
 
 
@@ -1329,9 +1363,9 @@ def stream_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_markov_transition: the first-order
-    transition matrix maintained INCREMENTALLY in keyed state. Unlike
-    stream_pattern_funnel (whose state is the growing code string),
-    the state here is the per-user (prev, cur) count map plus the last
+    transition matrix maintained INCREMENTALLY in keyed state. Like
+    stream_pattern_funnel's constant automaton position,
+    the state here is bounded: the per-user (prev, cur) count map plus the last
     event type seen — bounded by the TYPE ALPHABET squared per key, so
     state bytes do not grow with events-per-key at all: the strongest
     state bound in the twin family (the last-event carry is also what

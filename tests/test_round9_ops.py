@@ -676,3 +676,328 @@ def test_audio_frames_match_python_framing(spark, sf_dir):
         for r in mdx.QUERIES["multimodal_audio_frames"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+# --- stream_pattern_funnel automaton ------------------------------------------
+
+
+def test_funnel_automaton_equals_regex_exhaustive():
+    """The constant-size funnel automaton vs Python's re engine,
+    exhaustively over every code string of length <= 6 on the event
+    alphabet (19,531 strings) — the independent differential for the
+    round-9 state-bounding rewrite (search semantics, absorbing match,
+    [^pe]* span survival)."""
+    import itertools
+    import re
+
+    from metadata_extractors_api_spark.operators.extended import (
+        FUNNEL_PATTERN,
+    )
+    from metadata_extractors_api_spark.streaming.windows import (
+        _funnel_automaton_step,
+    )
+
+    pat = re.compile(FUNNEL_PATTERN)
+    for n in range(7):
+        for tup in itertools.product("svcpe", repeat=n):
+            mask, matched = 0, False
+            for ch in tup:
+                mask, matched = _funnel_automaton_step(mask, matched, ch)
+            s = "".join(tup)
+            assert matched == bool(pat.search(s)), s
+
+
+# --- decode_wav / multimodal_audio_frames -------------------------------------
+
+
+def test_decode_wav_reads_stdlib_wave_output():
+    """decode_wav vs Python's stdlib `wave` writer — a fully
+    independent RIFF/WAV encoder (not _wav_payload): samples written
+    through wave.open must round-trip bit-exactly, including rate."""
+    import io
+    import wave
+
+    from metadata_extractors_api_spark.operators.llm import decode_wav
+
+    samples = np.array([0, 1, -1, 32767, -32768, 64, -513], dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(samples.tobytes())
+    dec = decode_wav(buf.getvalue())
+    assert dec["rate"] == 44100
+    assert np.array_equal(dec["samples"], samples)
+
+
+def test_decode_wav_failure_classes():
+    import struct
+
+    from metadata_extractors_api_spark.operators.llm import (
+        _wav_payload,
+        decode_wav,
+    )
+
+    good = _wav_payload("hello world tokens")
+    assert len(decode_wav(good)["samples"]) == len("hello world tokens")
+    # wrong container magic
+    try:
+        decode_wav(b"FORM" + good[4:])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert str(e).startswith("unsupported container")
+    # truncated data chunk
+    try:
+        decode_wav(good[:-3])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert str(e).startswith("truncated WAV data")
+    # stereo rejected
+    stereo = (
+        good[:20]
+        + struct.pack("<HH", 1, 2)
+        + good[24:]
+    )
+    try:
+        decode_wav(stereo)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert str(e).startswith("only PCM16 mono")
+
+
+def test_audio_frames_match_naive_python(spark, sf_dir):
+    """Framing/energy replayed with a naive per-frame loop over the
+    raw code points (no prefix sums, no WAV round-trip), vs the
+    registered decode-then-frame query."""
+    from metadata_extractors_api_spark.operators.llm import (
+        AUDIO_FRAME,
+        AUDIO_HOP,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    want = {}
+    for d, text in texts.items():
+        s = [ord(c) - 64 for c in text]
+        fes = []
+        i = 0
+        while i + AUDIO_FRAME <= len(s):
+            fes.append(sum(v * v for v in s[i : i + AUDIO_FRAME]))
+            i += AUDIO_HOP
+        want[d] = (
+            len(s),
+            len(fes),
+            sum(fes),
+            max(fes) if fes else -1,
+            fes.index(max(fes)) + 1 if fes else 0,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_samples"],
+            r["n_frames"],
+            r["total_energy"],
+            r["max_frame_energy"],
+            r["argmax_frame"],
+        )
+        for r in mdx.QUERIES["multimodal_audio_frames"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+# --- sim_hybrid_rrf_ann --------------------------------------------------------
+
+
+def test_rrf_ann_fusion_matches_python_ivf_replay(spark, sf_dir):
+    """The ANN-backed hybrid: numpy exact-int Lloyd (kmeans_train's
+    fixed K), probe the query's IVF_TRAINED_NPROBE nearest clusters,
+    cosine-rank ONLY the probed members, fuse with the same lexical
+    list — all replayed independently in plain Python."""
+    from fractions import Fraction
+
+    from metadata_extractors_api_spark.operators.llm import (
+        RRF_K,
+        RRF_POOL,
+        RRF_TERMS,
+    )
+    from metadata_extractors_api_spark.operators.pipeline import (
+        IVF_TRAINED_NPROBE,
+        KM_ITERS,
+        KM_K,
+        KM_SCALE,
+    )
+
+    docs = _docs(sf_dir)
+    n_docs = len(docs)
+    df = {t: sum(1 for tk in docs.values() if t in tk) for t in RRF_TERMS}
+    lex_scores = {}
+    for d, tk in docs.items():
+        s = sum(
+            Fraction(tk.count(t) * n_docs, df[t]) for t in RRF_TERMS if df[t]
+        )
+        if s > 0:
+            lex_scores[d] = s
+    lex_order = sorted(lex_scores, key=lambda d: (-lex_scores[d], d))[:RRF_POOL]
+    lex_rank = {d: i + 1 for i, d in enumerate(lex_order)}
+
+    embs = _embs(sf_dir)
+    ids = sorted(embs)
+    X = np.array(
+        [[math.floor(float(x) * KM_SCALE) for x in embs[i]] for i in ids],
+        dtype=object,
+    )
+    cent = {c: X[ids.index(c + 1)].copy() for c in range(KM_K)}
+
+    def assign():
+        return {
+            i: min(
+                range(KM_K),
+                key=lambda c: (int(sum((X[r] - cent[c]) ** 2)), c),
+            )
+            for r, i in enumerate(ids)
+        }
+
+    for _ in range(KM_ITERS):
+        a = assign()
+        for c in range(KM_K):
+            rows = [X[ids.index(i)] for i in ids if a[i] == c]
+            if rows:
+                s = np.sum(rows, axis=0)
+                cent[c] = np.array(
+                    [int(v) // len(rows) for v in s], dtype=object
+                )
+    a = assign()
+    # probe: the query vector's nearest IVF_TRAINED_NPROBE clusters
+    q_row = ids.index(0)
+    probe = sorted(
+        range(KM_K),
+        key=lambda c: (int(sum((X[q_row] - cent[c]) ** 2)), c),
+    )[:IVF_TRAINED_NPROBE]
+    q = embs[0]
+    cand = [v for v in ids if a[v] in probe]
+    cos = {v: _cos(embs[v], q) for v in cand}
+    vec_order = sorted(cand, key=lambda v: (-cos[v], v))[:RRF_POOL]
+    vec_rank = {v: i + 1 for i, v in enumerate(vec_order)}
+
+    fused = {}
+    for d, r in lex_rank.items():
+        fused[d] = fused.get(d, 0) + 10**9 // (RRF_K + r)
+    for v, r in vec_rank.items():
+        fused[v] = fused.get(v, 0) + 10**9 // (RRF_K + r)
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = [
+        (r["doc_id"], r["rrf_e9"])
+        for r in mdx.QUERIES["sim_hybrid_rrf_ann"](spark, sf_dir).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+# --- tokenizer_unigram_em_train ------------------------------------------------
+
+
+def test_unigram_em_train_matches_python_loop(spark, tmp_path_factory):
+    """The full unrolled hard-EM loop replayed in plain Python on a
+    hand corpus: BPE-weighted init vocab, EM_TRAIN_ROUNDS alternations
+    of position-DP Viterbi (tuple compare: score desc, fewest pieces,
+    lexicographic) and mass recount (multi-char pieces die when unused,
+    chars persist), with the L1 residual per round."""
+    import collections
+
+    from metadata_extractors_api_spark.operators.corpus import (
+        BPE_MARKER,
+        BPE_TRAIN_ROUNDS,
+        EM_TOP,
+        EM_TRAIN_ROUNDS,
+        WP_MAX_CHARS,
+        WP_MAXP,
+    )
+    from tests.test_round7_ops import _py_bpe_train
+
+    docs = [
+        "ab abc ab abc ab",
+        "abx aby abz abc ab",
+        "ba bab bba ab abc",
+        "ccc ccc ccc c cc",
+        "abcab abcab cabc",
+    ]
+    d = str(tmp_path_factory.mktemp("emcorpus"))
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    wc = collections.Counter(w for t in docs for w in t.split(" ") if w)
+    merges = _py_bpe_train(dict(wc), BPE_TRAIN_ROUNDS)
+    syms = {w: " " + " ".join(list(BPE_MARKER + w)) + " " for w in wc}
+    for _k, a, b, _n in merges:
+        for w in syms:
+            syms[w] = syms[w].replace(f" {a} {b} ", f" {a}{b} ")
+    weight = collections.Counter()
+    for w, s in syms.items():
+        for p in s.split():
+            if len(p) <= WP_MAXP:
+                weight[p] += wc[w]
+    chars = {c for w in wc if len(w) <= WP_MAX_CHARS for c in BPE_MARKER + w}
+    vocab = dict(weight)
+    for c in chars:
+        vocab.setdefault(c, 0)
+
+    def viterbi(word, voc):
+        padded = BPE_MARKER + word
+        best = {1: (0, 0, "")}
+        for pos in range(1, len(padded) + 1):
+            if pos not in best:
+                continue
+            sc, np_, path = best[pos]
+            for ln in range(1, min(WP_MAXP, len(padded) - pos + 1) + 1):
+                piece = padded[pos - 1 : pos - 1 + ln]
+                if piece not in voc:
+                    continue
+                cand = (
+                    sc + voc[piece],
+                    np_ + 1,
+                    piece if not path else f"{path} {piece}",
+                )
+                tgt = pos + ln
+                cur = best.get(tgt)
+                if cur is None or (-cand[0], cand[1], cand[2]) < (
+                    -cur[0],
+                    cur[1],
+                    cur[2],
+                ):
+                    best[tgt] = cand
+        return best[len(padded) + 1]
+
+    residuals = []
+    cur = vocab
+    for _round in range(EM_TRAIN_ROUNDS):
+        counts = collections.Counter()
+        for w, n in wc.items():
+            if len(w) > WP_MAX_CHARS:
+                continue
+            _sc, _np, path = viterbi(w, cur)
+            for p in path.split(" "):
+                if p:
+                    counts[p] += n
+        new = {s: m for s, m in counts.items() if len(s) > 1}
+        for c in chars:
+            new[c] = counts.get(c, 0)
+        residuals.append(
+            sum(
+                abs(new.get(s, 0) - cur.get(s, 0))
+                for s in set(new) | set(cur)
+            )
+        )
+        cur = new
+    ranked = sorted(cur.items(), key=lambda kv: (-kv[1], kv[0]))[:EM_TOP]
+    want = [
+        (s, m, i + 1, residuals[0], residuals[1])
+        for i, (s, m) in enumerate(ranked)
+    ]
+    got = [
+        (r["symbol"], r["mass"], r["rk"], r["res1_units"], r["res2_units"])
+        for r in mdx.QUERIES["tokenizer_unigram_em_train"](spark, d).collect()
+    ]
+    assert sorted(got) == sorted(want)

@@ -75,11 +75,14 @@ def test_ann_probes_are_partition_pruned(spark, sf_dir):
         ("sim_ann_lsh", "bucket"),
         ("sim_ann_ivf", "cluster"),
         ("sim_ann_ivf_trained", "cluster"),
+        ("sim_hybrid_rrf_ann", "cluster"),
     ):
         plan = _plan(mdx.QUERIES[name](spark, sf_dir))
         assert "PartitionFilters" in plan, name
-        tail = plan.split("PartitionFilters")[1][:300]
-        assert part_col in tail, (name, tail)
+        # the hybrid fusion plan carries several scans (documents +
+        # index): the pruned IN-list must appear on at least one
+        tails = [seg[:300] for seg in plan.split("PartitionFilters")[1:]]
+        assert any(part_col in t for t in tails), (name, tails)
 
 
 def test_tpch_q3_q10_plan_shape(spark, sf_dir):
@@ -467,7 +470,9 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "tokenizer_viterbi_segment": {"mass,path"},  # rank over top-20 report
     # ranks over the two LIMIT-RRF_POOL fusion heads (50 rows each)
     "sim_hybrid_rrf": {"doc_id,lex_units", "cosine,vec_id"},
+    "sim_hybrid_rrf_ann": {"doc_id,lex_units", "cosine,vec_id"},
     "tokenizer_unigram_em_step": {"new_mass,symbol"},  # rank over top-30 report
+    "tokenizer_unigram_em_train": {"symbol,weight"},  # rank over top-30 report
     # slope median over the calendar-bounded month-pair domain (~84²/2)
     "trend_theil_sen": {"_w0,m1,m2", "<global-unordered>"},
 }
@@ -615,6 +620,9 @@ _PAIR_JOIN_ALLOWLIST = {
     "sim_topk": {"BroadcastNestedLoopJoin:"},
     # dense side of the fusion: same vec_id=0 broadcast probe as sim_topk
     "sim_hybrid_rrf": {"BroadcastNestedLoopJoin:"},
+    # lexical stats cross-join (1-row df/n_docs broadcast); dense side
+    # is the partition-pruned IVF probe
+    "sim_hybrid_rrf_ann": {"BroadcastNestedLoopJoin:"},
     "sim_topk_batch": {"BroadcastNestedLoopJoin:qid,vec_id"},
     "embedding_matryoshka_audit": {"BroadcastNestedLoopJoin:qid,vec_id"},
     "sim_knn_label_audit": {"BroadcastNestedLoopJoin:qid,vec_id"},

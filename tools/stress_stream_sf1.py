@@ -195,8 +195,55 @@ def main() -> int:
     # the tiled sf1 keeps the same 30-day window: CALENDAR-keyed state
     # must be IDENTICAL across the decade — 10x events, zero state growth
     assert ohlc["sf1"]["state_rows"] == ohlc["sf0.1"]["state_rows"], ohlc
+
+    # --- funnel DENSITY decade: 10x events over the SAME keys ----------
+    # The key-tiled decade above cannot expose per-key payload growth
+    # (10x keys, same events-per-key). This tiling multiplies DENSITY:
+    # every event duplicated 10x (distinct event_id, same user_id/ts),
+    # so events-per-user grows 10x while the key set is unchanged — the
+    # bot-user shape. The automaton state must stay CONSTANT per key:
+    # same state rows, flat state bytes.
+    dens = args.dest.rstrip("/") + "_density"
+    os.makedirs(dens, exist_ok=True)
+    dpath = os.path.join(dens, "events.parquet")
+    if not os.path.exists(dpath):
+        ev = spark.read.parquet(os.path.join(args.src, "events.parquet"))
+        parts = [
+            ev.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+            )
+            for i in range(10)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(32).write.mode("overwrite").parquet(dpath)
+    m_base = out["stream_pattern_funnel"]["sf0.1"]
+    m_dens = drain_measured(
+        spark,
+        _pattern_funnel_updates(_events_stream_batched(spark, dens)),
+        "update",
+    )
+    out["stream_pattern_funnel"]["sf0.1_density10x"] = m_dens
+    print(
+        "stream_pattern_funnel density10x", m_dens, file=sys.stderr, flush=True
+    )
+    assert m_dens["state_rows"] == m_base["state_rows"], (
+        "funnel state rows must track KEYS, which the density decade holds fixed",
+        m_base,
+        m_dens,
+    )
+    # constant bytes-per-key: allow only checkpoint-framing noise
+    assert m_dens["state_bytes"] <= int(m_base["state_bytes"] * 1.25) + 8192, (
+        "funnel per-key state grew with events-per-user",
+        m_base,
+        m_dens,
+    )
+
     out["_users"] = {"sf0.1": users[args.src], "sf1": users[args.dest]}
-    out["_asserts"] = "all bounded-state contracts held at sf1"
+    out["_asserts"] = (
+        "all bounded-state contracts held at sf1 (incl. funnel density decade)"
+    )
     print(json.dumps(out))
     return 0
 
