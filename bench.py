@@ -196,10 +196,13 @@ HEADLINE = [
     "stream_ohlc_bars",
     "graph_ppr",
     "dedup_semantic_apply",
+    "dedup_semantic_recall_audit",
     "orders_supplier_hhi",
     "scan_fixed_width",
     "multimodal_audio_frames",
     "multimodal_audio_decode_errors",
+    "multimodal_audio_silence_split",
+    "multimodal_audio_fingerprint",
 ]
 
 RUNS = 5
@@ -222,12 +225,28 @@ def main() -> None:
     # the core count — per-query medians stay the quotable numbers.
     load1 = os.getloadavg()[0]
     ncpu = os.cpu_count() or 1
-    if load1 > ncpu / 2:
+    contended = load1 > ncpu / 2
+    if contended:
         print(
             f"WARNING: load average {load1:.1f} on {ncpu} cpus at bench "
-            "start; totals will run hot — trust per-query medians only",
+            "start; totals will run hot — trust per-query medians only. "
+            "This run is stamped \"contended\": true and MUST NOT be "
+            "committed as a cross-round BENCH_LOCAL artifact "
+            "(set SPARK_GRAFT_BENCH_STRICT=1 to refuse instead).",
             file=sys.stderr,
         )
+        if os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+            print(
+                json.dumps(
+                    {
+                        "metric": "headline_queries_total_runtime",
+                        "error": "refused: machine contended",
+                        "load1_at_start": round(load1, 2),
+                        "ncpu": ncpu,
+                    }
+                )
+            )
+            sys.exit(3)
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="mdx-spark-bench")
@@ -253,6 +272,7 @@ def main() -> None:
         "runs": RUNS,
         "load1_at_start": round(load1, 2),
         "ncpu": ncpu,
+        "contended": contended,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -4814,10 +4814,10 @@ def _frame_energies(samples: "np.ndarray") -> "np.ndarray":
     return csum[starts + AUDIO_FRAME] - csum[starts]
 
 
-@register(
-    "multimodal_audio_frames",
-    oracle=f"""
-    WITH pcm AS (
+#: Shared audio-oracle CTEs: text -> fake-PCM samples -> frame shape ->
+#: per-frame exact-integer energy list (the formula the REAL byte
+#: decode must reproduce). Every audio oracle builds on `en`.
+_AUDIO_EN_CTES = f"""pcm AS (
       SELECT doc_id,
              list_transform(str_split(text, ''), c -> ord(c) - 64)
                  AS samples
@@ -4836,7 +4836,13 @@ def _frame_energies(samples: "np.ndarray") -> "np.ndarray":
                  list_slice(samples, i * {AUDIO_HOP} + 1,
                             i * {AUDIO_HOP} + {AUDIO_FRAME}),
                  v -> CAST(v AS BIGINT) * v))) AS fe
-      FROM shaped)
+      FROM shaped)"""
+
+
+@register(
+    "multimodal_audio_frames",
+    oracle=f"""
+    WITH {_AUDIO_EN_CTES}
     SELECT doc_id, n_samples, n_frames,
            CAST(COALESCE(list_sum(fe), 0) AS BIGINT) AS total_energy,
            CAST(COALESCE(list_max(fe), -1) AS BIGINT) AS max_frame_energy,
@@ -4961,4 +4967,169 @@ def multimodal_audio_decode_errors(
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     return d.mapInPandas(
         route_batches, "doc_id long, status string, n_samples long"
+    )
+
+
+#: Voiced-frame energy threshold for the silence splitter: sits at the
+#: fixture's median frame energy (~116.5k), so ~half the frames are
+#: voiced and 283/486 framed docs at sf0.001 genuinely split into
+#: multiple segments — both branches (mid-utterance silence, leading/
+#: trailing silence) exercised.
+AUDIO_VOICE_T = 116500
+#: Fingerprint width: sign-of-energy-delta bits over the first 32
+#: frame transitions (the Shazam/Chromaprint landmark shape, reduced
+#: to its exact-integer core).
+AUDIO_FP_BITS = 32
+
+
+def _audio_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-decode per-frame energy stream (doc_id, fidx, energy):
+    RIFF/WAV parse + prefix-sum framing in mapInPandas, one output row
+    per frame — the long-format base for the relational audio ops."""
+
+    def fr_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "fidx": [], "energy": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                fe = _frame_energies(decode_wav(_wav_payload(text))["samples"])
+                out["doc_id"].extend([doc_id] * len(fe))
+                out["fidx"].extend(range(len(fe)))
+                out["energy"].extend(int(v) for v in fe)
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(fr_batches, "doc_id long, fidx long, energy long")
+
+
+@register(
+    "multimodal_audio_silence_split",
+    oracle=f"""
+    WITH {_AUDIO_EN_CTES},
+    fr AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(fe, 1) - 1 AS BIGINT) AS fidx,
+             CAST(unnest(fe) AS BIGINT) AS energy
+      FROM en),
+    v AS (
+      SELECT doc_id, fidx, energy,
+             fidx - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY fidx) AS isl
+      FROM fr WHERE energy > {AUDIO_VOICE_T}),
+    seg AS (
+      SELECT doc_id, MIN(fidx) AS seg_start,
+             CAST(COUNT(*) AS BIGINT) AS seg_len,
+             CAST(SUM(energy) AS BIGINT) AS seg_energy
+      FROM v GROUP BY doc_id, isl)
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY seg_start) AS BIGINT) AS seg_idx,
+           CAST(seg_start AS BIGINT) AS seg_start, seg_len, seg_energy
+    FROM seg
+    """,
+)
+def multimodal_audio_silence_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Energy-based silence splitting (the VAD/utterance-segmentation
+    primitive every speech-corpus prep pipeline runs before ASR
+    training): frames whose energy exceeds AUDIO_VOICE_T are voiced;
+    maximal runs of consecutive voiced frames become segments via the
+    gaps-and-islands transform (fidx - row_number = island id), each
+    reported with start frame, length, and exact-integer energy mass.
+    The decode is the REAL RIFF/WAV parser (decode_wav) — the oracle
+    recomputes frame energies from the sample formula, so a mis-framed
+    or mis-decoded byte shifts an island boundary and fails the hash.
+
+    Scale shape: one Arrow-batched decode pass emitting the long
+    per-frame stream, then ONE shuffle on doc_id for the island window
+    and segment rollup — the standard distributed sessionize plan
+    (win_sessionize's shape applied to media frames). Segment count is
+    bounded by frames/2; nothing is quadratic."""
+    fr = _audio_frame_rows(spark, sf_dir)
+    wv = Window.partitionBy("doc_id").orderBy("fidx")
+    v = fr.filter(F.col("energy") > AUDIO_VOICE_T).withColumn(
+        "isl", F.col("fidx") - F.row_number().over(wv)
+    )
+    seg = v.groupBy("doc_id", "isl").agg(
+        F.min("fidx").alias("seg_start"),
+        F.count(F.lit(1)).cast("bigint").alias("seg_len"),
+        F.sum("energy").cast("bigint").alias("seg_energy"),
+    )
+    ws = Window.partitionBy("doc_id").orderBy("seg_start")
+    return seg.select(
+        "doc_id",
+        F.row_number().over(ws).cast("bigint").alias("seg_idx"),
+        F.col("seg_start").cast("bigint").alias("seg_start"),
+        "seg_len",
+        "seg_energy",
+    )
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    oracle=f"""
+    WITH {_AUDIO_EN_CTES},
+    fp AS (
+      SELECT doc_id, n_frames,
+             CAST(COALESCE(list_sum(list_transform(
+               range(0, CAST(least({AUDIO_FP_BITS}, n_frames - 1) AS INT)),
+               i -> CASE WHEN fe[i + 2] > fe[i + 1]
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)), 0)
+               AS BIGINT) AS fp,
+             CAST(COALESCE(list_sum(list_transform(
+               range(0, CAST(n_frames - 1 AS INT)),
+               i -> CASE WHEN fe[i + 2] > fe[i + 1] THEN 1 ELSE 0 END)), 0)
+               AS BIGINT) AS n_rising
+      FROM en)
+    SELECT f.doc_id, f.n_frames, f.fp, f.n_rising,
+           CAST(b.n AS BIGINT) AS bucket_size
+    FROM fp f
+    JOIN (SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp) b USING (fp)
+    """,
+)
+def multimodal_audio_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio fingerprinting by energy-delta signs (the exact-integer
+    core of the Shazam/Chromaprint landmark scheme): bit i of the
+    fingerprint is 1 when frame i+1's energy exceeds frame i's, over
+    the first AUDIO_FP_BITS transitions — a contour signature robust
+    to level scaling, packed into one BIGINT. The collision census
+    (bucket_size = docs sharing a fingerprint) is the audio near-dup
+    candidate generator: same contour -> same bucket, the
+    dedup_minhash bucket discipline applied to media. Decode is the
+    REAL RIFF/WAV parser; n_rising (total rising transitions) is the
+    full-contour witness beyond the 32-bit window.
+
+    Scale shape: one Arrow-batched decode/fingerprint pass, then one
+    map-side-combinable census on the fingerprint key and a hash join
+    back — candidate generation is bucketed (never data x data), so a
+    100 TB audio corpus dedups at the cost of a groupBy."""
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "fp": [], "n_rising": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                fe = _frame_energies(decode_wav(_wav_payload(text))["samples"])
+                rising = fe[1:] > fe[:-1] if len(fe) > 1 else np.zeros(0, bool)
+                k = min(AUDIO_FP_BITS, len(rising))
+                fp = int(
+                    (rising[:k].astype(np.int64) << np.arange(k)).sum()
+                ) if k else 0
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(fe))
+                out["fp"].append(fp)
+                out["n_rising"].append(int(rising.sum()))
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = d.mapInPandas(
+        fp_batches,
+        "doc_id long, n_frames long, fp long, n_rising long",
+    )
+    census = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bucket_size")
+    )
+    return fp.join(census, "fp").select(
+        "doc_id", "n_frames", "fp", "n_rising", "bucket_size"
     )

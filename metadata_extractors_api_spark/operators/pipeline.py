@@ -1990,6 +1990,124 @@ def graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Audit-slice bound for the semantic-recall ground truth (the
+#: dedup_lsh_recall_audit discipline: the exact all-pairs truth is the
+#: expensive side, so it runs on a literal-bounded sample — at 100 TB
+#: the slice is the sampled audit, the clustered path is production).
+SEM_AUDIT_N = 400
+
+
+@register(
+    "dedup_semantic_recall_audit",
+    oracle=f"""
+    WITH {_km_chain(k_sql=_SEM_K_SQL)[0]},
+    sizes AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM {_km_chain(k_sql=_SEM_K_SQL)[2]} GROUP BY 1),
+    sen AS (
+      SELECT vec_id, embedding,
+             {_sql_dot('embedding', 'embedding')} AS nn
+      FROM embeddings WHERE vec_id < {SEM_AUDIT_N}),
+    truth AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM sen a JOIN sen b ON a.vec_id < b.vec_id
+      WHERE round(({_sql_dot('a.embedding', 'b.embedding')} / 1e12)
+                  / (sqrt(a.nn / 1e12) * sqrt(b.nn / 1e12)), 6)
+            >= CAST({SEM_T} AS DOUBLE)),
+    found AS (
+      SELECT t.va, t.vb
+      FROM truth t
+      JOIN {_km_chain(k_sql=_SEM_K_SQL)[2]} ca ON ca.vec_id = t.va
+      JOIN {_km_chain(k_sql=_SEM_K_SQL)[2]} cb ON cb.vec_id = t.vb
+      JOIN sizes s ON s.cluster = ca.cluster
+      WHERE ca.cluster = cb.cluster
+        AND s.n_members <= {SEM_CLUSTER_CAP})
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM found) AS n_found,
+           (SELECT COUNT(*) FROM truth) - (SELECT COUNT(*) FROM found)
+               AS n_missed,
+           (SELECT COUNT(*) FROM found) * 1000000
+             // greatest((SELECT COUNT(*) FROM truth), 1) AS recall_e6
+    """,
+)
+def dedup_semantic_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Measured SemDeDup recall, not the paper's hope: ground-truth
+    semantic-duplicate pairs (exact all-pairs cosine >= SEM_T on a
+    literal-bounded audit slice) compared against what the
+    cluster-then-prune plan can SEE — pairs sharing a (non-quarantined)
+    k-means cluster. Cluster-boundary misses are SemDeDup's documented
+    blind spot (two near-duplicates split across centroids are never
+    compared); this audit row puts the measured loss in-band
+    (n_truth, n_found, n_missed, recall_e6), the companion of
+    dedup_lsh_recall_audit for the embedding family, recomputed on a
+    sampled slice whenever the corpus or K drifts.
+
+    Scale shape: the truth side is the expensive O(slice^2) exact join
+    and is bounded by the SEM_AUDIT_N literal (the sanctioned audit
+    pattern); the found side reuses the adaptive-K assignment
+    (broadcast-centroid join) plus two hash joins on vec_id; the
+    ratios are exact integer arithmetic."""
+    pts = _km_pts(spark, sf_dir)
+    cent = _km_train(pts, k=_sem_k(spark, sf_dir))
+    assign = _km_assign(pts, cent).select("vec_id", "cluster")
+    sizes = assign.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    sen = e.filter(F.col("vec_id") < SEM_AUDIT_N).select(
+        "vec_id",
+        "embedding",
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
+    )
+    a = sen.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    b = sen.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    truth = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .filter(
+            cosine_from_scaled(
+                dot_scaled(F.col("ea"), F.col("eb")),
+                F.col("na"),
+                F.col("nb"),
+            )
+            >= F.lit(SEM_T)
+        )
+        .select("va", "vb")
+        .localCheckpoint()  # reused by n_truth and the found join
+    )
+    ca = assign.withColumnsRenamed({"vec_id": "va", "cluster": "cl_a"})
+    cb = assign.withColumnsRenamed({"vec_id": "vb", "cluster": "cl_b"})
+    found = (
+        truth.join(ca, "va")
+        .join(cb, "vb")
+        .filter(F.col("cl_a") == F.col("cl_b"))
+        .join(
+            F.broadcast(sizes.filter(F.col("n_members") <= SEM_CLUSTER_CAP)),
+            F.col("cl_a") == F.col("cluster"),
+        )
+        .select("va", "vb")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_truth.crossJoin(F.broadcast(n_found))
+        .withColumn("n_missed", F.expr("n_truth - n_found"))
+        .withColumn(
+            "recall_e6",
+            F.expr("n_found * 1000000 div greatest(n_truth, 1)"),
+        )
+    )
+
+
 @register(
     "dedup_semantic_apply",
     oracle=f"""

@@ -1001,3 +1001,155 @@ def test_unigram_em_train_matches_python_loop(spark, tmp_path_factory):
         for r in mdx.QUERIES["tokenizer_unigram_em_train"](spark, d).collect()
     ]
     assert sorted(got) == sorted(want)
+
+
+# --- multimodal_audio_silence_split / multimodal_audio_fingerprint -------------
+
+
+def _naive_frame_energies(text, frame, hop):
+    s = [ord(c) - 64 for c in text]
+    fes, i = [], 0
+    while i + frame <= len(s):
+        fes.append(sum(v * v for v in s[i : i + frame]))
+        i += hop
+    return fes
+
+
+def test_audio_silence_split_matches_naive_islands(spark, sf_dir):
+    """Segments recomputed with a naive linear scan (no windows, no
+    islands transform): walk the frame energies, open a segment on a
+    voiced frame, close on an unvoiced one."""
+    from metadata_extractors_api_spark.operators.llm import (
+        AUDIO_FRAME,
+        AUDIO_HOP,
+        AUDIO_VOICE_T,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    want = []
+    for d, text in texts.items():
+        fes = _naive_frame_energies(text, AUDIO_FRAME, AUDIO_HOP)
+        segs, cur = [], None
+        for i, e in enumerate(fes):
+            if e > AUDIO_VOICE_T:
+                if cur is None:
+                    cur = [i, 0, 0]
+                cur[1] += 1
+                cur[2] += e
+            elif cur is not None:
+                segs.append(cur)
+                cur = None
+        if cur is not None:
+            segs.append(cur)
+        for k, (start, ln, en) in enumerate(segs):
+            want.append((d, k + 1, start, ln, en))
+    got = [
+        (r["doc_id"], r["seg_idx"], r["seg_start"], r["seg_len"],
+         r["seg_energy"])
+        for r in mdx.QUERIES["multimodal_audio_silence_split"](
+            spark, sf_dir
+        ).collect()
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_audio_fingerprint_matches_naive_bits(spark, sf_dir):
+    from metadata_extractors_api_spark.operators.llm import (
+        AUDIO_FP_BITS,
+        AUDIO_FRAME,
+        AUDIO_HOP,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    want = {}
+    fps = {}
+    for d, text in texts.items():
+        fes = _naive_frame_energies(text, AUDIO_FRAME, AUDIO_HOP)
+        rising = [fes[i + 1] > fes[i] for i in range(len(fes) - 1)]
+        fp = sum(1 << i for i, r in enumerate(rising[:AUDIO_FP_BITS]) if r)
+        want[d] = (len(fes), fp, sum(rising))
+        fps[d] = fp
+    from collections import Counter
+
+    buckets = Counter(fps.values())
+    got = {
+        r["doc_id"]: (
+            r["n_frames"], r["fp"], r["n_rising"], r["bucket_size"]
+        )
+        for r in mdx.QUERIES["multimodal_audio_fingerprint"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == {
+        d: (nf, fp, nr, buckets[fp]) for d, (nf, fp, nr) in want.items()
+    }
+
+
+# --- dedup_semantic_recall_audit ------------------------------------------------
+
+
+def test_semantic_recall_audit_matches_numpy(spark, sf_dir):
+    """Truth and found sets replayed brute-force in numpy: exact
+    all-pairs cosine over the audit slice, adaptive-K integer Lloyd
+    clustering, found = same-cluster truth pairs in under-cap
+    clusters."""
+    from metadata_extractors_api_spark.operators.pipeline import (
+        KM_ITERS,
+        KM_SCALE,
+        SEM_AUDIT_N,
+        SEM_CLUSTER_CAP,
+        SEM_T,
+        SEM_TARGET_CLUSTER,
+    )
+
+    embs = _embs(sf_dir)
+    ids = sorted(embs)
+    km_k = -(-len(ids) // SEM_TARGET_CLUSTER)
+    X = np.array(
+        [[math.floor(float(x) * KM_SCALE) for x in embs[i]] for i in ids],
+        dtype=object,
+    )
+    cent = {c: X[ids.index(c + 1)].copy() for c in range(km_k)}
+
+    def assign():
+        return {
+            i: min(
+                range(km_k),
+                key=lambda c: (int(sum((X[r] - cent[c]) ** 2)), c),
+            )
+            for r, i in enumerate(ids)
+        }
+
+    for _ in range(KM_ITERS):
+        a = assign()
+        for c in range(km_k):
+            rows = [X[ids.index(i)] for i in ids if a[i] == c]
+            if rows:
+                s = np.sum(rows, axis=0)
+                cent[c] = np.array(
+                    [int(v) // len(rows) for v in s], dtype=object
+                )
+    a = assign()
+    from collections import Counter
+
+    csize = Counter(a.values())
+
+    sl = [i for i in ids if i < SEM_AUDIT_N]
+    truth = {
+        (i, j)
+        for ix, i in enumerate(sl)
+        for j in sl[ix + 1 :]
+        if _cos(embs[i], embs[j]) >= SEM_T
+    }
+    found = {
+        (i, j)
+        for (i, j) in truth
+        if a[i] == a[j] and csize[a[i]] <= SEM_CLUSTER_CAP
+    }
+    r = mdx.QUERIES["dedup_semantic_recall_audit"](spark, sf_dir).collect()[0]
+    assert r["n_truth"] == len(truth)
+    assert r["n_found"] == len(found)
+    assert r["n_missed"] == len(truth) - len(found)
+    assert r["recall_e6"] == len(found) * 10**6 // max(len(truth), 1)

@@ -620,9 +620,6 @@ _PAIR_JOIN_ALLOWLIST = {
     "sim_topk": {"BroadcastNestedLoopJoin:"},
     # dense side of the fusion: same vec_id=0 broadcast probe as sim_topk
     "sim_hybrid_rrf": {"BroadcastNestedLoopJoin:"},
-    # lexical stats cross-join (1-row df/n_docs broadcast); dense side
-    # is the partition-pruned IVF probe
-    "sim_hybrid_rrf_ann": {"BroadcastNestedLoopJoin:"},
     "sim_topk_batch": {"BroadcastNestedLoopJoin:qid,vec_id"},
     "embedding_matryoshka_audit": {"BroadcastNestedLoopJoin:qid,vec_id"},
     "sim_knn_label_audit": {"BroadcastNestedLoopJoin:qid,vec_id"},

@@ -206,10 +206,13 @@ HEADLINE = [
     "stream_ohlc_bars",
     "graph_ppr",
     "dedup_semantic_apply",
+    "dedup_semantic_recall_audit",
     "orders_supplier_hhi",
     "scan_fixed_width",
     "multimodal_audio_frames",
     "multimodal_audio_decode_errors",
+    "multimodal_audio_silence_split",
+    "multimodal_audio_fingerprint",
 ]
 
 INTERESTING = re.compile(
