@@ -197,6 +197,7 @@ HEADLINE = [
     "graph_ppr",
     "dedup_semantic_apply",
     "dedup_semantic_recall_audit",
+    "dedup_semantic_multiprobe_audit",
     "orders_supplier_hhi",
     "scan_fixed_width",
     "multimodal_audio_frames",

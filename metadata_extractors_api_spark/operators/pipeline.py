@@ -2109,6 +2109,139 @@ def dedup_semantic_recall_audit(
 
 
 @register(
+    "dedup_semantic_multiprobe_audit",
+    oracle=f"""
+    WITH {_km_chain(k_sql=_SEM_K_SQL)[0]},
+    top2 AS (
+      SELECT vec_id, cluster, rn FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM {_km_chain(k_sql=_SEM_K_SQL)[1]})
+      WHERE rn <= 2),
+    sen AS (
+      SELECT vec_id, embedding,
+             {_sql_dot('embedding', 'embedding')} AS nn
+      FROM embeddings WHERE vec_id < {SEM_AUDIT_N}),
+    truth AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM sen a JOIN sen b ON a.vec_id < b.vec_id
+      WHERE round(({_sql_dot('a.embedding', 'b.embedding')} / 1e12)
+                  / (sqrt(a.nn / 1e12) * sqrt(b.nn / 1e12)), 6)
+            >= CAST({SEM_T} AS DOUBLE)),
+    f1 AS (
+      SELECT t.va, t.vb FROM truth t
+      JOIN top2 ca ON ca.vec_id = t.va AND ca.rn = 1
+      JOIN top2 cb ON cb.vec_id = t.vb AND cb.rn = 1
+      WHERE ca.cluster = cb.cluster),
+    f2 AS (
+      SELECT DISTINCT t.va, t.vb FROM truth t
+      JOIN top2 ca ON ca.vec_id = t.va
+      JOIN top2 cb ON cb.vec_id = t.vb
+      WHERE ca.cluster = cb.cluster)
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM f1) AS n_top1,
+           (SELECT COUNT(*) FROM f2) AS n_top2,
+           (SELECT COUNT(*) FROM f1) * 1000000
+             // greatest((SELECT COUNT(*) FROM truth), 1)
+               AS recall_top1_e6,
+           (SELECT COUNT(*) FROM f2) * 1000000
+             // greatest((SELECT COUNT(*) FROM truth), 1)
+               AS recall_top2_e6
+    """,
+)
+def dedup_semantic_multiprobe_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-PROBE semantic dedup, audited: assign every vector to its
+    TOP-2 nearest centroids (the multi-probe/soft-assignment trick
+    production ANN systems use to close cluster-boundary loss) and
+    measure, against the exact slice truth, how much recall the second
+    probe buys over single assignment — (n_truth, n_top1, n_top2,
+    recall_top1_e6, recall_top2_e6) in one row. A truth pair is
+    top2-visible when ANY of the two clusters is shared, so the
+    candidate volume at most doubles twice (4x pair budget) for the
+    measured recall gain; this is the tuning readout for whether the
+    boundary loss dedup_semantic_recall_audit exposes is worth the
+    extra probe at 100 TB.
+
+    Scale shape: top-2 assignment is the same broadcast-centroid
+    distance join plus a per-vector rank (partitioned window, never
+    global); candidate generation stays cluster-keyed (explode factor
+    2); the truth side is SEM_AUDIT_N-literal-bounded; ratios exact
+    integers."""
+    pts = _km_pts(spark, sf_dir)
+    cent = _km_train(pts, k=_sem_k(spark, sf_dir))
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    top2 = (
+        _km_dist(pts, cent)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("vec_id", "cluster", "rn")
+        .localCheckpoint()  # reused by both visibility joins
+    )
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    sen = e.filter(F.col("vec_id") < SEM_AUDIT_N).select(
+        "vec_id",
+        "embedding",
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
+    )
+    a = sen.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    b = sen.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    truth = (
+        a.join(b, F.col("va") < F.col("vb"))
+        .filter(
+            cosine_from_scaled(
+                dot_scaled(F.col("ea"), F.col("eb")),
+                F.col("na"),
+                F.col("nb"),
+            )
+            >= F.lit(SEM_T)
+        )
+        .select("va", "vb")
+        .localCheckpoint()
+    )
+    ca = top2.withColumnsRenamed({"vec_id": "va", "cluster": "cl_a", "rn": "rn_a"})
+    cb = top2.withColumnsRenamed({"vec_id": "vb", "cluster": "cl_b", "rn": "rn_b"})
+    f1 = (
+        truth.join(ca.filter(F.col("rn_a") == 1), "va")
+        .join(cb.filter(F.col("rn_b") == 1), "vb")
+        .filter(F.col("cl_a") == F.col("cl_b"))
+        .select("va", "vb")
+    )
+    f2 = (
+        truth.join(ca, "va")
+        .join(cb, "vb")
+        .filter(F.col("cl_a") == F.col("cl_b"))
+        .select("va", "vb")
+        .distinct()
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n1 = f1.agg(F.count(F.lit(1)).alias("n_top1"))
+    n2 = f2.agg(F.count(F.lit(1)).alias("n_top2"))
+    return (
+        n_truth.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .withColumn(
+            "recall_top1_e6",
+            F.expr("n_top1 * 1000000 div greatest(n_truth, 1)"),
+        )
+        .withColumn(
+            "recall_top2_e6",
+            F.expr("n_top2 * 1000000 div greatest(n_truth, 1)"),
+        )
+    )
+
+
+@register(
     "dedup_semantic_apply",
     oracle=f"""
     WITH sem AS ({_semdedup_oracle().strip()})

@@ -1153,3 +1153,58 @@ def test_semantic_recall_audit_matches_numpy(spark, sf_dir):
     assert r["n_found"] == len(found)
     assert r["n_missed"] == len(truth) - len(found)
     assert r["recall_e6"] == len(found) * 10**6 // max(len(truth), 1)
+
+
+def test_semantic_multiprobe_audit_matches_numpy(spark, sf_dir):
+    """Top-2 soft assignment replayed in exact integer numpy; top2
+    visibility = any shared cluster among each side's two probes."""
+    from metadata_extractors_api_spark.operators.pipeline import (
+        KM_ITERS,
+        KM_SCALE,
+        SEM_AUDIT_N,
+        SEM_T,
+        SEM_TARGET_CLUSTER,
+    )
+
+    embs = _embs(sf_dir)
+    ids = sorted(embs)
+    km_k = -(-len(ids) // SEM_TARGET_CLUSTER)
+    X = np.array(
+        [[math.floor(float(x) * KM_SCALE) for x in embs[i]] for i in ids],
+        dtype=object,
+    )
+    cent = {c: X[ids.index(c + 1)].copy() for c in range(km_k)}
+
+    def order(i):
+        r = ids.index(i)
+        return sorted(
+            range(km_k), key=lambda c: (int(sum((X[r] - cent[c]) ** 2)), c)
+        )
+
+    for _ in range(KM_ITERS):
+        a = {i: order(i)[0] for i in ids}
+        for c in range(km_k):
+            rows = [X[ids.index(i)] for i in ids if a[i] == c]
+            if rows:
+                s = np.sum(rows, axis=0)
+                cent[c] = np.array(
+                    [int(v) // len(rows) for v in s], dtype=object
+                )
+    top2 = {i: set(order(i)[:2]) for i in ids}
+    top1 = {i: order(i)[0] for i in ids}
+
+    sl = [i for i in ids if i < SEM_AUDIT_N]
+    truth = {
+        (i, j)
+        for ix, i in enumerate(sl)
+        for j in sl[ix + 1 :]
+        if _cos(embs[i], embs[j]) >= SEM_T
+    }
+    n1 = sum(1 for (i, j) in truth if top1[i] == top1[j])
+    n2 = sum(1 for (i, j) in truth if top2[i] & top2[j])
+    r = mdx.QUERIES["dedup_semantic_multiprobe_audit"](
+        spark, sf_dir
+    ).collect()[0]
+    assert (r["n_truth"], r["n_top1"], r["n_top2"]) == (len(truth), n1, n2)
+    assert r["recall_top1_e6"] == n1 * 10**6 // max(len(truth), 1)
+    assert r["recall_top2_e6"] == n2 * 10**6 // max(len(truth), 1)
