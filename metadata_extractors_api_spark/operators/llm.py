@@ -4785,10 +4785,18 @@ def _wav_payload(text: str) -> bytes:
     -> frame -> aggregate on actual bytes."""
     import struct
 
-    samples = np.fromiter((ord(c) - 64 for c in text), np.int64).astype(
-        "<i2"
-    )
-    data = samples.tobytes()
+    samples64 = np.fromiter((ord(c) - 64 for c in text), np.int64, len(text))
+    # Range-check BEFORE the int16 narrow: a codepoint >= 32832 would
+    # silently wrap here while the oracle squares the raw value — raise
+    # loudly so the divergence is impossible rather than latent.
+    if len(samples64) and (
+        samples64.max() > 32767 or samples64.min() < -32768
+    ):
+        raise ValueError(
+            "text codepoint out of int16 sample range "
+            f"(min {int(samples64.min())}, max {int(samples64.max())})"
+        )
+    data = samples64.astype("<i2").tobytes()
     return (
         b"RIFF"
         + struct.pack("<I", 36 + len(data))
@@ -4910,15 +4918,17 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_audio_decode_errors",
     oracle=f"""
-    SELECT doc_id,
-           CASE WHEN doc_id % {_CORRUPT_TRUNC_MOD} = 0 THEN 'truncated_data'
-                WHEN doc_id % {_CORRUPT_MAGIC_MOD} = 0
-                     THEN 'unsupported_container'
-                ELSE 'ok' END AS status,
-           CASE WHEN doc_id % {_CORRUPT_TRUNC_MOD} <> 0
-                 AND doc_id % {_CORRUPT_MAGIC_MOD} <> 0
+    SELECT doc_id, status,
+           CASE WHEN status = 'ok'
                 THEN CAST(length(text) AS BIGINT) END AS n_samples
-    FROM documents
+    FROM (
+      SELECT doc_id, text,
+             CASE WHEN doc_id % {_CORRUPT_TRUNC_MOD} = 0
+                       AND length(text) > 0 THEN 'truncated_data'
+                  WHEN doc_id % {_CORRUPT_MAGIC_MOD} = 0
+                       THEN 'unsupported_container'
+                  ELSE 'ok' END AS status
+      FROM documents)
     """,
 )
 def multimodal_audio_decode_errors(
@@ -4943,8 +4953,13 @@ def multimodal_audio_decode_errors(
             out = {"doc_id": [], "status": [], "n_samples": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 payload = _wav_payload(text)
-                if doc_id % _CORRUPT_TRUNC_MOD == 0:
-                    payload = payload[: -max(1, len(text))]
+                # Truncate WITHIN the data chunk (len(text) <= the data
+                # chunk's 2*len(text) bytes), never into the 44-byte
+                # header; a zero-byte data chunk has nothing to
+                # truncate, so the slot passes through untouched (the
+                # oracle mirrors both guards).
+                if doc_id % _CORRUPT_TRUNC_MOD == 0 and len(text) > 0:
+                    payload = payload[: -len(text)]
                 elif doc_id % _CORRUPT_MAGIC_MOD == 0:
                     payload = b"FORM" + payload[4:]
                 n = None

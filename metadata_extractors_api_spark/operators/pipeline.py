@@ -1625,76 +1625,117 @@ def _sem_k(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _semdedup_oracle() -> str:
-    chain, _dist, assign = _km_chain(k_sql=_SEM_K_SQL)
+    chain, dist, _assign = _km_chain(k_sql=_SEM_K_SQL)
     return f"""
     WITH {chain},
-    sizes AS (
-      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
-      FROM {assign} GROUP BY 1),
-    en AS (
+    top2 AS MATERIALIZED (
+      SELECT vec_id, cluster, rn FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM {dist})
+      WHERE rn <= 2),
+    psz AS MATERIALIZED (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS probe_pop
+      FROM top2 GROUP BY 1),
+    en AS MATERIALIZED (
       SELECT vec_id, embedding,
              {_sql_dot('embedding', 'embedding')} AS nn
       FROM embeddings),
-    small AS MATERIALIZED (
-      SELECT a.vec_id, a.cluster, s.n_members, en.embedding, en.nn
-      FROM {assign} a
-      JOIN sizes s USING (cluster)
-      JOIN en ON en.vec_id = a.vec_id
-      WHERE s.n_members <= {SEM_CLUSTER_CAP}),
     prs AS (
-      SELECT a.vec_id AS va, b.vec_id AS vb
-      FROM small a JOIN small b
-        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      WHERE round(({_sql_dot('a.embedding', 'b.embedding')} / 1e12)
-                  / (sqrt(a.nn / 1e12) * sqrt(b.nn / 1e12)), 6)
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM top2 a
+      JOIN top2 b ON b.cluster = a.cluster AND a.vec_id < b.vec_id
+      JOIN psz s ON s.cluster = a.cluster
+               AND s.probe_pop <= {SEM_CLUSTER_CAP}
+      JOIN en ea ON ea.vec_id = a.vec_id
+      JOIN en eb ON eb.vec_id = b.vec_id
+      WHERE round(({_sql_dot('ea.embedding', 'eb.embedding')} / 1e12)
+                  / (sqrt(ea.nn / 1e12) * sqrt(eb.nn / 1e12)), 6)
             >= CAST({SEM_T} AS DOUBLE)),
     nsl AS (
       SELECT vb AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_sim_lower
       FROM prs GROUP BY 1)
-    SELECT s.vec_id, CAST(s.cluster AS BIGINT) AS cluster, s.n_members,
-           COALESCE(n.n_sim_lower, 0) AS n_sim_lower,
-           CASE WHEN COALESCE(n.n_sim_lower, 0) > 0
-                THEN 'prune' ELSE 'keep' END AS action
-    FROM small s LEFT JOIN nsl n USING (vec_id)
-    UNION ALL
-    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, s.n_members,
-           CAST(-1 AS BIGINT) AS n_sim_lower, 'quarantine' AS action
-    FROM {assign} a JOIN sizes s USING (cluster)
-    WHERE s.n_members > {SEM_CLUSTER_CAP}
+    SELECT p.vec_id, CAST(p.cluster AS BIGINT) AS cluster,
+           s.probe_pop AS n_members,
+           CASE WHEN s.probe_pop > {SEM_CLUSTER_CAP}
+                THEN CAST(-1 AS BIGINT)
+                ELSE COALESCE(n.n_sim_lower, 0) END AS n_sim_lower,
+           CASE WHEN s.probe_pop > {SEM_CLUSTER_CAP} THEN 'quarantine'
+                WHEN COALESCE(n.n_sim_lower, 0) > 0 THEN 'prune'
+                ELSE 'keep' END AS action
+    FROM top2 p
+    JOIN psz s ON s.cluster = p.cluster
+    LEFT JOIN nsl n ON n.vec_id = p.vec_id
+    WHERE p.rn = 1
     """
+
+
+def _sem_probes(
+    spark: SparkSession, sf_dir: str, n_probes: int = 2
+) -> DataFrame:
+    """Top-``n_probes`` soft cluster assignment (vec_id, cluster, rn)
+    under the adaptive-K SemDeDup model: the broadcast-centroid
+    distance join plus a per-vector rank — the multi-probe relation
+    the production detect path and the audits share."""
+    pts = _km_pts(spark, sf_dir)
+    cent = _km_train(pts, k=_sem_k(spark, sf_dir))
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    return (
+        _km_dist(pts, cent)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probes)
+        .select("vec_id", "cluster", "rn")
+        .localCheckpoint()  # reused by census, pair gen, and report
+    )
 
 
 @register("dedup_semantic_cluster", oracle=_semdedup_oracle())
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic deduplication, cluster-then-prune (SemDeDup, Abbas et
-    al. 2023): embeddings are assigned to the k-means model kmeans_train
-    fits (same deterministic init and Lloyd rounds), and the pairwise-
-    cosine check runs ONLY within a cluster — the trick that turns the
-    corpus-wide O(N^2) semantic-duplicate search into K bounded
-    all-pairs problems. A member is pruned when any LOWER-id member of
-    its own cluster is within epsilon (cosine >= SEM_T), keeping
-    exactly one representative per duplicate chain (min-id keeper, the
-    dedup_exact convention).
+    al. 2023) with TOP-2 MULTI-PROBE candidate generation: embeddings
+    are soft-assigned to their two nearest centroids of the adaptive-K
+    k-means model, and the pairwise-cosine check runs within any SHARED
+    probe cluster — the multi-probe trick production ANN systems use to
+    close the cluster-boundary blind spot single assignment suffers
+    (two near-duplicates split across adjacent centroids are never
+    compared under top-1). dedup_semantic_recall_audit measures the
+    difference on slice truth: 31.8% boundary-pair recall single-probe
+    vs 64.2% top-2 at sf0.1, for a bounded <=4x pair budget
+    (dedup_semantic_multiprobe_audit is the tuning readout that
+    justified promoting the second probe into this production path).
+    A member is pruned when any LOWER-id member shares one of its probe
+    clusters within epsilon (cosine >= SEM_T), keeping exactly one
+    representative per duplicate chain (min-id keeper, the dedup_exact
+    convention); reported cluster is the PRIMARY (rn=1) assignment and
+    n_members is the primary cluster's PROBE population (the actual
+    pair-join key size the cap gates).
 
-    Scale shape: assignment is the broadcast-centroid join kmeans_train
-    already proved; the pair space is an equi-join on the CLUSTER key
-    (never data x data), and SemDeDup's own contract — K scales with N
+    Scale shape: soft assignment is the broadcast-centroid distance
+    join plus a per-vector rank (KEYED window, never global); the pair
+    space is an equi-join on the CLUSTER key over the 2N-row probe
+    relation (never data x data) with a DISTINCT collapsing pairs seen
+    via both shared clusters; SemDeDup's own contract — K scales with N
     so cluster populations stay bounded — is ENFORCED structurally:
     K = ceil(N / SEM_TARGET_CLUSTER) from a one-row corpus census (the
     same expression a scalar subquery computes in the oracle), so the
-    mean cluster stays ~SEM_TARGET_CLUSTER members at any N and the
+    mean probe population stays ~2*SEM_TARGET_CLUSTER at any N and the
     pairwise phase keeps executing as data grows 10x/100x.
     SEM_CLUSTER_CAP remains the residual guard for a degenerate
-    embedding collapse piling one cluster far above the mean: over-cap
-    clusters come back as deterministic 'quarantine' rows (the
-    dedup_cluster_medoid / dedup_minhash_bucket_stats cap discipline),
-    so a pathological key can never make one reducer quadratic. Exact
-    scaled-int dots as everywhere (no float-order hazard)."""
-    pts = _km_pts(spark, sf_dir)
-    cent = _km_train(pts, k=_sem_k(spark, sf_dir))
-    assign = _km_assign(pts, cent).select("vec_id", "cluster")
-    sizes = assign.groupBy("cluster").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    embedding collapse piling one cluster far above the mean — the gate
+    now reads the PROBE population (the true pair-join key size):
+    over-cap clusters generate no pairs, and vectors whose PRIMARY
+    cluster is over-cap come back as deterministic 'quarantine' rows
+    (the dedup_cluster_medoid / dedup_minhash_bucket_stats cap
+    discipline), so a pathological key can never make one reducer
+    quadratic. Exact scaled-int dots as everywhere (no float-order
+    hazard). Residual recall ceiling: ~36% of boundary truth pairs
+    remain probe-invisible at top-2; dedup_semantic_boundary_audit
+    measures what a margin-gated third probe buys before anyone pays
+    its budget."""
+    probes = _sem_probes(spark, sf_dir)
+    psz = probes.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("probe_pop")
     )
     e = load(spark, sf_dir, "embeddings", parallelize=True)
     en = e.select(
@@ -1702,15 +1743,17 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
     )
-    member = assign.join(F.broadcast(sizes), "cluster").join(en, "vec_id")
-    small = member.filter(F.col("n_members") <= SEM_CLUSTER_CAP)
-    a = small.select(
+    ok = psz.filter(F.col("probe_pop") <= SEM_CLUSTER_CAP).select("cluster")
+    pr = probes.join(F.broadcast(ok), "cluster", "left_semi").join(
+        en, "vec_id"
+    )
+    a = pr.select(
         F.col("cluster").alias("c"),
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("ea"),
         F.col("nn").alias("na"),
     )
-    b = small.select(
+    b = pr.select(
         F.col("cluster").alias("c"),
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("eb"),
@@ -1727,35 +1770,32 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             >= F.lit(SEM_T)
         )
+        .select("va", "vb")
+        .distinct()
     )
     nsl = prs.groupBy(F.col("vb").alias("vec_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sim_lower")
     )
-    kept = (
-        small.join(nsl, "vec_id", "left")
+    prim = probes.filter(F.col("rn") == 1).select("vec_id", "cluster")
+    return (
+        prim.join(F.broadcast(psz), "cluster")
+        .join(nsl, "vec_id", "left")
         .select(
             "vec_id",
             F.col("cluster").cast("bigint").alias("cluster"),
-            "n_members",
-            F.coalesce("n_sim_lower", F.lit(0)).cast("bigint").alias(
-                "n_sim_lower"
-            ),
-            F.when(F.coalesce("n_sim_lower", F.lit(0)) > 0, "prune")
+            F.col("probe_pop").alias("n_members"),
+            F.when(
+                F.col("probe_pop") > SEM_CLUSTER_CAP, F.lit(-1)
+            )
+            .otherwise(F.coalesce("n_sim_lower", F.lit(0)))
+            .cast("bigint")
+            .alias("n_sim_lower"),
+            F.when(F.col("probe_pop") > SEM_CLUSTER_CAP, "quarantine")
+            .when(F.coalesce("n_sim_lower", F.lit(0)) > 0, "prune")
             .otherwise("keep")
             .alias("action"),
         )
     )
-    quarantined = (
-        member.filter(F.col("n_members") > SEM_CLUSTER_CAP)
-        .select(
-            "vec_id",
-            F.col("cluster").cast("bigint").alias("cluster"),
-            "n_members",
-            F.lit(-1).cast("bigint").alias("n_sim_lower"),
-            F.lit("quarantine").alias("action"),
-        )
-    )
-    return kept.unionAll(quarantined)
 
 
 # ---------------------------------------------------------------------------
@@ -2001,9 +2041,16 @@ SEM_AUDIT_N = 400
     "dedup_semantic_recall_audit",
     oracle=f"""
     WITH {_km_chain(k_sql=_SEM_K_SQL)[0]},
-    sizes AS (
-      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
-      FROM {_km_chain(k_sql=_SEM_K_SQL)[2]} GROUP BY 1),
+    top2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM {_km_chain(k_sql=_SEM_K_SQL)[1]})
+      WHERE rn <= 2),
+    psz AS (
+      SELECT cluster, CAST(COUNT(*) AS BIGINT) AS probe_pop
+      FROM top2 GROUP BY 1),
     sen AS (
       SELECT vec_id, embedding,
              {_sql_dot('embedding', 'embedding')} AS nn
@@ -2015,13 +2062,12 @@ SEM_AUDIT_N = 400
                   / (sqrt(a.nn / 1e12) * sqrt(b.nn / 1e12)), 6)
             >= CAST({SEM_T} AS DOUBLE)),
     found AS (
-      SELECT t.va, t.vb
+      SELECT DISTINCT t.va, t.vb
       FROM truth t
-      JOIN {_km_chain(k_sql=_SEM_K_SQL)[2]} ca ON ca.vec_id = t.va
-      JOIN {_km_chain(k_sql=_SEM_K_SQL)[2]} cb ON cb.vec_id = t.vb
-      JOIN sizes s ON s.cluster = ca.cluster
-      WHERE ca.cluster = cb.cluster
-        AND s.n_members <= {SEM_CLUSTER_CAP})
+      JOIN top2 ca ON ca.vec_id = t.va
+      JOIN top2 cb ON cb.vec_id = t.vb AND cb.cluster = ca.cluster
+      JOIN psz s ON s.cluster = ca.cluster
+      WHERE s.probe_pop <= {SEM_CLUSTER_CAP})
     SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
            (SELECT COUNT(*) FROM found) AS n_found,
            (SELECT COUNT(*) FROM truth) - (SELECT COUNT(*) FROM found)
@@ -2033,27 +2079,30 @@ SEM_AUDIT_N = 400
 def dedup_semantic_recall_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Measured SemDeDup recall, not the paper's hope: ground-truth
-    semantic-duplicate pairs (exact all-pairs cosine >= SEM_T on a
-    literal-bounded audit slice) compared against what the
-    cluster-then-prune plan can SEE — pairs sharing a (non-quarantined)
-    k-means cluster. Cluster-boundary misses are SemDeDup's documented
-    blind spot (two near-duplicates split across centroids are never
-    compared); this audit row puts the measured loss in-band
-    (n_truth, n_found, n_missed, recall_e6), the companion of
+    """Measured SemDeDup recall OF THE PRODUCTION DETECT PATH, not the
+    paper's hope: ground-truth semantic-duplicate pairs (exact
+    all-pairs cosine >= SEM_T on a literal-bounded audit slice)
+    compared against what dedup_semantic_cluster's top-2 multi-probe
+    candidate generation can SEE — pairs sharing ANY (under-cap) probe
+    cluster. Cluster-boundary misses are SemDeDup's documented blind
+    spot (two near-duplicates split across centroids are never
+    compared); the second probe closes much of it (31.8% single-probe
+    -> 64.2% top-2 at sf0.1, the promotion this round wired in), and
+    this audit row keeps the REMAINING measured loss in-band (n_truth,
+    n_found, n_missed, recall_e6) — the companion of
     dedup_lsh_recall_audit for the embedding family, recomputed on a
-    sampled slice whenever the corpus or K drifts.
+    sampled slice whenever the corpus or K drifts. It tracks the
+    production rule by construction: same probe relation, same
+    probe-population cap gate.
 
     Scale shape: the truth side is the expensive O(slice^2) exact join
     and is bounded by the SEM_AUDIT_N literal (the sanctioned audit
-    pattern); the found side reuses the adaptive-K assignment
-    (broadcast-centroid join) plus two hash joins on vec_id; the
-    ratios are exact integer arithmetic."""
-    pts = _km_pts(spark, sf_dir)
-    cent = _km_train(pts, k=_sem_k(spark, sf_dir))
-    assign = _km_assign(pts, cent).select("vec_id", "cluster")
-    sizes = assign.groupBy("cluster").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    pattern); the found side reuses the adaptive-K top-2 probe relation
+    (broadcast-centroid join + keyed rank) plus two hash joins on
+    vec_id; the ratios are exact integer arithmetic."""
+    probes = _sem_probes(spark, sf_dir)
+    psz = probes.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("probe_pop")
     )
     e = load(spark, sf_dir, "embeddings", parallelize=True)
     sen = e.filter(F.col("vec_id") < SEM_AUDIT_N).select(
@@ -2084,17 +2133,25 @@ def dedup_semantic_recall_audit(
         .select("va", "vb")
         .localCheckpoint()  # reused by n_truth and the found join
     )
-    ca = assign.withColumnsRenamed({"vec_id": "va", "cluster": "cl_a"})
-    cb = assign.withColumnsRenamed({"vec_id": "vb", "cluster": "cl_b"})
+    ca = probes.select(
+        F.col("vec_id").alias("va"), F.col("cluster").alias("cl_a")
+    )
+    cb = probes.select(
+        F.col("vec_id").alias("vb"), F.col("cluster").alias("cl_b")
+    )
     found = (
         truth.join(ca, "va")
         .join(cb, "vb")
         .filter(F.col("cl_a") == F.col("cl_b"))
         .join(
-            F.broadcast(sizes.filter(F.col("n_members") <= SEM_CLUSTER_CAP)),
+            F.broadcast(
+                psz.filter(F.col("probe_pop") <= SEM_CLUSTER_CAP)
+            ),
             F.col("cl_a") == F.col("cluster"),
+            "left_semi",
         )
         .select("va", "vb")
+        .distinct()
     )
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
@@ -2170,16 +2227,7 @@ def dedup_semantic_multiprobe_audit(
     global); candidate generation stays cluster-keyed (explode factor
     2); the truth side is SEM_AUDIT_N-literal-bounded; ratios exact
     integers."""
-    pts = _km_pts(spark, sf_dir)
-    cent = _km_train(pts, k=_sem_k(spark, sf_dir))
-    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
-    top2 = (
-        _km_dist(pts, cent)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 2)
-        .select("vec_id", "cluster", "rn")
-        .localCheckpoint()  # reused by both visibility joins
-    )
+    top2 = _sem_probes(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings", parallelize=True)
     sen = e.filter(F.col("vec_id") < SEM_AUDIT_N).select(
         "vec_id",

@@ -721,10 +721,11 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rpad(F.col("n_name"), 25, " "),
         F.lpad(F.col("n_regionkey").cast("string"), 2, "0"),
     )
-    # Memoized per (session, sf_dir) like _EVSPLIT_MEMO: repeated
+    # Memoized per (session, sf_dir) like _DPP_DIR_MEMO: repeated
     # sweep/bench invocations reuse one rendered directory instead of
-    # leaking a fresh mkdtemp per call.
-    memo_key = (id(spark), os.path.abspath(sf_dir))
+    # leaking a fresh mkdtemp per call. session_key, not id(spark) —
+    # id() values can be recycled after a dead session is collected.
+    memo_key = (session_key(spark), os.path.abspath(sf_dir))
     out = _FIXEDWIDTH_MEMO.get(memo_key)
     if out is None or not os.path.isdir(out):
         out = tempfile.mkdtemp(prefix="mdx_fixedwidth_") + "/nation_fw"

@@ -96,7 +96,10 @@ def test_rrf_fusion_matches_python_replay(spark, sf_dir):
 def test_semantic_cluster_prune_matches_numpy_lloyd(spark, sf_dir):
     """Lloyd's k-means re-run in exact integer numpy (quantized coords,
     floor-divide centroid update — the same determinism contract), then
-    the SemDeDup min-id prune replayed brute-force within clusters."""
+    the TOP-2 MULTI-PROBE SemDeDup min-id prune replayed brute-force:
+    a lower-id member prunes a higher-id one when they share ANY of
+    their two nearest centroids and cosine >= SEM_T (the production
+    rule this round promoted from dedup_semantic_multiprobe_audit)."""
     from metadata_extractors_api_spark.operators.pipeline import (
         KM_ITERS,
         KM_SCALE,
@@ -115,18 +118,19 @@ def test_semantic_cluster_prune_matches_numpy_lloyd(spark, sf_dir):
     )
     cent = {c: X[ids.index(c + 1)].copy() for c in range(km_k)}
 
-    def assign():
+    def probes(n):
+        """n nearest centroids per vector, ties to the lower cluster."""
         out = {}
         for r, i in enumerate(ids):
-            best = min(
+            ranked = sorted(
                 range(km_k),
                 key=lambda c: (int(sum((X[r] - cent[c]) ** 2)), c),
             )
-            out[i] = best
+            out[i] = ranked[:n]
         return out
 
     for _ in range(KM_ITERS):
-        a = assign()
+        a = {i: p[0] for i, p in probes(1).items()}
         for c in range(km_k):
             rows = [X[ids.index(i)] for i in ids if a[i] == c]
             if rows:
@@ -134,23 +138,31 @@ def test_semantic_cluster_prune_matches_numpy_lloyd(spark, sf_dir):
                 cent[c] = np.array(
                     [int(v) // len(rows) for v in s], dtype=object
                 )
-    a = assign()
+    top2 = probes(2)
+    prim = {i: p[0] for i, p in top2.items()}
+    probe_pop = {}
+    for p in top2.values():
+        for c in p:
+            probe_pop[c] = probe_pop.get(c, 0) + 1
 
     pruned = set()
     for i in ids:
         for j in ids:
             if j >= i:
                 break
-            if a[j] == a[i] and _cos(embs[j], embs[i]) >= SEM_T:
+            shared = set(top2[j]) & set(top2[i])
+            if shared and _cos(embs[j], embs[i]) >= SEM_T:
                 pruned.add(i)
                 break
 
     rows = mdx.QUERIES["dedup_semantic_cluster"](spark, sf_dir).collect()
     got_assign = {r["vec_id"]: r["cluster"] for r in rows}
     got_pruned = {r["vec_id"] for r in rows if r["action"] == "prune"}
+    got_pop = {r["vec_id"]: r["n_members"] for r in rows}
     assert all(r["action"] != "quarantine" for r in rows)  # cap inert here
-    assert got_assign == a
+    assert got_assign == prim
     assert got_pruned == pruned
+    assert got_pop == {i: probe_pop[prim[i]] for i in ids}
 
 
 # --- text_phrase_search ------------------------------------------------------
@@ -1093,8 +1105,9 @@ def test_audio_fingerprint_matches_naive_bits(spark, sf_dir):
 def test_semantic_recall_audit_matches_numpy(spark, sf_dir):
     """Truth and found sets replayed brute-force in numpy: exact
     all-pairs cosine over the audit slice, adaptive-K integer Lloyd
-    clustering, found = same-cluster truth pairs in under-cap
-    clusters."""
+    clustering, found = truth pairs sharing ANY top-2 probe cluster
+    whose probe population is under the cap (the production multiprobe
+    detect rule the audit now tracks)."""
     from metadata_extractors_api_spark.operators.pipeline import (
         KM_ITERS,
         KM_SCALE,
@@ -1113,17 +1126,14 @@ def test_semantic_recall_audit_matches_numpy(spark, sf_dir):
     )
     cent = {c: X[ids.index(c + 1)].copy() for c in range(km_k)}
 
-    def assign():
-        return {
-            i: min(
-                range(km_k),
-                key=lambda c: (int(sum((X[r] - cent[c]) ** 2)), c),
-            )
-            for r, i in enumerate(ids)
-        }
+    def order(i):
+        r = ids.index(i)
+        return sorted(
+            range(km_k), key=lambda c: (int(sum((X[r] - cent[c]) ** 2)), c)
+        )
 
     for _ in range(KM_ITERS):
-        a = assign()
+        a = {i: order(i)[0] for i in ids}
         for c in range(km_k):
             rows = [X[ids.index(i)] for i in ids if a[i] == c]
             if rows:
@@ -1131,10 +1141,10 @@ def test_semantic_recall_audit_matches_numpy(spark, sf_dir):
                 cent[c] = np.array(
                     [int(v) // len(rows) for v in s], dtype=object
                 )
-    a = assign()
+    top2 = {i: set(order(i)[:2]) for i in ids}
     from collections import Counter
 
-    csize = Counter(a.values())
+    probe_pop = Counter(c for p in top2.values() for c in p)
 
     sl = [i for i in ids if i < SEM_AUDIT_N]
     truth = {
@@ -1146,7 +1156,9 @@ def test_semantic_recall_audit_matches_numpy(spark, sf_dir):
     found = {
         (i, j)
         for (i, j) in truth
-        if a[i] == a[j] and csize[a[i]] <= SEM_CLUSTER_CAP
+        if any(
+            probe_pop[c] <= SEM_CLUSTER_CAP for c in top2[i] & top2[j]
+        )
     }
     r = mdx.QUERIES["dedup_semantic_recall_audit"](spark, sf_dir).collect()[0]
     assert r["n_truth"] == len(truth)
