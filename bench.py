@@ -204,9 +204,22 @@ HEADLINE = [
     "multimodal_audio_decode_errors",
     "multimodal_audio_silence_split",
     "multimodal_audio_fingerprint",
+    # round-10 additions
+    "dedup_semantic_boundary_audit",
+    "tokenizer_unigram_prune",
+    "multimodal_audio_resample",
 ]
 
 RUNS = 5
+
+#: Ambient-normalization controls: three cheap, code-stable queries
+#: timed FIRST each run and stamped into the artifact as `controls`.
+#: Cross-round comparisons divide a round's per-query medians by the
+#: controls' drift ratio to cancel machine weather (the r9 1.42x
+#: uniform-drift episode, BENCH.md) instead of arguing about it in
+#: prose. Keep this list frozen — its value is that the same three
+#: queries never change across rounds.
+CONTROLS = ["scan_parquet", "agg_groupby", "limit_topk"]
 
 
 def time_query(fn, spark, sf_dir: str) -> float:
@@ -253,6 +266,20 @@ def main() -> None:
     spark = get_spark(app_name="mdx-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Controls first: medians of the three frozen normalization queries
+    # before the main sweep heats anything, quotable as the run's
+    # ambient factor.
+    controls: dict[str, float] = {}
+    for name in CONTROLS:
+        fn = QUERIES[name]
+        time_query(fn, spark, sf_dir)  # warm-up
+        controls[name] = round(
+            statistics.median(
+                [time_query(fn, spark, sf_dir) for _ in range(RUNS)]
+            ),
+            4,
+        )
+
     names = [n for n in HEADLINE if n in QUERIES]
     results: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -270,6 +297,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "spread": spread,
+        "controls": controls,
         "runs": RUNS,
         "load1_at_start": round(load1, 2),
         "ncpu": ncpu,

