@@ -473,6 +473,11 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     "sim_hybrid_rrf_ann": {"doc_id,lex_units", "cosine,vec_id"},
     "tokenizer_unigram_em_step": {"new_mass,symbol"},  # rank over top-30 report
     "tokenizer_unigram_em_train": {"symbol,weight"},  # rank over top-30 report
+    # prune rank over the piece-inventory relation (vocabulary-sized,
+    # thousands after the WP_MAXP/WP_MAX_CHARS caps — the SentencePiece
+    # shrink is BY DEFINITION a rank over the whole piece inventory)
+    # + the top-30 report window (same column signature)
+    "tokenizer_unigram_prune": {"symbol,weight"},
     # slope median over the calendar-bounded month-pair domain (~84²/2)
     "trend_theil_sen": {"_w0,m1,m2", "<global-unordered>"},
 }
