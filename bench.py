@@ -208,6 +208,8 @@ HEADLINE = [
     "dedup_semantic_boundary_audit",
     "tokenizer_unigram_prune",
     "multimodal_audio_resample",
+    "multimodal_audio_autocorr",
+    "embedding_int8_quant_audit",
 ]
 
 RUNS = 5

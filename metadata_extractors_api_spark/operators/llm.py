@@ -5150,6 +5150,105 @@ def multimodal_audio_fingerprint(
     )
 
 
+#: Fixed autocorrelation lags (samples) for the periodicity probe:
+#: powers of two spanning the short-pitch range at the fixture rate.
+AUDIO_AC_LAGS = (1, 2, 4, 8)
+
+
+@register(
+    "multimodal_audio_autocorr",
+    oracle=f"""
+    WITH pcm AS (
+      SELECT doc_id,
+             list_transform(str_split(text, ''), c -> ord(c) - 64)
+                 AS s
+      FROM documents),
+    a AS (
+      SELECT doc_id, CAST(len(s) AS BIGINT) AS n_samples,
+             CAST(COALESCE(list_sum(list_transform(s,
+               v -> CAST(v AS BIGINT) * v)), 0) AS BIGINT) AS ac0,
+             {", ".join(
+               f'''CAST(COALESCE(list_sum(list_transform(
+                 range(1, len(s) - {L} + 1),
+                 i -> CAST(s[i] AS BIGINT) * s[i + {L}])), 0)
+                 AS BIGINT) AS ac{L}''' for L in AUDIO_AC_LAGS)},
+             CAST(COALESCE(list_sum(list_transform(
+               range(1, len(s)),
+               i -> CASE WHEN s[i] * s[i + 1] < 0
+                    THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_zero_cross
+      FROM pcm)
+    SELECT doc_id, n_samples, ac0,
+           {", ".join(f"ac{L}" for L in AUDIO_AC_LAGS)},
+           n_zero_cross,
+           CAST(CASE greatest({", ".join(f"ac{L}" for L in AUDIO_AC_LAGS)})
+                {" ".join(f"WHEN ac{L} THEN {L}" for L in AUDIO_AC_LAGS)}
+                END AS BIGINT) AS dominant_lag
+    FROM a
+    """,
+)
+def multimodal_audio_autocorr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Short-lag autocorrelation over REAL decoded samples — the
+    exact-integer core of pitch/periodicity detection (the
+    autocorrelation method every speech front-end runs before F0
+    estimation, reduced to fixed AUDIO_AC_LAGS so both engines agree
+    bit for bit): per document, the raw autocorrelation sums
+    ac_L = sum s[i]*s[i+L] at lags {{1,2,4,8}}, the energy ac0 (lag 0,
+    the normalizer), the DOMINANT lag (argmax over the probed lags,
+    ties to the shortest — a periodic signal peaks at its period), and
+    the zero-crossing count (the free companion periodicity/voicing
+    feature: sign flips per sample). Decode is the REAL RIFF/WAV
+    parser (decode_wav); the oracle recomputes every sum from the
+    sample formula, so an off-by-one in the lag alignment or a
+    mis-decoded byte fails the hash.
+
+    Scale shape: one Arrow-batched mapInPandas decode pass computing
+    all sums vectorized per document — zero shuffles, embarrassingly
+    parallel; per-doc cost is O(n_samples * n_lags) with tiny constant
+    (numpy dot of shifted views). Extends the audio ladder decode ->
+    frames -> VAD -> fingerprint -> resample with the feature rung
+    (SURVEY §2.B.11 multimodal family)."""
+
+    def ac_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = (
+                ["doc_id", "n_samples", "ac0"]
+                + [f"ac{L}" for L in AUDIO_AC_LAGS]
+                + ["n_zero_cross", "dominant_lag"]
+            )
+            out = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = decode_wav(_wav_payload(text))["samples"].astype(
+                    np.int64
+                )
+                acs = {}
+                for L in AUDIO_AC_LAGS:
+                    acs[L] = (
+                        int((s[:-L] * s[L:]).sum()) if len(s) > L else 0
+                    )
+                best = max(acs.values())
+                dom = next(L for L in AUDIO_AC_LAGS if acs[L] == best)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(s))
+                out["ac0"].append(int((s * s).sum()))
+                for L in AUDIO_AC_LAGS:
+                    out[f"ac{L}"].append(acs[L])
+                out["n_zero_cross"].append(
+                    int(((s[:-1] * s[1:]) < 0).sum()) if len(s) > 1 else 0
+                )
+                out["dominant_lag"].append(dom)
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = (
+        "doc_id long, n_samples long, ac0 long, "
+        + ", ".join(f"ac{L} long" for L in AUDIO_AC_LAGS)
+        + ", n_zero_cross long, dominant_lag long"
+    )
+    return d.mapInPandas(ac_batches, schema)
+
+
 #: Integer decimation ratio for the resample rung (8 kHz -> 4 kHz):
 #: keep every AUDIO_DECIM-th sample, exact and engine-agnostic. A
 #: production resampler low-pass-filters first; the plumbing (decode ->

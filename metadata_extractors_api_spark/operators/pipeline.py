@@ -1799,6 +1799,136 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# int8 quantization audit
+# ---------------------------------------------------------------------------
+
+#: int8 symmetric-quantization peak code (the [-127, 127] grid every
+#: vector store's SQ8 codec uses; -128 unused for symmetry).
+INT8_PEAK = 127
+
+
+@register(
+    "embedding_int8_quant_audit",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * {KM_SCALE}) AS BIGINT))
+                 AS xs
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, xs,
+             CAST(greatest(list_max(list_transform(xs, v -> abs(v))), 1)
+                  AS BIGINT) AS scale,
+             CAST(list_sum(list_transform(xs, v -> v * v)) AS BIGINT)
+                 AS norm
+      FROM q),
+    e AS (
+      SELECT vec_id, xs, scale, norm,
+             list_transform(xs, v ->
+               CASE WHEN v < 0 THEN -(((-v) * {INT8_PEAK}) // scale)
+                    ELSE (v * {INT8_PEAK}) // scale END) AS qs
+      FROM s),
+    r AS (
+      SELECT vec_id, xs, scale, norm, qs,
+             list_transform(qs, c ->
+               CASE WHEN c < 0 THEN -(((-c) * scale) // {INT8_PEAK})
+                    ELSE (c * scale) // {INT8_PEAK} END) AS rs
+      FROM e)
+    SELECT vec_id, scale, norm,
+           CAST(list_sum(list_transform(range(1, CAST(len(xs) AS INT) + 1),
+             i -> (xs[i] - rs[i]) * (xs[i] - rs[i]))) AS BIGINT) AS sq_err,
+           CAST(list_sum(list_transform(range(1, CAST(len(xs) AS INT) + 1),
+             i -> (xs[i] - rs[i]) * (xs[i] - rs[i]))) * 1000000
+             // greatest(norm, 1) AS BIGINT) AS rel_err_e6,
+           CAST(COALESCE(list_sum(list_transform(qs,
+             c -> CASE WHEN abs(c) = {INT8_PEAK} THEN 1 ELSE 0 END)), 0)
+             AS BIGINT) AS n_peak
+    FROM r
+    """,
+)
+def embedding_int8_quant_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Symmetric int8 (SQ8) quantization audit — the codec every vector
+    store offers to cut an embedding corpus 4x before ANN indexing,
+    with the reconstruction-error census a pipeline runs BEFORE
+    committing to it: per vector, the quantization scale (max |coord|
+    on the exact 2^24 grid), the int8 codes q = sign-split
+    (|x|*127) div scale (magnitude/sign separated so Spark's
+    truncating `div` and DuckDB's flooring `//` agree on the same
+    non-negative operands), the reconstruction x' = (|q|*scale) div
+    127, and exact-integer witnesses: sq_err (L2^2 of x - x' on the
+    grid), rel_err_e6 = 1e6 * sq_err / ||x||^2 (the SNR-style quality
+    number an SQ8 rollout is judged by), and n_peak (coords at the
+    +/-127 rail — saturation census). Everything is exact int64, so
+    the audit hash-matches bit for bit across engines.
+
+    Scale shape: one map pass, zero shuffles, whole-stage codegen over
+    array expressions (transform/zip_with) — at 100 TB this runs as a
+    side-column of the embedding scan. Completes the embedding-codec
+    audit family: PQ (sim_ann_pq), matryoshka truncation, random
+    projection, and now scalar quantization (SURVEY §2.B.11)."""
+    e = load(spark, sf_dir, "embeddings", parallelize=True)
+    d = e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x ->"
+            f" cast(floor(cast(x as double) * {KM_SCALE}) as bigint))"
+        ).alias("xs"),
+    )
+    s = d.select(
+        "vec_id",
+        "xs",
+        F.expr(
+            "cast(greatest(array_max(transform(xs, v -> abs(v))), 1)"
+            " as bigint)"
+        ).alias("scale"),
+        F.expr(
+            "cast(aggregate(transform(xs, v -> v * v),"
+            " cast(0 as bigint), (a, v) -> a + v) as bigint)"
+        ).alias("norm"),
+    )
+    r = s.select(
+        "vec_id",
+        "xs",
+        "scale",
+        "norm",
+        F.expr(
+            f"transform(xs, v -> CASE WHEN v < 0"
+            f" THEN -(((-v) * {INT8_PEAK}) div scale)"
+            f" ELSE (v * {INT8_PEAK}) div scale END)"
+        ).alias("qs"),
+    ).withColumn(
+        "rs",
+        F.expr(
+            f"transform(qs, c -> CASE WHEN c < 0"
+            f" THEN -(((-c) * scale) div {INT8_PEAK})"
+            f" ELSE (c * scale) div {INT8_PEAK} END)"
+        ),
+    )
+    return r.select(
+        "vec_id",
+        "scale",
+        "norm",
+        F.expr(
+            "cast(aggregate(zip_with(xs, rs, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (a, v) -> a + v) as bigint)"
+        ).alias("sq_err"),
+        F.expr(
+            "cast(aggregate(zip_with(xs, rs, (x, y) -> (x - y) * (x - y)),"
+            " cast(0 as bigint), (a, v) -> a + v) * 1000000"
+            " div greatest(norm, 1) as bigint)"
+        ).alias("rel_err_e6"),
+        F.expr(
+            f"cast(aggregate(transform(qs, c -> CASE WHEN abs(c) ="
+            f" {INT8_PEAK} THEN cast(1 as bigint) ELSE cast(0 as bigint)"
+            f" END), cast(0 as bigint), (a, v) -> a + v) as bigint)"
+        ).alias("n_peak"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # random projection (Johnson–Lindenstrauss)
 # ---------------------------------------------------------------------------
 

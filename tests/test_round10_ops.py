@@ -315,3 +315,99 @@ def test_audio_resample_matches_naive_stride(spark, sf_dir):
     # never grows
     oks = [v for v in got.values() if v[0] == "ok" and v[1] and v[1] > 1]
     assert oks and all(v[2] < v[1] and v[4] <= v[3] for v in oks)
+
+# --- multimodal_audio_autocorr --------------------------------------------------
+
+
+def test_audio_autocorr_matches_naive_loops(spark, sf_dir):
+    """Autocorrelation sums, zero crossings, and dominant lag recomputed
+    with naive python loops (no numpy views, no decoder)."""
+    from metadata_extractors_api_spark.operators.llm import AUDIO_AC_LAGS
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    want = {}
+    for d, text in texts.items():
+        s = [ord(c) - 64 for c in text]
+        acs = {}
+        for L in AUDIO_AC_LAGS:
+            acs[L] = sum(
+                s[i] * s[i + L] for i in range(max(len(s) - L, 0))
+            )
+        best = max(acs.values())
+        dom = next(L for L in AUDIO_AC_LAGS if acs[L] == best)
+        zc = sum(
+            1 for i in range(max(len(s) - 1, 0)) if s[i] * s[i + 1] < 0
+        )
+        want[d] = (
+            len(s),
+            sum(v * v for v in s),
+            tuple(acs[L] for L in AUDIO_AC_LAGS),
+            zc,
+            dom,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_samples"],
+            r["ac0"],
+            tuple(r[f"ac{L}"] for L in AUDIO_AC_LAGS),
+            r["n_zero_cross"],
+            r["dominant_lag"],
+        )
+        for r in mdx.QUERIES["multimodal_audio_autocorr"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    # Cauchy-Schwarz sanity: no lagged sum exceeds the energy
+    assert all(all(a <= v[1] for a in v[2]) for v in got.values())
+
+
+# --- embedding_int8_quant_audit -------------------------------------------------
+
+
+def test_int8_quant_audit_matches_python_replay(spark, sf_dir):
+    """SQ8 quantize/reconstruct replayed with plain-python integer
+    arithmetic (magnitude/sign-split divisions, no numpy)."""
+    from metadata_extractors_api_spark.operators.pipeline import (
+        INT8_PEAK,
+        KM_SCALE,
+    )
+
+    embs = _embs(sf_dir)
+    want = {}
+    for vid, vec in embs.items():
+        xs = [math.floor(float(x) * KM_SCALE) for x in vec]
+        scale = max(max(abs(v) for v in xs), 1)
+        norm = sum(v * v for v in xs)
+
+        def sdiv(a, b):
+            return -((-a) // b) if a < 0 else a // b
+
+        qs = [sdiv(v * INT8_PEAK, scale) for v in xs]
+        rs = [sdiv(c * scale, INT8_PEAK) for c in qs]
+        sq = sum((x - r) ** 2 for x, r in zip(xs, rs))
+        want[vid] = (
+            scale,
+            norm,
+            sq,
+            sq * 10**6 // max(norm, 1),
+            sum(1 for c in qs if abs(c) == INT8_PEAK),
+        )
+    got = {
+        r["vec_id"]: (
+            r["scale"],
+            r["norm"],
+            r["sq_err"],
+            r["rel_err_e6"],
+            r["n_peak"],
+        )
+        for r in mdx.QUERIES["embedding_int8_quant_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    # SQ8 sanity: every vector saturates at least its own max coord,
+    # and relative error is small but nonzero somewhere
+    assert all(v[4] >= 1 for v in got.values())
+    assert any(v[2] > 0 for v in got.values())
