@@ -1400,17 +1400,29 @@ def _markov_updates(ev: DataFrame) -> DataFrame:
     )
 
     def update(key, pdfs, state):
-        # State holds the transition counts as TYPED parallel arrays
-        # (srcs, dsts, cnts) — the state store's own array encoding, so
-        # arbitrary event_type values (containing '|', '>', ':',
-        # quotes, ...) round-trip exactly with no serialization layer
-        # to corrupt or bloat: ~10x fewer state bytes than the JSON
-        # string this replaces, and no parse step to fail silently.
+        # State holds the transition counts as a TYPED per-key
+        # dictionary matrix: the SORTED alphabet of event types this
+        # key has seen (each type stored ONCE) plus a flat row-major
+        # K x K bigint count matrix (cnts[i*K + j] = count of
+        # alpha[i] -> alpha[j]). Typed arrays mean arbitrary
+        # event_type values (containing '|', '>', ':', quotes, ...)
+        # round-trip exactly with no serialization layer to parse or
+        # silently corrupt, and the dictionary encoding keeps the
+        # bytes down: measured at the sf1 decade this is ~3.5x smaller
+        # than the naive (src, dst, cnt) triple-array state (whose
+        # per-element UnsafeRow overhead made it 1.7x LARGER than the
+        # JSON string it replaced — see BENCH.md round-10 note).
+        # Bounded by alphabet + alphabet^2 per key, same as before.
         if state.exists:
-            n, last, srcs, dsts, cnts = state.get
-            counts = {
-                (s, d): int(c) for s, d, c in zip(srcs, dsts, cnts)
-            }
+            n, last, alpha, cnts = state.get
+            alpha = list(alpha)
+            k = len(alpha)
+            counts = {}
+            for i, s in enumerate(alpha):
+                for j, d in enumerate(alpha):
+                    c = int(cnts[i * k + j])
+                    if c:
+                        counts[(s, d)] = c
         else:
             n, last, counts = 0, None, {}
         rows = []
@@ -1419,21 +1431,22 @@ def _markov_updates(ev: DataFrame) -> DataFrame:
         rows.sort(key=lambda r: (r[0], r[1]))
         for _, _, et in rows:
             if last is not None:
-                k = (last, et)
-                counts[k] = counts.get(k, 0) + 1
+                kk = (last, et)
+                counts[kk] = counts.get(kk, 0) + 1
             last = et
         n += len(rows)
-        ordered = sorted(counts.items())
-        srcs = [s for (s, _d), _c in ordered]
-        dsts = [d for (_s, d), _c in ordered]
-        cnts = [c for (_s, _d), c in ordered]
-        state.update((n, last, srcs, dsts, cnts))
+        alpha = sorted({t for pair in counts for t in pair})
+        idx = {t: i for i, t in enumerate(alpha)}
+        k = len(alpha)
+        cnts = [0] * (k * k)
+        for (s, d), c in counts.items():
+            cnts[idx[s] * k + idx[d]] = c
+        state.update((n, last, alpha, cnts))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "srcs": [srcs],
-                "dsts": [dsts],
+                "alpha": [alpha],
                 "cnts": [cnts],
             }
         )
@@ -1441,12 +1454,12 @@ def _markov_updates(ev: DataFrame) -> DataFrame:
     return coded.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=(
-            "user_id bigint, n_events bigint, srcs array<string>,"
-            " dsts array<string>, cnts array<bigint>"
+            "user_id bigint, n_events bigint, alpha array<string>,"
+            " cnts array<bigint>"
         ),
         stateStructType=(
-            "n bigint, last string, srcs array<string>,"
-            " dsts array<string>, cnts array<bigint>"
+            "n bigint, last string, alpha array<string>,"
+            " cnts array<bigint>"
         ),
         outputMode="update",
         timeoutConf="NoTimeout",
@@ -1455,28 +1468,37 @@ def _markov_updates(ev: DataFrame) -> DataFrame:
 
 def _markov_serve(updates: DataFrame) -> DataFrame:
     """Serving side of stream_markov_transition: keep each user's final
-    state (max n_events — monotone), explode the typed count arrays,
+    state (max n_events — monotone), decode the per-key dictionary
+    matrix (flat index i -> (alpha[i div K], alpha[i mod K])),
     aggregate the global transition matrix, row-normalize. The typed
     arrays need no parse step — the JSON-decode failure mode (PERMISSIVE
     from_json silently nulling a corrupt row) is structurally gone."""
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     final = (
         updates.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.size("srcs") > 0))
+        .filter((F.col("rn") == 1) & (F.size("alpha") > 0))
+        .withColumn("k", F.size("alpha").cast("bigint"))
+        .select("alpha", "k", F.posexplode("cnts").alias("i", "cnt"))
+        .filter(F.col("cnt") > 0)
         .select(
-            F.explode(F.arrays_zip("srcs", "dsts", "cnts")).alias("ent")
-        )
-        .select(
-            F.col("ent.srcs").alias("src"),
-            F.col("ent.dsts").alias("dst"),
-            F.col("ent.cnts").cast("bigint").alias("cnt"),
+            F.element_at(
+                "alpha", (F.expr("i div k") + 1).cast("int")
+            ).alias("src"),
+            F.element_at(
+                "alpha", (F.col("i") % F.col("k") + 1).cast("int")
+            ).alias("dst"),
+            F.col("cnt").cast("bigint").alias("cnt"),
         )
     )
-    # Typed-state guard: ragged parallel arrays would surface as a NULL
-    # cnt after the zip — fail loudly instead of dropping the entry.
+    # Typed-state guard: a count matrix whose length disagrees with
+    # alphabet^2 would index past the alphabet and surface as a NULL
+    # src/dst — fail loudly instead of dropping the entry.
     final = final.withColumn(
         "cnt",
-        F.when(F.col("cnt").isNull(), F.raise_error(F.lit("corrupt markov state entry"))).otherwise(F.col("cnt")),
+        F.when(
+            F.col("src").isNull() | F.col("dst").isNull(),
+            F.raise_error(F.lit("corrupt markov state entry")),
+        ).otherwise(F.col("cnt")),
     )
     counts = final.groupBy("src", "dst").agg(
         F.sum("cnt").cast("bigint").alias("n")
