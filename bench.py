@@ -210,6 +210,7 @@ HEADLINE = [
     "multimodal_audio_resample",
     "multimodal_audio_autocorr",
     "embedding_int8_quant_audit",
+    "multimodal_audio_spectral_bands",
 ]
 
 RUNS = 5

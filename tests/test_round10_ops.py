@@ -411,3 +411,63 @@ def test_int8_quant_audit_matches_python_replay(spark, sf_dir):
     # and relative error is small but nonzero somewhere
     assert all(v[4] >= 1 for v in got.values())
     assert any(v[2] > 0 for v in got.values())
+
+
+# --- multimodal_audio_spectral_bands ---------------------------------------------
+
+
+def test_audio_spectral_bands_matches_naive_dft(spark, sf_dir):
+    """Band powers recomputed with a NAIVE complex-DFT loop (cmath
+    exp(-jwi) rounded back to exact integers at the integer-twiddle
+    bins) — not the sign-pattern shortcut the operator and oracle
+    share, so a wrong sign cycle in the shared formula fails here."""
+    import cmath
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    want = {}
+    for d, text in texts.items():
+        s = [ord(c) - 64 for c in text]
+        comps = {}
+        for band, w in (("dc", 0.0), ("quarter", math.pi / 2),
+                        ("nyquist", math.pi)):
+            z = sum(v * cmath.exp(-1j * w * i) for i, v in enumerate(s))
+            comps[band] = (round(z.real), round(z.imag))
+        powers = {b: re * re + im * im for b, (re, im) in comps.items()}
+        best = max(powers.values())
+        dom = next(
+            b for b in ("dc", "quarter", "nyquist") if powers[b] == best
+        )
+        want[d] = (
+            len(s),
+            comps["dc"][0],
+            comps["nyquist"][0],
+            comps["quarter"][0],
+            comps["quarter"][1],
+            powers["dc"],
+            powers["quarter"],
+            powers["nyquist"],
+            dom,
+        )
+    got = {
+        r["doc_id"]: (
+            r["n_samples"],
+            r["dc"],
+            r["ny_re"],
+            r["q_re"],
+            r["q_im"],
+            r["p_dc"],
+            r["p_quarter"],
+            r["p_nyquist"],
+            r["dominant_band"],
+        )
+        for r in mdx.QUERIES["multimodal_audio_spectral_bands"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+    # Parseval-flavored sanity: each bin power is bounded by n * energy
+    for d, text in texts.items():
+        s = [ord(c) - 64 for c in text]
+        bound = max(len(s), 1) * sum(v * v for v in s)
+        assert max(want[d][5], want[d][6], want[d][7]) <= bound
