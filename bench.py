@@ -211,6 +211,7 @@ HEADLINE = [
     "multimodal_audio_autocorr",
     "embedding_int8_quant_audit",
     "multimodal_audio_spectral_bands",
+    "dq_benford_screen",
 ]
 
 RUNS = 5

@@ -2291,3 +2291,119 @@ def agg_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tested.crossJoin(F.broadcast(fill)).select(
         "key", "claimed_member", "true_member", "n_set_bits"
     )
+
+
+#: First-significant-digit Benford expectations, scaled 1e6 (rounded
+#: floor(log10(1 + 1/d) * 1e6) adjusted to sum EXACTLY to 1_000_000 —
+#: they do naturally: 301030+176091+124939+96910+79181+66947+57992+
+#: 51153+45757 = 1_000_000), shared verbatim by both engines as CASE
+#: literals so no engine ever evaluates a log10.
+BENFORD_E6 = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+#: Alert when |observed - expected| / expected exceeds 15% (1e6-scaled).
+BENFORD_ALERT_E6 = 150_000
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {e}" for d, e in BENFORD_E6.items()
+)
+
+
+@register(
+    "dq_benford_screen",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs),
+    spine AS (
+      SELECT CAST(range AS BIGINT) AS digit,
+             CAST(CASE range {_BENFORD_CASE} END AS BIGINT) AS benford_e6
+      FROM range(1, 10)),
+    j AS (
+      SELECT s.digit, s.benford_e6,
+             CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs, t.n_total,
+             t.n_total * s.benford_e6 AS expected_e6,
+             CAST(COALESCE(o.n_obs, 0) AS BIGINT) * 1000000
+               - t.n_total * s.benford_e6 AS dev_e6
+      FROM spine s LEFT JOIN obs o ON o.digit = s.digit CROSS JOIN tot t)
+    SELECT digit, n_obs, n_total, benford_e6, expected_e6, dev_e6,
+           (abs(dev_e6) // n_total) * 1000000 // benford_e6
+             AS rel_abs_dev_e6,
+           ((abs(dev_e6) // n_total) * 1000000 // benford_e6)
+             > {BENFORD_ALERT_E6} AS flagged
+    FROM j
+    """,
+)
+def dq_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit screen over order totals — the
+    classic fabricated-data / corruption detector every audit pipeline
+    runs on monetary columns (Nigrini's digit-frequency test): compare
+    each leading digit's observed share against Benford's law
+    P(d) = log10(1 + 1/d) and flag digits whose relative deviation
+    exceeds 15%. The expectations are FIXED 1e6-scaled integer literals
+    shared by both engines (they sum to exactly 1_000_000), so the
+    whole screen is integer arithmetic end to end: expected_e6 =
+    n_total * benford_e6, dev_e6 = n_obs * 1e6 - expected_e6 (signed
+    witness), and rel_abs_dev_e6 = (|dev_e6| div n_total) * 1e6 div
+    benford_e6 — the per-row share deviation in e6 units, quantized by
+    dividing out n_total FIRST so the intermediate is bounded by 1e12
+    regardless of corpus size (every division is on non-negative ints,
+    so DuckDB's floor-// and Spark's truncating-div agree). The
+    9-digit spine LEFT-joins the census so a digit with zero
+    observations still reports (its deviation is -expected, maximally
+    flagged). TPC-H order totals are NOT Benford-distributed (bounded
+    product mix), so the fixture exercises the alert path — the screen
+    demonstrably fires.
+
+    Int64 headroom: the widest value is |dev_e6| <= n_total * 1e6,
+    exact to n_total ~ 9.2e12 rows — four orders of magnitude past a
+    100 TB orders table; the rel step's intermediates are bounded by
+    1e12 independent of n_total.
+
+    Scale shape: one map-side-combinable groupBy into <= 9 digit
+    buckets; the spine join and the 1-row total broadcast are
+    constant-size. Nothing downstream of the first agg is data-sized.
+    """
+    orders = load(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+            " AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    obs = orders.groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    spine = spark.range(1, 10).select(
+        F.col("id").cast("bigint").alias("digit"),
+        F.expr(f"CAST(CASE id {_BENFORD_CASE} END AS BIGINT)").alias(
+            "benford_e6"
+        ),
+    )
+    j = (
+        spine.join(obs.withColumnRenamed("digit", "odigit"),
+                   F.col("digit") == F.col("odigit"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+            "n_total",
+            "benford_e6",
+            (F.col("n_total") * F.col("benford_e6")).alias("expected_e6"),
+            (
+                F.coalesce("n_obs", F.lit(0)).cast("bigint") * 1000000
+                - F.col("n_total") * F.col("benford_e6")
+            ).alias("dev_e6"),
+        )
+    )
+    rel = F.expr("(abs(dev_e6) div n_total) * 1000000 div benford_e6")
+    return j.select(
+        "digit", "n_obs", "n_total", "benford_e6", "expected_e6",
+        "dev_e6",
+        rel.alias("rel_abs_dev_e6"),
+        (rel > BENFORD_ALERT_E6).alias("flagged"),
+    )

@@ -471,3 +471,44 @@ def test_audio_spectral_bands_matches_naive_dft(spark, sf_dir):
         s = [ord(c) - 64 for c in text]
         bound = max(len(s), 1) * sum(v * v for v in s)
         assert max(want[d][5], want[d][6], want[d][7]) <= bound
+
+
+# --- dq_benford_screen ------------------------------------------------------------
+
+
+def test_benford_screen_matches_python_replay(spark, sf_dir):
+    """Digit census + deviations replayed with plain-python ints from
+    the raw parquet (str() of the floored total, no SQL, no numpy)."""
+    from metadata_extractors_api_spark.operators.stats import (
+        BENFORD_ALERT_E6,
+        BENFORD_E6,
+    )
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    prices = t["o_totalprice"].to_pylist()
+    counts = {d: 0 for d in range(1, 10)}
+    for p in prices:
+        counts[int(str(math.floor(p))[0])] += 1
+    n_total = sum(counts.values())
+    assert n_total == len(prices)  # every first digit is 1..9
+    want = {}
+    for d in range(1, 10):
+        expected = n_total * BENFORD_E6[d]
+        dev = counts[d] * 10**6 - expected
+        rel = (abs(dev) // n_total) * 10**6 // BENFORD_E6[d]
+        want[d] = (
+            counts[d], n_total, BENFORD_E6[d], expected, dev, rel,
+            rel > BENFORD_ALERT_E6,
+        )
+    got = {
+        r["digit"]: (
+            r["n_obs"], r["n_total"], r["benford_e6"], r["expected_e6"],
+            r["dev_e6"], r["rel_abs_dev_e6"], r["flagged"],
+        )
+        for r in mdx.QUERIES["dq_benford_screen"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # the screen must actually FIRE on the non-Benford TPC-H totals
+    assert any(v[6] for v in want.values())
+    # and the signed deviations must cancel (both shares sum to 1e6)
+    assert sum(v[4] for v in want.values()) == 0
