@@ -19,6 +19,9 @@ llm.py:1892).
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2513,14 +2516,14 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merge RESULTS — the two genuinely differ on words where a
     late-learned long piece shadows an early merge.
 
-    Scale shape: ONE corpus pass builds the histogram; the vocabulary
-    derivation and all WP_STEPS greedy rounds run over the HISTOGRAM
-    (distinct words), never corpus bytes. Each round is an explode of
-    at most WP_MAXP candidate prefix lengths, a hash EQUI-join on the
-    prefix string against the vocabulary (no inequality join, no
-    broadcast of data-derived relations), and a per-word struct-max;
-    the live set only shrinks. The oracle unrolls the identical
-    rounds (8th use of the generated-oracle pattern).
+    Scale shape: ONE corpus pass builds the histogram; the greedy
+    encode is ONE Arrow-batched pass over the HISTOGRAM (distinct
+    words), never corpus bytes, with the bounded symbol inventory
+    (alphabet + BPE_TRAIN_ROUNDS merges, VOC_COLLECT_CAP-guarded) in
+    the task closure — the same relation the former 13-round unrolled
+    plan broadcast per round, now shipped once with zero per-round
+    shuffles. The oracle unrolls the equivalent relational rounds
+    (8th use of the generated-oracle pattern).
 
     Ground truth: tests/test_round8_ops.py re-encodes a hand corpus
     with a plain-Python greedy loop and asserts the census matches."""
@@ -2553,67 +2556,51 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .filter(F.length("symbol") <= WP_MAXP)
-        .withColumn("slen", F.length("symbol").cast("bigint"))
-        .localCheckpoint()
-    )
-    live = (
-        words.filter(F.length("word") <= WP_MAX_CHARS)
-        .select(
-            "word",
-            "cnt",
-            F.concat(F.lit(BPE_MARKER), F.col("word")).alias("rest"),
-        )
-        .localCheckpoint()
     )
     skipped = (
         words.filter(F.length("word") > WP_MAX_CHARS)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_words_skipped"))
     )
-    piece_parts = []
-    for _ in range(WP_STEPS):
-        cand = live.select(
-            "word",
-            F.explode(
-                F.sequence(
-                    F.lit(1), F.least(F.length("rest"), F.lit(WP_MAXP))
-                )
-            ).alias("plen"),
-            F.col("rest"),
-        ).withColumn("prefix", F.expr("substring(rest, 1, plen)"))
-        best = (
-            cand.join(voc, cand.prefix == voc.symbol)
-            .groupBy("word")
-            .agg(F.max(F.struct(F.col("slen"), F.col("symbol"))).alias("m"))
-            .select(
-                F.col("word").alias("bword"),
-                F.col("m.symbol").alias("psym"),
-                F.col("m.slen").alias("pslen"),
+    # ONE Arrow-batched greedy pass with the bounded symbol set (see
+    # VOC_COLLECT_CAP — the identical relation the former per-round
+    # plan broadcast 13 times) in the task closure, replacing WP_STEPS
+    # eagerly-checkpointed rounds of explode + hash join + per-word
+    # argmax + left join. The Python loop is the literal greedy
+    # longest-match-first semantics (one symbol per length, '?'
+    # consumes one char), partial-aggregated per batch; every word is
+    # consumed within WP_STEPS steps (padded length <= WP_MAX_CHARS+1),
+    # so the while-loop equals the unrolled rounds bit for bit.
+    vocab = set(
+        _collect_vocab(voc.withColumn("weight", F.length("symbol")))
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            census: dict = {}
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                if len(word) > WP_MAX_CHARS:
+                    continue
+                rest = BPE_MARKER + word
+                while rest:
+                    ln = min(len(rest), WP_MAXP)
+                    while ln > 0 and rest[:ln] not in vocab:
+                        ln -= 1
+                    if ln > 0:
+                        piece, consumed = rest[:ln], ln
+                    else:
+                        piece, consumed = "?", 1
+                    census[piece] = census.get(piece, 0) + int(cnt)
+                    rest = rest[consumed:]
+            yield pd.DataFrame(
+                {
+                    "piece": list(census.keys()),
+                    "cnt": list(census.values()),
+                }
             )
-        )
-        step = live.join(best, live.word == best.bword, "left").select(
-            "word",
-            "cnt",
-            F.coalesce(F.col("psym"), F.lit("?")).alias("piece"),
-            F.coalesce(F.col("pslen"), F.lit(1))
-            .cast("bigint")
-            .alias("consumed"),
-            "rest",
-        )
-        piece_parts.append(step.select("piece", "cnt"))
-        live = (
-            step.filter(F.length("rest") > F.col("consumed"))
-            .select(
-                "word",
-                "cnt",
-                F.expr(
-                    "substring(rest, cast(consumed as int) + 1)"
-                ).alias("rest"),
-            )
-            .localCheckpoint()
-        )
-    allp = piece_parts[0]
-    for p in piece_parts[1:]:
-        allp = allp.unionByName(p)
+
+    allp = words.select("word", "cnt").mapInPandas(
+        enc, "piece string, cnt long"
+    )
     agg = allp.groupBy("piece").agg(
         F.sum("cnt").cast("bigint").alias("uses")
     ).withColumn("n_chars", F.length("piece").cast("bigint"))
@@ -2797,57 +2784,102 @@ def _viterbi_base(spark: SparkSession, sf_dir: str):
     return eligible, chars.localCheckpoint(), voc
 
 
+#: Refusal bound for collecting a learned vocabulary to the driver.
+#: The piece inventory is alphabet + BPE_TRAIN_ROUNDS merged symbols —
+#: structurally bounded like kmeans' K centroids (the same relation
+#: Spark already ships whole to every executor as the build side of the
+#: per-round broadcast hash join) — so a driver copy is the identical
+#: memory posture with the per-round join overhead removed. The cap
+#: makes the bound observable: a degenerate fixture that somehow grows
+#: an unbounded symbol set refuses loudly instead of melting the driver
+#: (the KNN_MAX_REF discipline, spatial.py).
+VOC_COLLECT_CAP = 1 << 16
+
+
+def _collect_vocab(voc: DataFrame) -> dict:
+    """Collect a (symbol, weight) vocabulary relation into a driver
+    dict under VOC_COLLECT_CAP (raise loudly past the bound)."""
+    rows = voc.select("symbol", "weight").limit(VOC_COLLECT_CAP + 1).collect()
+    if len(rows) > VOC_COLLECT_CAP:
+        raise ValueError(
+            f"vocabulary exceeds VOC_COLLECT_CAP={VOC_COLLECT_CAP}; "
+            "refusing driver collect (degenerate symbol inventory)"
+        )
+    return {r["symbol"]: int(r["weight"]) for r in rows}
+
+
 def _viterbi_dp(eligible: DataFrame, voc: DataFrame) -> DataFrame:
     """The pruned Viterbi DP (one best state per (word, position),
-    VIT_STEPS unrolled rounds) over an arbitrary weighted vocabulary;
-    returns the per-word final states (word, cnt, ..., np, path)."""
-    st = eligible.select(
-        "word",
-        "cnt",
-        F.concat(F.lit(BPE_MARKER), F.col("word")).alias("padded"),
-        F.lit(1).cast("bigint").alias("pos"),
-        F.lit(0).cast("bigint").alias("score"),
-        F.lit(0).cast("bigint").alias("np"),
-        F.lit("").alias("path"),
-    ).localCheckpoint()
-    cols = ["word", "cnt", "padded", "pos", "score", "np", "path"]
-    w_best = Window.partitionBy("word", "pos").orderBy(
-        F.desc("score"), F.asc("np"), F.asc("path")
+    VIT_STEPS rounds) over an arbitrary weighted vocabulary; returns
+    the per-word final states (word, cnt, np, path).
+
+    Executed as ONE Arrow-batched pass over the word histogram with the
+    bounded vocabulary (see VOC_COLLECT_CAP) in the task closure,
+    replacing the former 13 eagerly-checkpointed relational rounds
+    (explode + hash join + keyed window each) — the per-word DP is
+    embarrassingly parallel and exact-integer, so the single pass is
+    bit-identical to the unrolled chain while shuffling nothing. The
+    Python loop below replays the relational rounds literally (extend
+    every kept state by one vocabulary piece, then prune to the best
+    state per position by score DESC, np ASC, path ASC), so even the
+    pruning-order subtleties match the generated oracle."""
+    vocd = _collect_vocab(voc)
+
+    def seg(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            ow, oc, on, op = [], [], [], []
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                padded = BPE_MARKER + word
+                n = len(padded)
+                # pos -> (score, np, path); best = score desc, np asc,
+                # path asc (UTF-8 order == code-point order).
+                st = {1: (0, 0, "")}
+                for _ in range(VIT_STEPS):
+                    ext = []
+                    for pos, (score, np_, path) in st.items():
+                        if pos > n:
+                            continue
+                        maxl = min(n - pos + 1, WP_MAXP)
+                        for plen in range(1, maxl + 1):
+                            sym = padded[pos - 1 : pos - 1 + plen]
+                            wgt = vocd.get(sym)
+                            if wgt is None:
+                                continue
+                            ext.append(
+                                (
+                                    pos + plen,
+                                    score + wgt,
+                                    np_ + 1,
+                                    path + " " + sym if path else sym,
+                                )
+                            )
+                    for pos2, sc, np2, pa in ext:
+                        cur = st.get(pos2)
+                        if (
+                            cur is None
+                            or sc > cur[0]
+                            or (
+                                sc == cur[0]
+                                and (
+                                    np2 < cur[1]
+                                    or (np2 == cur[1] and pa < cur[2])
+                                )
+                            )
+                        ):
+                            st[pos2] = (sc, np2, pa)
+                fin = st.get(n + 1)
+                if fin is not None:
+                    ow.append(word)
+                    oc.append(cnt)
+                    on.append(fin[1])
+                    op.append(fin[2])
+            yield pd.DataFrame(
+                {"word": ow, "cnt": oc, "np": on, "path": op}
+            )
+
+    return eligible.select("word", "cnt").mapInPandas(
+        seg, "word string, cnt long, np long, path string"
     )
-    for _ in range(VIT_STEPS):
-        frontier = st.filter(F.col("pos") <= F.length("padded")).select(
-            *cols,
-            F.explode(
-                F.sequence(
-                    F.lit(1).cast("bigint"),
-                    F.least(
-                        F.length("padded").cast("bigint")
-                        - F.col("pos")
-                        + 1,
-                        F.lit(WP_MAXP).cast("bigint"),
-                    ),
-                )
-            ).alias("plen"),
-        ).withColumn("prefix", F.expr("substring(padded, cast(pos as int), plen)"))
-        ext = frontier.join(voc, frontier.prefix == voc.symbol).select(
-            "word",
-            "cnt",
-            "padded",
-            (F.col("pos") + F.col("slen")).cast("bigint").alias("pos"),
-            (F.col("score") + F.col("weight")).cast("bigint").alias("score"),
-            (F.col("np") + 1).cast("bigint").alias("np"),
-            F.when(F.col("path") == "", F.col("symbol"))
-            .otherwise(F.concat(F.col("path"), F.lit(" "), F.col("symbol")))
-            .alias("path"),
-        )
-        st = (
-            st.unionByName(ext)
-            .withColumn("rn", F.row_number().over(w_best))
-            .filter(F.col("rn") == 1)
-            .select(*cols)
-            .localCheckpoint()
-        )
-    return st.filter(F.col("pos") == F.length("padded") + 1)
 
 
 @register("tokenizer_viterbi_segment", oracle=_viterbi_oracle())

@@ -283,63 +283,129 @@ def _kmeans_oracle() -> str:
 
 
 def _km_pts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings in long format (vec_id, d, xs) with exact-int64
-    quantized coordinates, materialized once for the iteration loop."""
+    """Embeddings as (vec_id, xs array<bigint>) with exact-int64
+    quantized coordinates, materialized once for the iteration loop.
+
+    Array-native form (was long (vec_id, d, xs)): every per-round
+    distance/argmin becomes a NARROW zip_with/aggregate expression over
+    the row's own array instead of a per-dimension join + keyed
+    aggregation + window, cutting the Lloyd round from ~4 exchanges to
+    the single centroid-update groupBy. Same exact integer arithmetic,
+    bit-identical assignments."""
     e = load(spark, sf_dir, "embeddings", parallelize=True)
-    return (
-        e.select("vec_id", F.posexplode("embedding").alias("d0", "x"))
-        .select(
-            "vec_id",
-            (F.col("d0") + 1).alias("d"),
-            F.floor(F.col("x").cast("double") * F.lit(float(KM_SCALE)))
-            .cast("bigint")
-            .alias("xs"),
-        )
-        .localCheckpoint()  # reused by every round: compute once
+    return e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * F.lit(float(KM_SCALE))).cast(
+                "bigint"
+            ),
+        ).alias("xs"),
+    ).localCheckpoint()  # reused by every round: compute once
+
+
+def _km_sqdist(xs, cs):
+    """Exact int64 squared distance between two quantized arrays."""
+    return F.aggregate(
+        F.zip_with(xs, cs, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _km_centmat(cent: DataFrame) -> DataFrame:
+    """The centroid table folded to ONE row (cents: array<struct<
+    cluster, cs>>, cluster-sorted) — the same K*D values the long-form
+    chain broadcast as the per-dimension join's build side, shipped
+    once per round so the distance/argmin pass is shuffle-free."""
+    return cent.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("cluster", "cs"))
+        ).alias("cents")
+    )
+
+
+def _km_cdists(xs_col):
+    """Per-row (dist, cluster) struct array against the broadcast
+    centroid matrix column `cents`; struct field order makes
+    array_sort/min ORDER BY dist, cluster — row_number()=1 semantics
+    exactly (ties to the lowest cluster id)."""
+    return F.transform(
+        "cents",
+        lambda c: F.struct(
+            _km_sqdist(xs_col, c["cs"]).alias("dist"),
+            c["cluster"].alias("cluster"),
+        ),
     )
 
 
 def _km_dist(pts: DataFrame, cent: DataFrame) -> DataFrame:
-    """Exact squared distance of every point to every centroid. The
-    centroid table is K*D rows — always broadcast."""
-    diff = F.col("xs") - F.col("c")
+    """Exact squared distance of every point to every centroid —
+    a narrow explode over the broadcast centroid matrix."""
     return (
-        pts.join(F.broadcast(cent), "d")
-        .groupBy("vec_id", "cluster")
-        .agg(F.sum(diff * diff).alias("dist"))
+        pts.crossJoin(F.broadcast(_km_centmat(cent)))
+        .select("vec_id", F.explode(_km_cdists(F.col("xs"))).alias("cd"))
+        .select(
+            "vec_id",
+            F.col("cd.cluster").alias("cluster"),
+            F.col("cd.dist").alias("dist"),
+        )
     )
 
 
 def _km_assign(pts: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (ties to the lowest cluster id)."""
-    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    """Nearest-centroid assignment (ties to the lowest cluster id) —
+    a shuffle-free argmin via array_min over the (dist, cluster)
+    struct array."""
+    best = F.array_min(_km_cdists(F.col("xs")))
     return (
-        _km_dist(pts, cent)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster", "dist")
+        pts.crossJoin(F.broadcast(_km_centmat(cent)))
+        .select("vec_id", "xs", best.alias("b"))
+        .select(
+            "vec_id",
+            "xs",
+            F.col("b.cluster").alias("cluster"),
+            F.col("b.dist").alias("dist"),
+        )
     )
 
 
 def _km_train(pts: DataFrame, with_prev: bool = False, k: int = KM_K):
     """KM_ITERS Lloyd rounds from the deterministic init (vec_id 1..k);
-    returns the trained centroid table (cluster, d, c), or the pair
-    (cent, prev_cent) when ``with_prev`` — the penultimate iterate
-    feeds kmeans_train's convergence witness."""
+    returns the trained centroid table (cluster, cs array<bigint>), or
+    the pair (cent, prev_cent) when ``with_prev`` — the penultimate
+    iterate feeds kmeans_train's convergence witness.
+
+    Each round is ONE exchange: the shuffle-free argmin assignment
+    (xs rides along) feeding a per-cluster collect_list fold —
+    element-wise int64 sums are order-independent, and the update mean
+    replays floor(CAST(sum AS DOUBLE) / count) per dimension exactly
+    as the long-form groupBy did. Cluster population is bounded by
+    design (K scales with N), so the per-group list is bounded."""
     cent = pts.filter(F.col("vec_id").between(1, k)).select(
-        (F.col("vec_id") - 1).alias("cluster"), "d", F.col("xs").alias("c")
+        (F.col("vec_id") - 1).alias("cluster"), F.col("xs").alias("cs")
     )
     prev = cent
+    zero = F.array_repeat(
+        F.lit(0).cast("bigint"), F.size(F.element_at("vs", 1))
+    )
+    sums = F.aggregate(
+        F.col("vs"), zero, lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
+    )
     for _ in range(KM_ITERS):
         a = _km_assign(pts, cent)
         prev = cent
         cent = (
-            a.join(pts, "vec_id")
-            .groupBy("cluster", "d")
+            a.groupBy("cluster")
             .agg(
-                F.floor(F.sum("xs") / F.count(F.lit(1)))
-                .cast("bigint")
-                .alias("c")
+                F.count(F.lit(1)).alias("n"),
+                F.collect_list("xs").alias("vs"),
+            )
+            .select(
+                "cluster",
+                F.transform(
+                    sums, lambda s: F.floor(s / F.col("n")).cast("bigint")
+                ).alias("cs"),
             )
         )
     return (cent, prev) if with_prev else cent
@@ -363,14 +429,17 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = _km_pts(spark, sf_dir)
     cent, prev = _km_train(pts, with_prev=True)
     res = (
-        cent.join(
-            prev.withColumnsRenamed({"c": "pc"}), ["cluster", "d"]
+        cent.join(F.broadcast(prev.withColumnsRenamed({"cs": "pcs"})), "cluster")
+        .select(
+            F.aggregate(
+                F.zip_with(
+                    "cs", "pcs", lambda a, b: F.abs(a - b)
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("m")
         )
-        .agg(
-            F.sum(F.abs(F.col("c") - F.col("pc")))
-            .cast("bigint")
-            .alias("residual_units")
-        )
+        .agg(F.sum("m").cast("bigint").alias("residual_units"))
     )
     final = _km_assign(pts, cent)
     return (
@@ -1680,12 +1749,18 @@ def _sem_probes(
     the production detect path and the audits share."""
     pts = _km_pts(spark, sf_dir)
     cent = _km_train(pts, k=_sem_k(spark, sf_dir))
-    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    # Shuffle-free top-n_probes: sort the per-row (dist, cluster)
+    # struct array (== ORDER BY dist, cluster) and slice — bit-equal
+    # to the former keyed row_number() window without its exchange.
+    srt = F.slice(F.array_sort(_km_cdists(F.col("xs"))), 1, n_probes)
     return (
-        _km_dist(pts, cent)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_probes)
-        .select("vec_id", "cluster", "rn")
+        pts.crossJoin(F.broadcast(_km_centmat(cent)))
+        .select("vec_id", F.posexplode(srt).alias("p", "cd"))
+        .select(
+            "vec_id",
+            F.col("cd.cluster").alias("cluster"),
+            (F.col("p") + 1).cast("int").alias("rn"),
+        )
         .localCheckpoint()  # reused by census, pair gen, and report
     )
 
@@ -2514,12 +2589,18 @@ def dedup_semantic_boundary_audit(
     ratios exact integers."""
     pts = _km_pts(spark, sf_dir)
     cent = _km_train(pts, k=_sem_k(spark, sf_dir))
-    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    # Shuffle-free top-3 (see _sem_probes): struct-array sort + slice
+    # replaces the keyed row_number() window bit for bit.
+    srt3 = F.slice(F.array_sort(_km_cdists(F.col("xs"))), 1, 3)
     r3 = (
-        _km_dist(pts, cent)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("vec_id", "cluster", "dist", "rn")
+        pts.crossJoin(F.broadcast(_km_centmat(cent)))
+        .select("vec_id", F.posexplode(srt3).alias("p", "cd"))
+        .select(
+            "vec_id",
+            F.col("cd.cluster").alias("cluster"),
+            F.col("cd.dist").alias("dist"),
+            (F.col("p") + 1).cast("int").alias("rn"),
+        )
         .localCheckpoint()  # reused by gates, candidates, visibility
     )
     d12 = r3.filter(F.col("rn") <= 2).groupBy("vec_id").agg(
