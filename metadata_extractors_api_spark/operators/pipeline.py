@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import tempfile
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1740,6 +1742,56 @@ def _semdedup_oracle() -> str:
     """
 
 
+_PAIR_DOTS_SCHEMA = "va long, vb long, dot long, na long, nb long"
+
+
+def _pair_dots(pdf: pd.DataFrame) -> pd.DataFrame:
+    """All i<j exact pair dots of one bounded group (a cap-gated
+    cluster, or a literal-bounded audit slice), vectorized in numpy:
+    floor((x*y)*1e12) summed in int64 is the operation-for-operation
+    replay of dot_scaled's zip_with lambda (same IEEE double multiply
+    order — elementwise product then scale, commutative bitwise — same
+    floor, order-independent integer sum), so the emitted dot is
+    bit-identical to the former self-join expression at a fraction of
+    the per-pair cost. Expects (vec_id, embedding, nn) columns; emits
+    (va < vb, dot, na, nb) with the cosine round/threshold left to the
+    caller's Spark expression (cosine_from_scaled), untouched."""
+    m = len(pdf)
+    if m < 2:
+        return pd.DataFrame(
+            {"va": [], "vb": [], "dot": [], "na": [], "nb": []}
+        ).astype(
+            {"va": "int64", "vb": "int64", "dot": "int64",
+             "na": "int64", "nb": "int64"}
+        )
+    ids = pdf["vec_id"].to_numpy()
+    nns = pdf["nn"].to_numpy()
+    emb = np.asarray(
+        [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+    )
+    va, vb, dots, nas, nbs = [], [], [], [], []
+    for i in range(m - 1):
+        prods = (emb[i + 1 :] * emb[i]) * SCALE
+        d = np.floor(prods).astype(np.int64).sum(axis=1)
+        va.append(np.full(m - 1 - i, ids[i]))
+        vb.append(ids[i + 1 :])
+        dots.append(d)
+        nas.append(np.full(m - 1 - i, nns[i]))
+        nbs.append(nns[i + 1 :])
+    lo = np.concatenate(va)
+    hi = np.concatenate(vb)
+    sw = lo > hi  # emit (min, max) so va < vb like the self-join
+    return pd.DataFrame(
+        {
+            "va": np.where(sw, hi, lo),
+            "vb": np.where(sw, lo, hi),
+            "dot": np.concatenate(dots),
+            "na": np.where(sw, np.concatenate(nbs), np.concatenate(nas)),
+            "nb": np.where(sw, np.concatenate(nas), np.concatenate(nbs)),
+        }
+    )
+
+
 def _sem_probes(
     spark: SparkSession, sf_dir: str, n_probes: int = 2
 ) -> DataFrame:
@@ -1822,27 +1874,16 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = probes.join(F.broadcast(ok), "cluster", "left_semi").join(
         en, "vec_id"
     )
-    a = pr.select(
-        F.col("cluster").alias("c"),
-        F.col("vec_id").alias("va"),
-        F.col("embedding").alias("ea"),
-        F.col("nn").alias("na"),
-    )
-    b = pr.select(
-        F.col("cluster").alias("c"),
-        F.col("vec_id").alias("vb"),
-        F.col("embedding").alias("eb"),
-        F.col("nn").alias("nb"),
-    )
+
+    # Within-cluster pair dots as a per-cluster Arrow kernel (see
+    # _pair_dots): cap-gated groups, numpy-vectorized exact dots,
+    # cosine round/threshold kept in Spark below, untouched.
     prs = (
-        a.join(b, "c")
-        .filter(F.col("va") < F.col("vb"))
+        pr.select("cluster", "vec_id", "embedding", "nn")
+        .groupBy("cluster")
+        .applyInPandas(_pair_dots, _PAIR_DOTS_SCHEMA)
         .filter(
-            cosine_from_scaled(
-                dot_scaled(F.col("ea"), F.col("eb")),
-                F.col("na"),
-                F.col("nb"),
-            )
+            cosine_from_scaled(F.col("dot"), F.col("na"), F.col("nb"))
             >= F.lit(SEM_T)
         )
         .select("va", "vb")

@@ -41,6 +41,9 @@ from pyspark.sql import functions as F
 
 from metadata_extractors_api_spark.catalog import load, session_key
 from metadata_extractors_api_spark.registry import register
+from metadata_extractors_api_spark.streaming.windows import (
+    stream_shuffle_partitions,
+)
 
 RESULT_SCHEMA = (
     "doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE, pair_class STRING"
@@ -135,7 +138,9 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(delta_dir)
         )
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        spark.conf.set(
+        "spark.sql.shuffle.partitions", stream_shuffle_partitions()
+    )
         try:
             q = (
                 stream.writeStream.foreachBatch(process)

@@ -54,6 +54,10 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _events_stream(spark, sf_dir)
         agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
         prev = spark.conf.get("spark.sql.shuffle.partitions")
+        # Pinned at 16 (NOT stream_shuffle_partitions()): the partition
+        # count is part of this module's DECLARED OUTPUT —
+        # stream_state_metadata reports num_partitions from this
+        # checkpoint and its oracle asserts the literal 16.
         spark.conf.set("spark.sql.shuffle.partitions", "16")
         try:
             with _nanos_conf(spark):

@@ -40,6 +40,7 @@ from metadata_extractors_api_spark.registry import register
 from metadata_extractors_api_spark.streaming.windows import (
     _events_stream_batched,
     _run_to_table,
+    stream_shuffle_partitions,
 )
 
 try:  # pragma: no cover - present on real cluster images
@@ -394,7 +395,9 @@ def _run_to_table_ckpt(stream_df: DataFrame, spark: SparkSession):
     name = "s" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="mdx_tws_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", stream_shuffle_partitions()
+    )
     try:
         with _nanos_conf(spark):
             q = (

@@ -23,6 +23,7 @@ import contextlib
 import shutil
 import tempfile
 import uuid
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -168,17 +169,33 @@ def _events_stream_from_dir(spark: SparkSession, d: str) -> DataFrame:
     )
 
 
-def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
-    """Drain the stream into a memory sink and return the result table.
+def stream_shuffle_partitions() -> str:
+    """Stateful-stream shuffle/state-store partition count, scoped to
+    each stream's lifetime (a streaming query pins its state
+    partitioning at the first checkpoint, so this is a per-query-run
+    sizing decision, not a session default).
 
-    Shuffle partitions are scoped down for the stream's lifetime: AQE
-    does not coalesce STREAMING aggregations, so a caller session at the
-    200-partition default pays 200 state-store tasks per micro-batch for
-    fixture-sized data. (A streaming query pins its state partitioning
-    at first checkpoint; on a real cluster you size this up front.)"""
+    AQE does not coalesce STREAMING aggregations, so every stateful
+    operator pays one state-store instance (open + commit + maintenance
+    file I/O) per partition per micro-batch regardless of data volume.
+    Size it to the keyed-state volume: the fixtures' per-operator state
+    is thousands of keys, where 8 stores already saturate the commit
+    path (measured at sf0.1: 16 -> 8 cut stream_scd2_build 4.56->3.19 s,
+    stream_hll_distinct 3.26->2.48 s, stream_tumbling 1.11->0.83 s,
+    with 4 regressing the pandas-heavy markov fold — 8 is the local
+    floor, not a magic constant). A production deployment sizes this
+    up front via SPARK_GRAFT_STREAM_SHUFFLE to match its key
+    cardinality and executor count."""
+    return os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+
+
+def _run_to_table(stream_df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Drain the stream into a memory sink and return the result table
+    (shuffle partitions scoped down for the stream's lifetime — see
+    stream_shuffle_partitions)."""
     name = "s" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.shuffle.partitions", stream_shuffle_partitions())
     try:
         with _nanos_conf(spark):
             q = (
@@ -489,7 +506,9 @@ def stream_incremental_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", stream_shuffle_partitions()
+    )
     try:
         docs.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(in_dir)
         drain()
