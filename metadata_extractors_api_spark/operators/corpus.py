@@ -1348,6 +1348,14 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: between them.
 MARKOV_K = 16
 
+#: Loud-refusal bound on the collected transition chain (rows of the
+#: (s, t) count relation / distinct channels): the chain is EVENT-TYPE-
+#: DOMAIN-sized ((|channels|+3)^2 at most), so anything near this cap
+#: means the fixture's event_type column is not a categorical domain
+#: and the driver-side value iteration must not run (the
+#: VOC_COLLECT_CAP discipline).
+MARKOV_COLLECT_CAP = 1 << 14
+
 
 def _markov_oracle() -> str:
     """Generate the DuckDB oracle: the same transition-count CTEs and
@@ -1493,53 +1501,72 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s", "t")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    outc = tc.groupBy("s").agg(F.sum("c").cast("bigint").alias("o"))
-    pq = tc.join(outc, "s").select(
-        "s", "t", F.expr("(c * 1000000) div o").alias("p6")
-    )
-    ch = (
+    # Everything below the (s, t) groupBy is EVENT-TYPE-DOMAIN-sized
+    # (|channels|+3 states squared, times |channels|+1 removal
+    # variants — a few hundred rows regardless of SF), yet the former
+    # unrolled loop paid MARKOV_K=16 join+groupBy shuffle rounds over
+    # it. The chain is collected under a loud cap (the VOC_COLLECT_CAP
+    # / KNN_MAX_REF discipline: a degenerate event-type domain refuses
+    # instead of melting the driver) and the EXACT integer value
+    # iteration replays in Python — p6 = c*1e6 // o, each step
+    # floor(sum(p6 * v) / 1e6) in arbitrary-precision ints, identical
+    # to the relational rounds bit for bit. The final base/effect/
+    # share expressions stay IN SPARK so the one double round(...,6)
+    # keeps its engine semantics.
+    tc_rows = tc.limit(MARKOV_COLLECT_CAP + 1).collect()
+    if len(tc_rows) > MARKOV_COLLECT_CAP:
+        raise ValueError(
+            f"transition chain exceeds MARKOV_COLLECT_CAP="
+            f"{MARKOV_COLLECT_CAP}; refusing driver collect "
+            "(degenerate event-type domain)"
+        )
+    ch_rows = (
         ev.filter(F.col("event_type") != "purchase")
         .select(F.col("event_type").alias("removed"))
         .distinct()
-        .unionByName(
-            load(spark, sf_dir, "events")
-            .limit(1)
-            .select(F.lit("<none>").alias("removed"))
-        )
+        .limit(MARKOV_COLLECT_CAP + 1)
+        .collect()
     )
-    ex = pq.crossJoin(ch).filter(F.col("t") != F.col("removed"))
-    ex = ex.localCheckpoint()
-    states = pq.select("s").distinct().crossJoin(ch.select("removed"))
-    rec = states.select(
-        "removed", "s", F.lit(0).cast("bigint").alias("pqv")
+    if len(ch_rows) > MARKOV_COLLECT_CAP:
+        raise ValueError(
+            f"channel domain exceeds MARKOV_COLLECT_CAP="
+            f"{MARKOV_COLLECT_CAP}; refusing driver collect"
+        )
+    outc_py: dict = {}
+    for r in tc_rows:
+        outc_py[r["s"]] = outc_py.get(r["s"], 0) + int(r["c"])
+    pq_py = [
+        (r["s"], r["t"], (int(r["c"]) * 1_000_000) // outc_py[r["s"]])
+        for r in tc_rows
+    ]
+    # The '<none>' variant exists iff events is non-empty (the former
+    # limit(1) union) — equivalently iff the chain is non-empty.
+    removals = [r["removed"] for r in ch_rows] + (
+        ["<none>"] if tc_rows else []
     )
-    for k in range(1, MARKOV_K + 1):
-        r = rec.select(
-            F.col("removed").alias("r_removed"),
-            F.col("s").alias("r_s"),
-            "pqv",
-        )
-        term = (
-            "p6 * (CASE WHEN t = 'conv' THEN 1000000000"
-            " WHEN t = 'null' THEN 0"
-            " ELSE COALESCE(pqv, 0) END)"
-        )
-        rec = (
-            ex.join(
-                r,
-                (r.r_removed == ex.removed) & (r.r_s == ex.t),
-                "left",
-            )
-            .groupBy("removed", "s")
-            .agg(
-                F.expr(f"CAST(SUM({term}) div 1000000 AS BIGINT)").alias(
-                    "pqv"
-                )
-            )
-        )
-        if k % 4 == 0 and k < MARKOV_K:
-            rec = rec.localCheckpoint()
-    fin = rec.filter(F.col("s") == "start").select("removed", "pqv")
+    ex_py = [
+        (rm, s, t, p6)
+        for rm in removals
+        for (s, t, p6) in pq_py
+        if t != rm
+    ]
+    cur: dict = {}
+    for _k in range(MARKOV_K):
+        acc: dict = {}
+        for rm, s, t, p6 in ex_py:
+            if t == "conv":
+                v = 1_000_000_000
+            elif t == "null":
+                v = 0
+            else:
+                v = cur.get((rm, t), 0)
+            key = (rm, s)
+            acc[key] = acc.get(key, 0) + p6 * v
+        cur = {key: val // 1_000_000 for key, val in acc.items()}
+    fin = spark.createDataFrame(
+        [(rm, pqv) for (rm, s), pqv in cur.items() if s == "start"],
+        "removed string, pqv bigint",
+    )
     base = fin.filter(F.col("removed") == "<none>").select(
         F.col("pqv").alias("p_conv_e9")
     )
@@ -1657,39 +1684,56 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    nodes = und.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    # ONE survivor-filtered degree pass per round serves BOTH
+    # consumers: the next round's peel filter (deg >= K) and this
+    # round's edge count (sum(deg)/2 over the materialized degrees ==
+    # the former second und-join counting surviving edges). The old
+    # shape paid TWO full double-joins of und per round — one for
+    # nodes_next, one for edges_r — and the final union re-ran the
+    # edges_r joins again; now each round is one double-semi-join +
+    # map-side-combinable count, checkpointed, and every report
+    # aggregate is a narrow read of a node-sized checkpoint.
+    deg = (
+        und.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint()
+    )
     prev_count_df = None
+    prev_surv = None
     summaries = []
     for r in range(1, KCORE_ROUNDS + 1):
-        a = nodes.select(F.col("node").alias("a_node"))
-        b = nodes.select(F.col("node").alias("b_node"))
-        nodes_next = (
-            und.join(a, und.src == a.a_node)
-            .join(b, und.dst == b.b_node)
-            .groupBy("src")
+        surv = deg.filter(F.col("deg") >= KCORE_K).select("node")
+        deg = (
+            und.join(
+                surv.withColumnsRenamed({"node": "a_node"}),
+                und.src == F.col("a_node"),
+                "left_semi",
+            )
+            .join(
+                surv.withColumnsRenamed({"node": "b_node"}),
+                und.dst == F.col("b_node"),
+                "left_semi",
+            )
+            .groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= KCORE_K)
-            .select(F.col("src").alias("node"))
             .localCheckpoint()
         )
-        a2 = nodes_next.select(F.col("node").alias("a_node"))
-        b2 = nodes_next.select(F.col("node").alias("b_node"))
-        edges_r = (
-            und.join(a2, und.src == a2.a_node)
-            .join(b2, und.dst == b2.b_node)
-            .agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"))
+        nn = surv.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        edges_r = deg.agg(
+            (F.coalesce(F.sum("deg"), F.lit(0)) / 2)
+            .cast("bigint")
+            .alias("n_edges")  # sum over an empty peel is 0, like count
         )
-        nn = nodes_next.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
         summaries.append(
             nn.crossJoin(edges_r).select(
                 F.lit(r).alias("round"), "n_nodes", "n_edges"
             )
         )
         if r == KCORE_ROUNDS:
-            prev_count_df = nodes.agg(
+            prev_count_df = prev_surv.agg(
                 F.count(F.lit(1)).cast("bigint").alias("prev_n")
             )
-        nodes = nodes_next
+        prev_surv = surv
     out = summaries[0]
     for s in summaries[1:]:
         out = out.unionByName(s)
@@ -1962,14 +2006,18 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _norm(raw: DataFrame, out_col: str) -> DataFrame:
+        # Materialize the RAW sums (the edge-join half-round) BEFORE
+        # deriving the normalizer: the former shape checkpointed the
+        # normalized result instead, so the broadcast vmax subtree
+        # re-ran the whole edges-join + groupBy a second time per
+        # half-round (2x the join work). Now the join runs once and
+        # both the 1-row max and the normalized projection are narrow
+        # reads of the node-sized checkpoint.
+        raw = raw.localCheckpoint()
         mx = raw.agg(F.max("v").alias("vmax"))
-        return (
-            raw.crossJoin(F.broadcast(mx))
-            .select(
-                "node",
-                F.expr(f"v * {HITS_SCALE} div vmax").cast("bigint").alias(out_col),
-            )
-            .localCheckpoint()
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(f"v * {HITS_SCALE} div vmax").cast("bigint").alias(out_col),
         )
 
     hub = edges.select(F.col("src").alias("node")).distinct().withColumn(

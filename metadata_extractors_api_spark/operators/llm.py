@@ -3442,32 +3442,51 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the 6-dp-rounded cosines (+ vec_id tiebreak), so both engines
     rank identical values identically. At 100 TB: probes broadcast,
     corpus streams, per-probe ranking parallelism = |probes|."""
+    # Per-vector self-dots are hoisted OUT of the probe cross-join
+    # (computed once per vector, not once per (probe, vector) pair),
+    # and the truncated cross-dot reuses a SLICE of the full dot's
+    # floored-product array: dot_scaled floors each elementwise
+    # product before the sum, so sum(prods[1:MRL_DIM]) is bitwise the
+    # te.qte dot — one zip_with instead of two per pair.
     e = load(spark, sf_dir, "embeddings", parallelize=True).select(
         "vec_id",
         "embedding",
         F.slice("embedding", 1, MRL_DIM).alias("te"),
+    ).select(
+        "vec_id",
+        "embedding",
+        dot_scaled(F.col("embedding"), F.col("embedding")).alias("nn"),
+        dot_scaled(F.col("te"), F.col("te")).alias("tn"),
     )
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
-        F.col("te").alias("qte"),
-        dot_scaled(F.col("embedding"), F.col("embedding")).alias("qn"),
-        dot_scaled(F.col("te"), F.col("te")).alias("qtn"),
+        F.col("nn").alias("qn"),
+        F.col("tn").alias("qtn"),
+    )
+    prods = F.zip_with(
+        F.col("embedding"),
+        F.col("qe"),
+        lambda x, y: F.floor(
+            x.cast("double") * y.cast("double") * F.lit(SCALE)
+        ).cast("bigint"),
+    )
+    sum_arr = lambda a: F.aggregate(  # noqa: E731
+        a, F.lit(0).cast("bigint"), lambda acc, v: acc + v
     )
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_prods", prods)
         .select(
             "qid",
             "vec_id",
             cosine_from_scaled(
-                dot_scaled(F.col("embedding"), F.col("qe")),
-                dot_scaled(F.col("embedding"), F.col("embedding")),
-                F.col("qn"),
+                sum_arr(F.col("_prods")), F.col("nn"), F.col("qn")
             ).alias("full_c"),
             cosine_from_scaled(
-                dot_scaled(F.col("te"), F.col("qte")),
-                dot_scaled(F.col("te"), F.col("te")),
+                sum_arr(F.slice("_prods", 1, MRL_DIM)),
+                F.col("tn"),
                 F.col("qtn"),
             ).alias("trunc_c"),
         )
@@ -3477,31 +3496,31 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = scored.withColumn("rf", F.row_number().over(wf)).withColumn(
         "rt", F.row_number().over(wt)
     )
-    top_f = r.filter(F.col("rf") <= 5).select("qid", "vec_id")
-    top_t = r.filter(F.col("rt") <= 5).select("qid", "vec_id")
-    ov = top_f.join(top_t, ["qid", "vec_id"]).groupBy("qid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
-    )
-    f1 = r.filter(F.col("rf") == 1).select(
-        "qid", F.col("vec_id").cast("bigint").alias("top1_full")
-    )
-    t1 = r.filter(F.col("rt") == 1).select(
-        "qid", F.col("vec_id").cast("bigint").alias("top1_trunc")
-    )
-    return (
-        f1.join(t1, "qid")
-        .join(ov, "qid", "left")
-        .select(
-            "qid",
-            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias(
-                "n_overlap"
-            ),
-            "top1_full",
-            "top1_trunc",
-            (F.col("top1_full") == F.col("top1_trunc"))
-            .cast("int")
-            .alias("top1_match"),
+    # Both ranks live on the SAME row, so the whole report is one
+    # keyed aggregation: the top-5 overlap is the count of rows inside
+    # both top-5s, and each top-1 is the (unique) rank-1 row — no
+    # branch-and-rejoin (the before-plan re-ran the scored cross-join
+    # and its windows for every branch: 16 parquet scans; after: 2).
+    return r.groupBy("qid").agg(
+        F.sum(
+            ((F.col("rf") <= 5) & (F.col("rt") <= 5)).cast("int")
         )
+        .cast("bigint")
+        .alias("n_overlap"),
+        F.max(F.when(F.col("rf") == 1, F.col("vec_id")))
+        .cast("bigint")
+        .alias("top1_full"),
+        F.max(F.when(F.col("rt") == 1, F.col("vec_id")))
+        .cast("bigint")
+        .alias("top1_trunc"),
+    ).select(
+        "qid",
+        "n_overlap",
+        "top1_full",
+        "top1_trunc",
+        (F.col("top1_full") == F.col("top1_trunc"))
+        .cast("int")
+        .alias("top1_match"),
     )
 
 
@@ -3670,14 +3689,23 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = sorted(range(N_CENTROIDS), key=lambda k: (-q_row[f"d{k}"], k))
     qe = F.array(*[F.lit(float(v)) for v in q_row["embedding"]])
-    scored = idx_df.filter(F.col("vec_id") != 0).select(
-        "vec_id",
-        "cluster",
-        cosine_from_scaled(
-            dot_scaled(F.col("embedding"), qe),
-            dot_scaled(F.col("embedding"), F.col("embedding")),
-            F.lit(q_row["nn"]),
-        ).alias("score"),
+    # Materialized ONCE: brute + the 4 nprobe settings each branch off
+    # this relation 2-3 times; without the checkpoint every branch
+    # re-scans the index and re-evaluates the per-row dot products
+    # (24 parquet scans in the before-plan; after: one scoring pass,
+    # every consumer reads the 3-column materialized relation).
+    scored = (
+        idx_df.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "cluster",
+            cosine_from_scaled(
+                dot_scaled(F.col("embedding"), qe),
+                dot_scaled(F.col("embedding"), F.col("embedding")),
+                F.lit(q_row["nn"]),
+            ).alias("score"),
+        )
+        .localCheckpoint()
     )
     brute = (
         scored.orderBy(F.desc("score"), F.asc("vec_id"))
@@ -5142,11 +5170,20 @@ def multimodal_audio_fingerprint(
         fp_batches,
         "doc_id long, n_frames long, fp long, n_rising long",
     )
-    census = fp.groupBy("fp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("bucket_size")
-    )
-    return fp.join(census, "fp").select(
-        "doc_id", "n_frames", "fp", "n_rising", "bucket_size"
+    # Census as a keyed window count instead of groupBy + self-join:
+    # the join form ran the Python decode pass TWICE (two MapInPandas
+    # nodes in the before-plan — the census subtree is opaque to
+    # ReuseExchange); the window form decodes once and pays one
+    # fp-keyed exchange.
+    return fp.select(
+        "doc_id",
+        "n_frames",
+        "fp",
+        "n_rising",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("fp"))
+        .cast("bigint")
+        .alias("bucket_size"),
     )
 
 

@@ -18,6 +18,7 @@ Scale design notes:
 from __future__ import annotations
 
 import tempfile
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -163,26 +164,30 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lbl", F.col("doc_id"))
         .localCheckpoint()
     )
+    # Round = ONE edge join + one union-min groupBy (the former shape
+    # added a second per-round join to re-attach old labels before
+    # taking the least). min(own lbl, min neighbor lbl) via the union
+    # is the identical update rule, so per-round labels are unchanged.
+    # Convergence witness: labels only ever DECREASE pointwise under
+    # min-propagation, so sum(lbl) is strictly monotone until the
+    # fixpoint — sum unchanged <=> no label changed — replacing the
+    # old join-compare-count with one narrow agg per round over the
+    # checkpointed labels.
+    lbl_sum = F.sum(F.col("lbl").cast("decimal(38,0)"))  # overflow-proof
+    prev_sum = labels.agg(lbl_sum).collect()[0][0]
     for _ in range(20):
-        nb = (
+        labels = (
             edges.join(labels, edges.v == labels.doc_id)
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nb_lbl"))
+            .select(F.col("u").alias("doc_id"), "lbl")
+            .unionByName(labels.select("doc_id", "lbl"))
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
         )
-        updated = (
-            labels.join(nb, labels.doc_id == nb.u, "left")
-            .select(
-                "doc_id",
-                F.least(F.col("lbl"), F.coalesce(F.col("nb_lbl"), F.col("lbl"))).alias(
-                    "new_lbl"
-                ),
-                "lbl",
-            )
-        ).localCheckpoint()
-        changed = updated.filter(F.col("new_lbl") != F.col("lbl")).count()
-        labels = updated.select("doc_id", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
+        new_sum = labels.agg(lbl_sum).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("doc_id", F.col("lbl").alias("component_id"))
 
 
@@ -2107,31 +2112,48 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB (reduces the LSH/IVF build's byte footprint 8×), in the
     same exact-int regime as dot_scaled so the oracle matches
     bitwise."""
+    # The 8 projections + input norm ran as NINE interpreted
+    # higher-order zip_with/aggregate expressions per row; one
+    # Arrow-batched numpy pass computes them as a single int64 matmul
+    # (guide §4.2: hand whole batches to vectorized native code).
+    # Exactness is preserved operation-for-operation: RP_SCALE is a
+    # power of two, so emb * RP_SCALE is an exact IEEE exponent shift
+    # and np.floor == F.floor on the identical double; the ±1 sign
+    # matmul and the squared-norm sum are int64 adds (order-
+    # independent, overflow-free: |p_j| < 2^30, norm_in < 2^53). Only
+    # (vec_id, embedding) crosses the Python boundary; the jl-ratio
+    # report stays a Spark integer expression.
     e = load(spark, sf_dir, "embeddings", parallelize=True)
-    xs = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") * F.lit(float(RP_SCALE))).cast(
-            "bigint"
-        ),
+
+    def rp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        signs_t = np.array(RP_SIGNS, dtype=np.int64).T  # RP_DIM x RP_OUT
+        cols = [f"p{j}" for j in range(RP_OUT)]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"vec_id": pd.Series([], dtype="int64"),
+                     **{c: pd.Series([], dtype="int64") for c in cols},
+                     "norm_in": pd.Series([], dtype="int64")}
+                )
+                continue
+            emb = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            xs = np.floor(emb * float(RP_SCALE)).astype(np.int64)
+            ps = xs @ signs_t
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for j, c in enumerate(cols):
+                out[c] = ps[:, j]
+            out["norm_in"] = (xs * xs).sum(axis=1)
+            yield pd.DataFrame(out)
+
+    p = e.select("vec_id", "embedding").mapInPandas(
+        rp_batches,
+        "vec_id long, "
+        + ", ".join(f"p{j} long" for j in range(RP_OUT))
+        + ", norm_in long",
     )
-    d = e.select("vec_id", xs.alias("xs"))
-    projs = []
-    for j in range(RP_OUT):
-        signs = F.array(*[F.lit(s) for s in RP_SIGNS[j]])
-        prods = F.zip_with(
-            F.col("xs"), signs, lambda v, s: v * s.cast("bigint")
-        )
-        projs.append(
-            F.aggregate(
-                prods, F.lit(0).cast("bigint"), lambda acc, v: acc + v
-            ).alias(f"p{j}")
-        )
-    norm_in = F.aggregate(
-        F.transform(F.col("xs"), lambda v: v * v),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    ).alias("norm_in")
-    p = d.select("vec_id", *projs, norm_in)
     norm_out = None
     for j in range(RP_OUT):
         t = F.col(f"p{j}") * F.col(f"p{j}")

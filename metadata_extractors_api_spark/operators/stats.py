@@ -1852,7 +1852,15 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes HLL the standard distributed/streaming cardinality
     sketch."""
     o = load(spark, sf_dir, "orders")
-    h = o.select(
+    # ONE scan serves sketch AND exact count: distinct on the NARROW
+    # key first (cheaper shuffle bytes than distinct-on-md5, and the
+    # md5 runs once per distinct key instead of once per row), then
+    # per-bucket (max rank, key count). Registers are unchanged even
+    # under an md5 collision (they aggregate by MAX — duplicate hv
+    # rows are absorbed), and n_exact = sum of per-bucket distinct-key
+    # counts, exactly COUNT(DISTINCT o_custkey).
+    dk = o.select("o_custkey").distinct()
+    h = dk.select(
         F.conv(
             F.substring(
                 F.md5(F.concat(F.lit("hll:"), F.col("o_custkey").cast("string"))),
@@ -1864,7 +1872,7 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("hv")
-    ).distinct()
+    )
     reg = h.groupBy((F.col("hv") % HLL_M).alias("bucket")).agg(
         F.max(
             F.expr(
@@ -1873,7 +1881,8 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .cast("bigint")
-        .alias("mj")
+        .alias("mj"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
     )
     buckets = spark.range(HLL_M).select(F.col("id").alias("bucket"))
     terms = buckets.join(reg, "bucket", "left").select(
@@ -1885,15 +1894,13 @@ def agg_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("mj").isNull(), F.lit(0)).otherwise(F.lit(1)).alias(
             "filled"
         ),
+        F.coalesce(F.col("nb"), F.lit(0)).alias("nb"),
     )
-    s = terms.agg(
+    raw = terms.agg(
         F.sum("term").cast("bigint").alias("sum_scaled"),
         F.sum("filled").cast("bigint").alias("n_filled"),
-    )
-    ex = o.agg(
-        F.countDistinct("o_custkey").cast("bigint").alias("n_exact")
-    )
-    raw = s.crossJoin(F.broadcast(ex)).select(
+        F.sum("nb").cast("bigint").alias("n_exact"),
+    ).select(
         "n_exact",
         "n_filled",
         "sum_scaled",

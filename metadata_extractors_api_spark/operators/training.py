@@ -13,7 +13,7 @@ arithmetic is exact-integer or one terminal IEEE division.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from metadata_extractors_api_spark.catalog import load, session_key
@@ -1080,7 +1080,11 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", (F.col("tgt") - F.col("ia")).cast("bigint").alias(
             "rank_gap"
         )
-    )
+    ).localCheckpoint()
+    # ^ exactly n*W narrow rows, materialized once: exact_jaccard_verify
+    # walks cand three times (ids union + two pair joins) and the final
+    # rank_gap re-attach once more — without the checkpoint each walk
+    # re-ran the full _global_rank + explode + rank join pipeline.
     verified = exact_jaccard_verify(d, cand.select("doc_a", "doc_b")).filter(
         F.col("jaccard") >= 0.5
     )
@@ -1166,29 +1170,34 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by 4e12 x dims), so every engine agrees bit-for-bit at any
     partitioning. At 100 TB each round is a scan + a 1-row reduce;
     K is the report size, not a data size."""
+    # ARRAY-NATIVE form (the kmeans_train/_km_centmat discipline): the
+    # quantized vector stays an array<bigint> column, distance to the
+    # single new center is a NARROW zip_with/aggregate expression
+    # against a one-row broadcast, and the running min-distance rides
+    # the same materialized relation. The former long format
+    # (vec_id, j, xq) paid a per-round broadcast dim-join + groupBy
+    # exchange AND — never checkpointed — re-ran every prior round's
+    # distance pass per report branch (O(K^2) passes). After: one
+    # narrow localCheckpoint per round, zero per-round shuffles.
+    # Arithmetic is unchanged: per-element floor(x*1e6) int64, exact
+    # (a-b)^2 products summed in int64 (order-independent), so every
+    # distance is bit-identical to the long form's groupBy sum.
     e = load(spark, sf_dir, "embeddings")
-    x = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "xval")
-    ).select(
+    pts = e.select(
         "vec_id",
-        (F.col("pos") + 1).alias("j"),
-        F.floor(F.col("xval").cast("double") * 1e6).cast("bigint").alias("xq"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1e6).cast("bigint"),
+        ).alias("xq"),
     )
 
-    def dist_to(center_id_df: DataFrame) -> DataFrame:
-        ce = x.join(
-            center_id_df.select(F.col("id").alias("vec_id")), "vec_id"
-        ).select("j", F.col("xq").alias("cq"))
-        return (
-            x.join(F.broadcast(ce), "j")
-            .groupBy("vec_id")
-            .agg(
-                F.sum(
-                    (F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))
-                )
-                .cast("bigint")
-                .alias("nd")
-            )
+    def dist_expr() -> Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("xq"), F.col("cq"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
         )
 
     s1 = e.agg(F.min("vec_id").alias("id"))
@@ -1199,12 +1208,23 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("d2_at_selection"),
         )
     ]
-    m = dist_to(s1).withColumnsRenamed({"nd": "d"})
+    c1 = pts.join(
+        s1.select(F.col("id").alias("vec_id")), "vec_id"
+    ).select(F.col("xq").alias("cq"))
+    m = (
+        pts.crossJoin(F.broadcast(c1))
+        .select("vec_id", "xq", dist_expr().alias("d"))
+        .localCheckpoint()
+    )
     for t in range(2, KCENTER_K + 1):
         st = (
             m.orderBy(F.desc("d"), F.asc("vec_id"))
             .limit(1)
-            .select(F.col("vec_id").alias("id"), F.col("d").alias("sel_d"))
+            .select(
+                F.col("vec_id").alias("id"),
+                F.col("d").alias("sel_d"),
+                F.col("xq").alias("cq"),
+            )
         )
         selected.append(
             st.select(
@@ -1214,10 +1234,14 @@ def sample_kcenter_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if t < KCENTER_K:
-            nd = dist_to(st)
             m = (
-                m.join(nd, "vec_id")
-                .select("vec_id", F.least("d", "nd").alias("d"))
+                m.crossJoin(F.broadcast(st.select("cq")))
+                .select(
+                    "vec_id",
+                    "xq",
+                    F.least("d", dist_expr()).alias("d"),
+                )
+                .localCheckpoint()
             )
     out = selected[0]
     for s in selected[1:]:
@@ -1965,9 +1989,12 @@ def shard_consistent_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.select(
         _shard_col(F.col("doc_id").cast("string")).alias("shard")
     )
+    # SHARD_N-row census, materialized once: without the checkpoint the
+    # broadcast `total` subtree re-runs the whole md5+ring scan a
+    # second time (2 parquet scans in the before-plan; 1 after).
     g = a.groupBy("shard").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
-    )
+    ).localCheckpoint()
     t = g.agg(F.sum("n_docs").cast("bigint").alias("total"))
     return g.crossJoin(F.broadcast(t)).select(
         "shard",

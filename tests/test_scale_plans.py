@@ -433,7 +433,9 @@ _GLOBAL_WINDOW_ALLOWLIST = {
     # two-phase primitive offset branches (bounded: n_partitions rows)
     "agg_percentile_cont": {"<global-unordered>", "_pid"},
     "agg_weighted_median": {"<global-unordered>", "_pid"},
-    "dedup_sorted_neighborhood": {"_pid"},
+    # (dedup_sorted_neighborhood's _pid entry retired in r10: the
+    # candidate relation is localCheckpointed, so the _global_rank
+    # offsets window runs at construction and the final plan is clean)
     "dq_ks_two_sample": {"_pid"},
     "dq_mann_whitney": {"_pid"},
     "fn_surrogate_key": {"_pid"},
