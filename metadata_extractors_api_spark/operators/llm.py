@@ -349,12 +349,18 @@ def exact_jaccard_verify(d: DataFrame, cand: DataFrame) -> DataFrame:
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # Materialized once: both pair sides consume shset, and without the
+    # checkpoint each side re-runs the corpus scan + semi-join +
+    # shingling (2 full document passes per verify). The relation is
+    # candidate-bounded (only docs appearing in cand), so the
+    # materialization is report-shaped, never corpus-shaped.
     shset = (
         d.join(ids, "doc_id", "left_semi")
         .select("doc_id", tokens_col().alias("_toks"))
         .select(
             "doc_id", F.array_distinct(shingles_col(toks=F.col("_toks"))).alias("sh")
         )
+        .localCheckpoint()
     )
     return (
         cand.join(shset.withColumnsRenamed({"doc_id": "doc_a", "sh": "sh_a"}), "doc_a")
@@ -770,11 +776,13 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # Candidate-bounded, three consumers below (the b-side
+        # semi-prune + the intersection join + the verify re-attach):
+        # materialized once. The hoped-for ReusedExchange did NOT cover
+        # them — the executed plan re-ran the df-rank window subtree 8x
+        # (16 Window / 24 RDD-scan nodes) before this checkpoint.
+        .localCheckpoint()
     )
-    # The candidate subtree has three consumers below (two semi-prunes
-    # + the intersection join); they all hang off the same groupBy
-    # exchange, which Spark reuses (ReusedExchange) instead of
-    # re-running the prefix self-join.
     # The a-side needs no prune: cand joins into the doc_a join, which
     # itself drops non-candidate docs during the scan. The b-side DOES:
     # it feeds the one data-sized shuffle of the verify phase — the
@@ -2699,9 +2707,21 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the same plan samples checkpoints logarithmically."""
     from metadata_extractors_api_spark.operators.quality import _global_cumsum
 
-    d = load(spark, sf_dir, "documents", parallelize=True)
-    occ = d.select("doc_id", F.explode(tokens_col()).alias("token"))
-    doc_tok = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # Tokenize once: both the token-mass census and the first-seen
+    # census explode from the memoized tokenized corpus instead of
+    # re-scanning + re-splitting the parquet per pass (the executed
+    # plan paid 12 parquet scans: 2 occ consumers x 2 cumsum branches
+    # x downstream re-walks).
+    occ = _tokdocs_rel(spark, sf_dir).select(
+        "doc_id", F.explode("tk").alias("token")
+    )
+    # doc-count-sized, 2 cols; _global_cumsum consumes its input twice
+    # (local pass + partition totals), so materialize it once.
+    doc_tok = (
+        occ.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .localCheckpoint()
+    )
     cum = (
         _global_cumsum(doc_tok, "doc_id", "doc_id", "n_tok")
         .withColumn("tokens_so_far", F.col("cw").cast("bigint"))
@@ -2724,8 +2744,12 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "tokens_so_far",
     )
+    # checkpoint-count-sized union (docs/50 + docs/50 rows): material-
+    # ized once so the second cumsum's two internal consumers read it
+    # instead of re-running the first cumsum + the first-seen census.
+    merged = bucket_rows.unionByName(ck_rows).localCheckpoint()
     return (
-        _global_cumsum(bucket_rows.unionByName(ck_rows), "k", "k", "nv")
+        _global_cumsum(merged, "k", "k", "nv")
         .filter(F.col("doc_id").isNotNull())
         .select(
             "doc_id",

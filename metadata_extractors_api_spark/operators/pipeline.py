@@ -153,7 +153,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates the iterative lineage; on a real cluster use reliable
     checkpointing. The oracle recomputes the same components with a
     recursive min-label walk over the identically generated pairs."""
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # Materialize the verified pairs BEFORE the two-orientation union:
+    # pairs feeds both union branches, so without its own checkpoint the
+    # whole minhash exact-verify pipeline (2 corpus passes) runs twice
+    # just to flip (u, v). The pair set is report-shaped.
+    pairs = (
+        dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -1567,17 +1573,27 @@ def _medoid_report(comp: DataFrame, shingles: DataFrame) -> DataFrame:
     Extracted so the giant-family stress test (tests/
     test_stress_scale.py) can drive it with an adversarial synthetic
     component structure without a corpus."""
+    # Multi-consumer subtrees materialized once (all of them are
+    # family-bounded, never corpus-shaped): nm feeds the gate + both
+    # report branches, comp_small feeds the pair self-join twice plus
+    # the shingle semi-join, ex feeds sizes and BOTH intersection
+    # sides, prs feeds the intersection join and the distance
+    # re-attach. Without the checkpoints the final plan re-derived
+    # each from the comp checkpoint per consumer (measured: 86 RDD
+    # scans / 114 exchanges / 64 SortMergeJoin in the executed plan).
     nm = comp.groupBy("component_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
-    )
+    ).localCheckpoint()
     comp_small = comp.join(
         nm.filter(F.col("n_members") <= MEDOID_FAMILY_CAP).select(
             "component_id"
         ),
         "component_id",
         "left_semi",
-    )
-    ex = shingles.join(comp_small.select("doc_id"), "doc_id", "left_semi")
+    ).localCheckpoint()
+    ex = shingles.join(
+        comp_small.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint()
     szs = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a = comp_small.select(
         F.col("doc_id").alias("da"), F.col("component_id").alias("c")
@@ -1585,7 +1601,11 @@ def _medoid_report(comp: DataFrame, shingles: DataFrame) -> DataFrame:
     b = comp_small.select(
         F.col("doc_id").alias("db"), F.col("component_id").alias("c2")
     )
-    prs = a.join(b, (a.c == b.c2) & (a.da < b.db)).select("da", "db", "c")
+    prs = (
+        a.join(b, (a.c == b.c2) & (a.da < b.db))
+        .select("da", "db", "c")
+        .localCheckpoint()
+    )
     ea = ex.withColumnsRenamed({"doc_id": "da"})
     eb = ex.withColumnsRenamed({"doc_id": "db"})
     inter = (
@@ -1615,14 +1635,14 @@ def _medoid_report(comp: DataFrame, shingles: DataFrame) -> DataFrame:
             .alias("dist_e6"),
         )
     )
+    # Both pair endpoints emitted map-side from ONE pass over pd_ (the
+    # former two-branch union consumed pd_ twice, re-running the
+    # intersection join per branch).
     dsum = (
-        pd_.select(F.col("c").alias("component_id"), F.col("da").alias("doc_id"), "dist_e6")
-        .unionByName(
-            pd_.select(
-                F.col("c").alias("component_id"),
-                F.col("db").alias("doc_id"),
-                "dist_e6",
-            )
+        pd_.select(
+            F.col("c").alias("component_id"),
+            F.explode(F.array("da", "db")).alias("doc_id"),
+            "dist_e6",
         )
         .groupBy("component_id", "doc_id")
         .agg(F.sum("dist_e6").cast("bigint").alias("sum_dist_e6"))
@@ -2673,26 +2693,46 @@ def dedup_semantic_boundary_audit(
     is_boundary = (F.col("d2") - F.col("d1")) * SEM_BOUNDARY_DEN <= F.col(
         "d1"
     )
-    top2 = r3.filter(F.col("rn") <= 2).select("vec_id", "cluster")
-    p3 = (
+    # One FLAGGED probe relation replaces the separate top2/p3 pair: a
+    # probe row carries t2 = (rn <= 2), and because top2 is a subset of
+    # p3 by construction, every top2-only census below is a flag
+    # aggregate over the p3 pass — the former second self-join and
+    # second truth-visibility join (each the audit's dominant cost)
+    # disappear. Checkpointed: 2-3N tiny rows, 4 consumers (both pair
+    # sides + both visibility sides).
+    p3f = (
         r3.join(d12, "vec_id")
         .filter((F.col("rn") <= 2) | ((F.col("rn") == 3) & is_boundary))
-        .select("vec_id", "cluster")
+        .select("vec_id", "cluster", (F.col("rn") <= 2).alias("t2"))
+        .localCheckpoint()
     )
 
-    def pair_count(probes: DataFrame, alias: str) -> DataFrame:
-        a = probes.select(
-            F.col("cluster").alias("c"), F.col("vec_id").alias("va")
+    def pair_count() -> DataFrame:
+        # ONE cluster-keyed self-join; a pair is top2-visible iff SOME
+        # shared cluster has both endpoints at rn<=2 (max over the
+        # pair's clusters of ta AND tb) — identical to counting the
+        # distinct pairs of the old top2-only join.
+        a = p3f.select(
+            F.col("cluster").alias("c"),
+            F.col("vec_id").alias("va"),
+            F.col("t2").alias("ta"),
         )
-        b = probes.select(
-            F.col("cluster").alias("c"), F.col("vec_id").alias("vb")
+        b = p3f.select(
+            F.col("cluster").alias("c"),
+            F.col("vec_id").alias("vb"),
+            F.col("t2").alias("tb"),
         )
         return (
             a.join(b, "c")
             .filter(F.col("va") < F.col("vb"))
-            .select("va", "vb")
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+            .groupBy("va", "vb")
+            .agg(F.max(F.col("ta") & F.col("tb")).alias("is2"))
+            .agg(
+                F.coalesce(F.sum(F.col("is2").cast("int")), F.lit(0))
+                .cast("bigint")
+                .alias("n_cand_top2"),
+                F.count(F.lit(1)).cast("bigint").alias("n_cand_top3b"),
+            )
         )
 
     e = load(spark, sf_dir, "embeddings", parallelize=True)
@@ -2725,20 +2765,32 @@ def dedup_semantic_boundary_audit(
         .localCheckpoint()
     )
 
-    def visible(probes: DataFrame, alias: str) -> DataFrame:
-        ca = probes.select(
-            F.col("vec_id").alias("va"), F.col("cluster").alias("cl_a")
+    def visible() -> DataFrame:
+        # ONE truth-visibility pass, same flag trick as pair_count: a
+        # truth pair is top2-visible iff some shared cluster has both
+        # endpoints at rn<=2.
+        ca = p3f.select(
+            F.col("vec_id").alias("va"),
+            F.col("cluster").alias("cl_a"),
+            F.col("t2").alias("ta"),
         )
-        cb = probes.select(
-            F.col("vec_id").alias("vb"), F.col("cluster").alias("cl_b")
+        cb = p3f.select(
+            F.col("vec_id").alias("vb"),
+            F.col("cluster").alias("cl_b"),
+            F.col("t2").alias("tb"),
         )
         return (
             truth.join(ca, "va")
             .join(cb, "vb")
             .filter(F.col("cl_a") == F.col("cl_b"))
-            .select("va", "vb")
-            .distinct()
-            .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+            .groupBy("va", "vb")
+            .agg(F.max(F.col("ta") & F.col("tb")).alias("is2"))
+            .agg(
+                F.coalesce(F.sum(F.col("is2").cast("int")), F.lit(0))
+                .cast("bigint")
+                .alias("n_top2"),
+                F.count(F.lit(1)).cast("bigint").alias("n_top3b"),
+            )
         )
 
     n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
@@ -2746,8 +2798,7 @@ def dedup_semantic_boundary_audit(
         F.count(F.lit(1)).cast("bigint").alias("n_boundary_vecs")
     )
     return (
-        n_truth.crossJoin(F.broadcast(visible(top2, "n_top2")))
-        .crossJoin(F.broadcast(visible(p3, "n_top3b")))
+        n_truth.crossJoin(F.broadcast(visible()))
         .withColumn(
             "recall_top2_e6",
             F.expr("n_top2 * 1000000 div greatest(n_truth, 1)"),
@@ -2757,8 +2808,7 @@ def dedup_semantic_boundary_audit(
             F.expr("n_top3b * 1000000 div greatest(n_truth, 1)"),
         )
         .crossJoin(F.broadcast(nb))
-        .crossJoin(F.broadcast(pair_count(top2, "n_cand_top2")))
-        .crossJoin(F.broadcast(pair_count(p3, "n_cand_top3b")))
+        .crossJoin(F.broadcast(pair_count()))
         .select(
             "n_truth",
             "n_top2",
