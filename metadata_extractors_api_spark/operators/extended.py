@@ -943,6 +943,16 @@ def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("tus").alias(tcol))
         )
 
+    # Known, measured trade (round-10 optimization pass): each step
+    # feeds BOTH the next step and the final left-join tail, so the
+    # lineage form re-derives the chain per branch — events scanned
+    # 1+2+3+4 = 10x in the final plan. Checkpointing s1-s3 (user-grain)
+    # cuts that to the docstring's four type-pruned passes but benched
+    # CONSISTENTLY SLOWER at sf0.1 (alternating A/B medians 1.21-1.39 s
+    # lineage vs 1.49-1.50 s checkpointed): the type-pruned re-scans
+    # are cheaper than three materialization barriers at this scale.
+    # On a cluster where events re-reads hit remote storage the
+    # checkpoints win; they are a three-line change.
     s1 = typed("s").groupBy("user_id").agg(F.min("tus").alias("t1"))
     s2 = step(s1, "v", "t1", "t2")
     s3 = step(s2, "c", "t2", "t3")

@@ -4655,6 +4655,11 @@ def _rrf_lex_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lexical retrieval list shared by both hybrid variants:
     top-RRF_POOL docs by the exact common-denominator tf·N/df score,
     ranked (doc_id, lex_rank)."""
+    # The df census derives FROM tf: df_i = |{docs with tf_i > 0}| is
+    # definitionally the old count_distinct(when(token=t, doc_id)) over
+    # occ, so the stats pass stops paying a second full corpus
+    # tokenize-and-explode. tf (docs containing any query term —
+    # query-bounded) is materialized once for its two consumers.
     d = load(spark, sf_dir, "documents")
     occ = (
         d.select("doc_id", F.explode(tokens_col()).alias("token"))
@@ -4667,13 +4672,11 @@ def _rrf_lex_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"tf{i}")
             for i, t in enumerate(RRF_TERMS)
         ]
-    )
-    stats = occ.agg(
+    ).localCheckpoint()
+    stats = tf.agg(
         *[
-            F.count_distinct(
-                F.when(F.col("token") == t, F.col("doc_id"))
-            ).alias(f"df{i}")
-            for i, t in enumerate(RRF_TERMS)
+            F.count_if(F.col(f"tf{i}") > 0).alias(f"df{i}")
+            for i in range(len(RRF_TERMS))
         ]
     ).crossJoin(F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs"))))
     lex_units = None

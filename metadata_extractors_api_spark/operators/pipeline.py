@@ -1120,43 +1120,49 @@ def pipeline_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_dup = Window.partitionBy(F.md5("ntext")).orderBy("doc_id")
-    kept = (
+    # All stage predicates ride ONE row so the funnel is ONE
+    # conditional aggregation instead of a 4-branch + 3-join tail that
+    # re-ran the corpus scan 4x and the md5 dedup window 3x. The
+    # packing window keeps EVERY row (same lang/doc_id order the
+    # filtered form packed in) but non-surviving rows add 0 tokens, so
+    # the running total at each surviving row — and hence its bin — is
+    # bit-identical to packing over the filtered relation; losers get a
+    # NULL bin, which count_distinct ignores.
+    staged = (
         d.select("doc_id", "lang", norm.alias("ntext"))
         .withColumn("dup_rank", F.row_number().over(w_dup))
-        .filter(F.col("dup_rank") == 1)
         .withColumn("n_tok", F.size(F.split("ntext", " ")))
+        .withColumn(
+            "q_keep",
+            (F.col("dup_rank") == 1) & F.col("n_tok").between(10, 1000),
+        )
     )
-    quality = kept.withColumn("q_keep", F.col("n_tok").between(10, 1000))
     w_pack = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = (
-        quality.filter("q_keep")
-        .withColumn("run_tok", F.sum("n_tok").over(w_pack))
-        .withColumn("bin", F.expr("(run_tok - 1) div 2048"))
-    )
-    funnel_in = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs_in"))
-    funnel_dedup = kept.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_after_dedup")
-    )
-    funnel_quality = quality.filter("q_keep").groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_after_quality")
-    )
-    funnel_bins = packed.groupBy("lang").agg(
-        F.count_distinct("bin").alias("n_bins")
+    packed = staged.withColumn(
+        "run_tok",
+        F.sum(F.when(F.col("q_keep"), F.col("n_tok")).otherwise(0)).over(
+            w_pack
+        ),
+    ).withColumn(
+        "bin",
+        F.when(F.col("q_keep"), F.expr("(run_tok - 1) div 2048")),
     )
     return (
-        funnel_in.join(funnel_dedup, "lang", "left")
-        .join(funnel_quality, "lang", "left")
-        .join(funnel_bins, "lang", "left")
+        packed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.sum((F.col("dup_rank") == 1).cast("bigint")).alias(
+                "n_after_dedup"
+            ),
+            F.sum(F.col("q_keep").cast("bigint")).alias("n_after_quality"),
+            F.count_distinct("bin").alias("n_bins"),
+        )
         .select(
-            "lang",
-            "n_docs_in",
-            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
-            F.coalesce("n_after_quality", F.lit(0)).alias("n_after_quality"),
-            F.coalesce("n_bins", F.lit(0)).alias("n_bins"),
+            "lang", "n_docs_in", "n_after_dedup", "n_after_quality", "n_bins"
         )
     )
 

@@ -12,7 +12,7 @@ dataset through a single partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -56,60 +56,107 @@ from metadata_extractors_api_spark.registry import register
 )
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit: orphan counts for every FK edge of
-    the star schema in one result. Each edge is a LEFT ANTI join count
-    -- dimension sides (part, supplier, customer) broadcast, and the
-    one fact-to-fact edge (lineitem->orders) shuffles on the order key
-    exactly as its production join would, so the audit costs what ONE
-    run of the real query costs and nothing more. The per-edge counts
-    are single-row aggregates unioned into the report; nothing is
-    collected on the driver. (Origin: the reference validates inputs
+    the star schema in one result. Each edge is a null-match count
+    over a left join against the DISTINCT dimension keys
+    (fanout-proof, so exactly NOT EXISTS) -- dimension sides (part,
+    supplier, customer) broadcast, and the one fact-to-fact edge
+    (lineitem->orders) shuffles on the order key exactly as its
+    production join would, so the audit costs what ONE run of the real
+    query costs and nothing more: all of a fact's edges aggregate in a
+    single pass over it. The report rows are exploded map-side from
+    the two one-row aggregates; nothing is collected on the driver. (Origin: the reference validates inputs
     exist before extraction, __init__.py:241-258; this is the
     set-oriented version of that contract.)"""
 
-    def edge(fact: DataFrame, dim: DataFrame, cond, name: str) -> DataFrame:
-        total = fact.agg(F.count(F.lit(1)).cast("bigint").alias("fk_rows"))
-        orphan = fact.join(dim, cond, "left_anti").agg(
-            F.count(F.lit(1)).cast("bigint").alias("orphans")
-        )
-        return (
-            total.crossJoin(orphan)
-            .select(
-                F.lit(name).alias("relation"),
-                "fk_rows",
-                "orphans",
-            )
-        )
-
+    # ONE pass per fact table instead of two per edge: the old
+    # total-count + anti-join-count pair re-scanned lineitem 6x and
+    # orders 3x (12 scans total in the final plan). Each FK edge is now
+    # a left join against the DISTINCT dimension keys (distinct makes
+    # the null-match count fanout-proof — exactly NOT EXISTS — without
+    # trusting PK uniqueness) and all of a fact's edges aggregate in
+    # the same pass as its row count. The lineitem->orders edge still
+    # shuffles on the order key exactly as its production join would.
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     p = load(spark, sf_dir, "part")
     s = load(spark, sf_dir, "supplier")
     c = load(spark, sf_dir, "customer")
-    audits = [
-        edge(li, o, F.col("l_orderkey") == F.col("o_orderkey"), "lineitem->orders"),
-        edge(
-            li,
-            F.broadcast(p),
+
+    def orphan_sum(key: str) -> Column:
+        return (
+            F.coalesce(
+                F.sum(F.col(key).isNull().cast("bigint")), F.lit(0)
+            )
+            .cast("bigint")
+        )
+
+    li_agg = (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(
+            o.select("o_orderkey").distinct(),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(p.select("p_partkey").distinct()),
             F.col("l_partkey") == F.col("p_partkey"),
-            "lineitem->part",
-        ),
-        edge(
-            li,
-            F.broadcast(s),
+            "left",
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey").distinct()),
             F.col("l_suppkey") == F.col("s_suppkey"),
-            "lineitem->supplier",
-        ),
-        edge(
-            o,
-            F.broadcast(c),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("li_rows"),
+            orphan_sum("o_orderkey").alias("orph_o"),
+            orphan_sum("p_partkey").alias("orph_p"),
+            orphan_sum("s_suppkey").alias("orph_s"),
+        )
+    )
+    o_agg = (
+        o.select("o_custkey")
+        .join(
+            F.broadcast(c.select("c_custkey").distinct()),
             F.col("o_custkey") == F.col("c_custkey"),
-            "orders->customer",
-        ),
-    ]
-    out = audits[0]
-    for a in audits[1:]:
-        out = out.unionAll(a)
-    return out.orderBy("relation")
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("o_rows"),
+            orphan_sum("c_custkey").alias("orph_c"),
+        )
+    )
+    return (
+        li_agg.crossJoin(o_agg)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lineitem->orders").alias("relation"),
+                        F.col("li_rows").alias("fk_rows"),
+                        F.col("orph_o").alias("orphans"),
+                    ),
+                    F.struct(
+                        F.lit("lineitem->part").alias("relation"),
+                        F.col("li_rows").alias("fk_rows"),
+                        F.col("orph_p").alias("orphans"),
+                    ),
+                    F.struct(
+                        F.lit("lineitem->supplier").alias("relation"),
+                        F.col("li_rows").alias("fk_rows"),
+                        F.col("orph_s").alias("orphans"),
+                    ),
+                    F.struct(
+                        F.lit("orders->customer").alias("relation"),
+                        F.col("o_rows").alias("fk_rows"),
+                        F.col("orph_c").alias("orphans"),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.relation", "r.fk_rows", "r.orphans")
+        .orderBy("relation")
+    )
 
 
 def _global_rank(df: DataFrame, value_col: str, key_col: str) -> DataFrame:
@@ -2329,7 +2376,13 @@ def agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    r = _global_rank(v, "cents", "o_orderkey")
+    # r has two external consumers (the n census and the bracket
+    # probe) on top of _global_rank's internal offsets/data double
+    # execution: un-checkpointed, the final plan executed the ranged
+    # sort FOUR times (4 scans / 30 Exchange measured). _global_rank's
+    # own docstring trade ("checkpoint benched dead even") covered the
+    # single-consumer case only.
+    r = _global_rank(v, "cents", "o_orderkey").localCheckpoint()
     tot = r.agg(F.max("n").alias("n"))
     ps = spark.createDataFrame([(p,) for p in PCTL_CONT_PS], "p bigint")
     tgt = ps.crossJoin(F.broadcast(tot)).select(

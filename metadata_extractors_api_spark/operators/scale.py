@@ -349,14 +349,21 @@ def agg_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the per-key verdict broadcasts back onto the fact -- the same
     # rewrite that makes runtime filters cheap on a 100 TB fact, where
     # hashing every row would itself be a full-fact map pass.
+    # The per-key groupBy carries each key's FACT ROW COUNT, so the
+    # audit's fact-level tallies are cnt-weighted sums over the key
+    # relation — the old shape scanned orders a second time just to
+    # re-join the per-key verdicts back onto the rows it had already
+    # aggregated away. Same exchange as the old distinct, one fewer
+    # fact scan.
     pk = (
         o.select(F.col("o_custkey").alias("pkey"))
-        .distinct()
+        .groupBy("pkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .withColumns(
             {"h1": _h32(F.col("pkey"), "b1"), "h2": _h32(F.col("pkey"), "b2")}
         )
         .crossJoin(F.broadcast(probes))
-        .select("pkey", pos.alias("p"))
+        .select("pkey", "cnt", pos.alias("p"))
     )
     hit = pk.join(
         F.broadcast(words),
@@ -364,6 +371,7 @@ def agg_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     ).select(
         "pkey",
+        "cnt",
         F.when(
             F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(mask) != 0),
             F.lit(1),
@@ -372,27 +380,34 @@ def agg_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bit_set"),
     )
     verdict = hit.groupBy("pkey").agg(
-        (F.min("bit_set") == 1).alias("bloom_pass")
+        (F.min("bit_set") == 1).alias("bloom_pass"),
+        F.max("cnt").alias("cnt"),
     )
     truth = verdict.join(
         F.broadcast(keys.withColumn("is_true", F.lit(1))),
         F.col("pkey") == F.col("k"),
         "left",
-    ).select("pkey", "bloom_pass", "is_true")
+    ).select("pkey", "bloom_pass", "is_true", "cnt")
     bits_total = words.agg(
         F.sum(F.bit_count("bits")).cast("bigint").alias("bits_set")
     )
-    audit = (
-        o.select("o_custkey")
-        .join(F.broadcast(truth), F.col("o_custkey") == F.col("pkey"))
-        .agg(
-            F.count(F.lit(1)).alias("n_probe"),
-            F.count_if(F.col("bloom_pass")).alias("n_pass"),
-            F.count_if(F.col("is_true").isNotNull()).alias("n_true"),
-            F.count_if(F.col("bloom_pass") & F.col("is_true").isNull()).alias(
-                "n_false_pos"
-            ),
+    audit = truth.agg(
+        F.sum("cnt").cast("bigint").alias("n_probe"),
+        F.sum(F.when(F.col("bloom_pass"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum(
+            F.when(F.col("is_true").isNotNull(), F.col("cnt")).otherwise(0)
         )
+        .cast("bigint")
+        .alias("n_true"),
+        F.sum(
+            F.when(
+                F.col("bloom_pass") & F.col("is_true").isNull(), F.col("cnt")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_pos"),
     )
     return audit.crossJoin(F.broadcast(bits_total))
 

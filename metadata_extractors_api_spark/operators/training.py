@@ -582,12 +582,23 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "small" at extreme scale factors); and
     lift itself is one exact integer expression (co * n_orders * 1e6
     div (cnt_a * cnt_b)), so the report hash-matches any engine."""
+    # The distinct basket relation has FIVE consumers (both self-join
+    # sides, the part counts twice via ca/cb, the order census); the
+    # old plan re-ran the scan + distinct exchange per consumer
+    # (5 parquet scans measured). Materialize it once — the basket
+    # relation IS the intermediate a production pipeline keeps — and
+    # the dimension-sized part counts once on top of it.
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
-    pc = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    pc = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()
+    )
     n = li.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )
@@ -1701,11 +1712,15 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows."""
     d = load(spark, sf_dir, "documents", parallelize=True)
     nc = F.length("text").cast("bigint")
+    # Strata-domain-sized moments with four downstream walks (tot,
+    # base, leftover, rank) that each re-ran the corpus groupBy without
+    # this checkpoint (4 parquet scans measured); everything below it
+    # is source-domain-sized.
     m = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum(nc).cast("bigint").alias("s1"),
         F.sum(nc * nc).cast("bigint").alias("s2"),
-    )
+    ).localCheckpoint()
     sigma_expr = (
         "sqrt(CAST(s2 AS DOUBLE) / n_docs"
         " - (CAST(s1 AS DOUBLE) / n_docs) * (CAST(s1 AS DOUBLE) / n_docs))"
