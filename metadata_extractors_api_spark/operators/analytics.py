@@ -1558,7 +1558,10 @@ def orders_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         _strict_prefix_min_desc,
     )
 
-    g = p.groupBy("price_c").agg(F.min("day").alias("min_day"))
+    # Distinct-price grain; _strict_prefix_min_desc's offsets branch
+    # re-executes its input, so checkpointed the fact scan + groupBy
+    # runs once.
+    g = p.groupBy("price_c").agg(F.min("day").alias("min_day")).localCheckpoint()
     s = _strict_prefix_min_desc(g, "price_c", "min_day").select(
         "price_c", "min_day", "prev_min"
     )

@@ -274,6 +274,10 @@ def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0); the one division happens at the very end on two
     exact integers, so both engines round the same double."""
     o = load(spark, sf_dir, "orders")
+    # Measured trade (round-10): checkpointing the customer-grain
+    # revenue before _global_rank (its offsets branch re-executes the
+    # input) benched ~1.1x slower at sf0.1 — same verdict as
+    # _global_rank's own docstring trade; lineage kept.
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
@@ -1897,11 +1901,13 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; class assignment and shares are exact integer compares
     (cw*100 <= tw*80 — no float thresholds)."""
     li = load(spark, sf_dir, "lineitem")
+    # Part-grain revenue; _global_cumsum's offsets branch re-executes
+    # its input, so checkpointed the fact scan + groupBy runs once.
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents")
-    )
+    ).localCheckpoint()
     c = _global_cumsum(
         rev.withColumn("neg", -F.col("cents")), "neg", "l_partkey", "cents"
     )

@@ -199,10 +199,13 @@ def dq_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("a"),
         )
     )
+    # Distinct-value grain with _global_cumsum's internal offsets/data
+    # double execution downstream: checkpointed, the fact scan +
+    # groupBy runs once.
     g = pooled.groupBy("cents").agg(
         F.sum("a").cast("bigint").alias("cnt_a"),
         F.count(F.lit(1)).cast("bigint").alias("cnt"),
-    )
+    ).localCheckpoint()
     c = _global_cumsum(g, "cents", "cents", "cnt")
     s = c.agg(
         F.sum(
@@ -285,9 +288,11 @@ def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         F.col("event_type").alias("x"), F.hour("ts").alias("y")
     )
+    # |types| x 24 contingency cells with FOUR consumers (mx, my, tot,
+    # cells): checkpointed so the events scan + groupBy runs once.
     joint = e.groupBy("x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("cxy")
-    )
+    ).localCheckpoint()
     mx = joint.groupBy("x").agg(F.sum("cxy").cast("bigint").alias("cx"))
     my = joint.groupBy("y").agg(F.sum("cxy").cast("bigint").alias("cy"))
     tot = joint.agg(F.sum("cxy").cast("bigint").alias("n"))
@@ -693,10 +698,13 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ranked DESCENDING by frequency via the negated-count sort key
     (the prefix-sum primitive orders ascending)."""
     d = load(spark, sf_dir, "documents", parallelize=True)
+    # Vocab-grain census; _global_cumsum's offsets branch re-executes
+    # its input, so checkpointed the corpus explode runs once.
     tc = (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint()
     )
     big = F.lit(1 << 31).cast("bigint")
     enc = tc.select(
@@ -791,13 +799,21 @@ def text_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram")
     )
-    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # Bigram census (histogram-sized) feeds uc AND terms; uc feeds
+    # terms AND the context count — checkpointed, the corpus bigram
+    # explode runs once instead of three times.
+    bc = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
     uc = (
         bc.groupBy(F.split(F.col("bigram"), " ").getItem(0).alias("w1"))
         .agg(
             F.sum("c").cast("bigint").alias("n1"),
             F.count(F.lit(1)).cast("bigint").alias("n_successors"),
         )
+        .localCheckpoint()
     )
     terms = bc.join(
         uc, F.split(bc.bigram, " ").getItem(0) == uc.w1
@@ -1040,6 +1056,13 @@ def orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
         .alias("d"),
     )
+    # Known, measured trade (round-10 optimization pass): checkpointing
+    # the customer-grain lifetimes (4 fact scans -> 1; horizon is
+    # derivable as max over per-customer maxes) benched consistently
+    # SLOWER at sf0.1 (0.65-1.65 s lineage vs 0.85-2.74 s checkpointed)
+    # — the materialization barrier costs more than column-pruned fact
+    # re-scans at this scale. On remote storage the checkpoint wins;
+    # it is a two-line change.
     life = days.groupBy("o_custkey").agg(
         (F.max("d") - F.min("d")).alias("dur"),
         F.max("d").alias("last_d"),
@@ -1441,6 +1464,8 @@ def dq_simpson_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_nationkey").alias("nation"),
         )
     )
+    # Nation-grain moments with two consumers (signs, overall):
+    # checkpointed so the customer-grain fact chain runs once.
     grp = cust.groupBy("nation").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast("decimal(38,0)"))
@@ -1452,7 +1477,7 @@ def dq_simpson_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
         .cast("decimal(38,0)")
         .alias("sxy"),
-    )
+    ).localCheckpoint()
     sign = (
         "CASE WHEN n * sxy - sx * sy > 0 THEN 1"
         " WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 0 END"

@@ -1856,6 +1856,9 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 2592000000000").alias("m"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
+    # Measured trade (round-10): checkpointing the customer-grain
+    # cohorts (two consumers) benched ~1.1x slower at sf0.1 — barrier
+    # cost exceeds one column-pruned fact re-scan here; lineage kept.
     first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
     sizes = first.groupBy("cohort_m").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
