@@ -1387,13 +1387,18 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-isotropic fixture it is deliberately LARGE; the witness is
     what lets a production run assert it shrank)."""
     e = load(spark, sf_dir, "embeddings")
+    # The long fact is consumed twice per iteration (the Xv join and
+    # the Xᵀs join) and the eager per-iteration checkpoints execute
+    # those consumers immediately — materialize the projection once
+    # (the "project early, reuse across rounds" intermediate) instead
+    # of re-scanning + re-exploding the parquet 2x per iteration.
     x = e.select(
         "vec_id", F.posexplode("embedding").alias("pos", "xval")
     ).select(
         "vec_id",
         (F.col("pos") + 1).alias("j"),
         F.floor(F.col("xval").cast("double") * 1e6).cast("bigint").alias("xq"),
-    )
+    ).localCheckpoint()
     v = spark.range(1, EMB_DIM + 1).select(
         F.col("id").alias("j"), F.lit(PCA_SCALE).cast("bigint").alias("v")
     )
@@ -1406,6 +1411,10 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id")
             .agg(F.sum(F.col("xq") * F.col("v")).cast("bigint").alias("s"))
         )
+        # 64-row result of the iteration's TWO fact shuffles, with
+        # THREE consumers (the max-abs rescale, the v projection, and
+        # — for the last iteration — the Rayleigh quotient): without
+        # this checkpoint each consumer re-ran both shuffles.
         w = (
             x.join(s, "vec_id")
             .groupBy("j")
@@ -1414,6 +1423,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("decimal(38,0)")
                 .alias("w")
             )
+            .localCheckpoint()
         )
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         # 64-row iterate: localCheckpoint truncates the per-iteration

@@ -1766,6 +1766,11 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 6 orders of margin.
 REWEIGHT_ETA_E6 = 500_000
 REWEIGHT_STEPS = 3
+#: Loud refusal bound on the driver-collected source domain (the
+#: MARKOV_COLLECT_CAP / VOC_COLLECT_CAP discipline): sources are a
+#: curation-config-sized set; a corpus claiming more than this many is
+#: degenerate and must not melt the driver.
+REWEIGHT_COLLECT_CAP = 1 << 14
 
 
 @register(
@@ -1871,27 +1876,45 @@ def mix_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    w = exn.select(
-        "source", F.expr("1000000 div n_src").cast("bigint").alias("w_e6")
-    )
+    # The multiplicative-weights chain operates on the SOURCE-domain
+    # relation (a handful of rows at any corpus size), yet the former
+    # unrolled relational loop consumed each round's update twice (the
+    # normalizer agg + the next round), doubling the plan per step —
+    # 46 RDD re-walks / 861 plan lines / 58 Exchange at
+    # REWEIGHT_STEPS=3. The domain rows are collected under a loud cap
+    # (the MARKOV_COLLECT_CAP / VOC_COLLECT_CAP discipline) and the
+    # EXACT integer iteration replays in Python — w*(1e6 + eta*excess
+    # div 1e6) div 1000, z = sum, w = wu*1e6 div zsum, all floor
+    # divisions on the same int64-ranged values — bit-identical to the
+    # relational rounds; the final report join stays IN SPARK.
+    dom_rows = exn.select("source", "excess_n_e6", "n_src").limit(
+        REWEIGHT_COLLECT_CAP + 1
+    ).collect()
+    if len(dom_rows) > REWEIGHT_COLLECT_CAP:
+        raise ValueError(
+            f"source domain exceeds REWEIGHT_COLLECT_CAP="
+            f"{REWEIGHT_COLLECT_CAP}; refusing driver collect "
+            "(degenerate source domain)"
+        )
+    n_src = dom_rows[0]["n_src"] if dom_rows else 0
+    wmap = {r["source"]: 1_000_000 // n_src for r in dom_rows}
+    exmap = {r["source"]: r["excess_n_e6"] for r in dom_rows}
     for _ in range(REWEIGHT_STEPS):
-        u = w.join(exn.select("source", "excess_n_e6"), "source").select(
-            "source",
-            F.expr(
-                f"w_e6 * (1000000 + {REWEIGHT_ETA_E6} * excess_n_e6 div 1000000)"
-                " div 1000"
-            )
-            .cast("bigint")
-            .alias("wu"),
-        )
-        z = u.agg(F.sum("wu").cast("bigint").alias("zsum"))
-        w = u.crossJoin(F.broadcast(z)).select(
-            "source",
-            F.expr("wu * 1000000 div zsum").cast("bigint").alias("w_e6"),
-        )
+        wu = {
+            src: wmap[src]
+            * (1_000_000 + REWEIGHT_ETA_E6 * exmap[src] // 1_000_000)
+            // 1000
+            for src in wmap
+        }
+        zsum = sum(wu.values())
+        wmap = {src: wu[src] * 1_000_000 // zsum for src in wu}
+    wdf = spark.createDataFrame(
+        [(src, wmap[src]) for src in sorted(wmap)],
+        "source string, w_final_e6 bigint",
+    )
     return exn.select(
         "source", "n_docs", "toks", "mean_len_e6", "excess_n_e6"
-    ).join(w.withColumnRenamed("w_e6", "w_final_e6"), "source")
+    ).join(F.broadcast(wdf), "source")
 
 
 # --- consistent-hash output sharding ----------------------------------------
