@@ -1755,37 +1755,49 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
     exact = exact.localCheckpoint()
 
-    def bucket(d: int, key):
+    # The d rows are emitted MAP-SIDE via one explode instead of a
+    # CMS_D-branch union (each branch re-walked its input relation —
+    # 2 x CMS_D re-walks between the sketch and the probes), and the
+    # hash string 'cms{d}:{key}' is built from the d COLUMN, which is
+    # byte-identical to the former per-branch literal.
+    dcol = F.explode(F.array(*[F.lit(i) for i in range(CMS_D)])).alias("d")
+
+    def bucket_col():
         return (
             F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"cms{d}:"), key)), 1, 8),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cms"),
+                            F.col("d").cast("string"),
+                            F.lit(":"),
+                            F.col("key"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
                 16,
                 10,
             ).cast("bigint")
             % CMS_W
         )
 
-    sketch = None
-    for d in range(CMS_D):
-        b = exact.select(
-            F.lit(d).alias("d"),
-            bucket(d, F.col("key")).alias("bucket"),
-            "true_cnt",
-        )
-        sketch = b if sketch is None else sketch.unionByName(b)
-    sketch = sketch.groupBy("d", "bucket").agg(
-        F.sum("true_cnt").cast("bigint").alias("total")
+    sketch = (
+        exact.select("key", "true_cnt", dcol)
+        .select("d", bucket_col().alias("bucket"), "true_cnt")
+        .groupBy("d", "bucket")
+        .agg(F.sum("true_cnt").cast("bigint").alias("total"))
     )
-    top = exact.orderBy(F.desc("true_cnt"), F.asc("key")).limit(10)
-    probes = None
-    for d in range(CMS_D):
-        p = top.select(
-            "key",
-            "true_cnt",
-            F.lit(d).alias("d"),
-            bucket(d, F.col("key")).alias("bucket"),
-        )
-        probes = p if probes is None else probes.unionByName(p)
+    # 10 rows, CMS_D probe walks below — sorted once.
+    top = (
+        exact.orderBy(F.desc("true_cnt"), F.asc("key"))
+        .limit(10)
+        .localCheckpoint()
+    )
+    probes = top.select("key", "true_cnt", dcol).select(
+        "key", "true_cnt", "d", bucket_col().alias("bucket")
+    )
     est = (
         probes.join(sketch, ["d", "bucket"])
         .groupBy("key", "true_cnt")
