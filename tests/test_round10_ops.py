@@ -512,3 +512,199 @@ def test_benford_screen_matches_python_replay(spark, sf_dir):
     assert any(v[6] for v in want.values())
     # and the signed deviations must cancel (both shares sum to 1e6)
     assert sum(v[4] for v in want.values()) == 0
+
+
+# --- round-10 optimization-pass rewrites: independent replays ---------------
+
+
+def test_referential_integrity_matches_python_sets(spark, sf_dir):
+    """Orphan counts replayed with plain-python sets (literal NOT
+    EXISTS), guarding the left-join-against-distinct-keys rewrite."""
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet")
+    o = pq.read_table(f"{sf_dir}/orders.parquet")
+    okeys = set(o["o_orderkey"].to_pylist())
+    pkeys = set(
+        pq.read_table(f"{sf_dir}/part.parquet")["p_partkey"].to_pylist()
+    )
+    skeys = set(
+        pq.read_table(f"{sf_dir}/supplier.parquet")["s_suppkey"].to_pylist()
+    )
+    ckeys = set(
+        pq.read_table(f"{sf_dir}/customer.parquet")["c_custkey"].to_pylist()
+    )
+    lo = li["l_orderkey"].to_pylist()
+    lp = li["l_partkey"].to_pylist()
+    ls = li["l_suppkey"].to_pylist()
+    oc = o["o_custkey"].to_pylist()
+    want = {
+        "lineitem->orders": (len(lo), sum(1 for k in lo if k not in okeys)),
+        "lineitem->part": (len(lo), sum(1 for k in lp if k not in pkeys)),
+        "lineitem->supplier": (len(lo), sum(1 for k in ls if k not in skeys)),
+        "orders->customer": (len(oc), sum(1 for k in oc if k not in ckeys)),
+    }
+    got = {
+        r["relation"]: (r["fk_rows"], r["orphans"])
+        for r in mdx.QUERIES["dq_referential_integrity"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want
+
+
+def test_domain_reweight_matches_relational_replay(spark, sf_dir):
+    """The driver-replayed multiplicative-weights loop checked against
+    an independent plain-python replay of the ORIGINAL relational
+    rounds (per-source rollup from raw parquet, exact floor
+    divisions)."""
+    from metadata_extractors_api_spark.operators.training import (
+        REWEIGHT_ETA_E6,
+        REWEIGHT_STEPS,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    stats = {}
+    for src, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        n, k = stats.get(src, (0, 0))
+        stats[src] = (n + 1, k + len(text.split(" ")))
+    toks_all = sum(k for _, k in stats.values())
+    docs_all = sum(n for n, _ in stats.values())
+    n_src = len(stats)
+    mean_all = toks_all * 1_000_000 // docs_all
+    excess = {
+        s: max(k * 1_000_000 // n - mean_all, 0)
+        for s, (n, k) in stats.items()
+    }
+    emax = max(excess.values())
+    exn = {s: e * 1_000_000 // max(emax, 1) for s, e in excess.items()}
+    w = {s: 1_000_000 // n_src for s in stats}
+    for _ in range(REWEIGHT_STEPS):
+        wu = {
+            s: w[s]
+            * (1_000_000 + REWEIGHT_ETA_E6 * exn[s] // 1_000_000)
+            // 1000
+            for s in w
+        }
+        z = sum(wu.values())
+        w = {s: wu[s] * 1_000_000 // z for s in wu}
+    got = {
+        r["source"]: (r["excess_n_e6"], r["w_final_e6"])
+        for r in mdx.QUERIES["mix_domain_reweight"](spark, sf_dir).collect()
+    }
+    assert got == {s: (exn[s], w[s]) for s in stats}
+
+
+def test_e2e_curation_funnel_matches_python(spark, sf_dir):
+    """The one-pass conditional-aggregation funnel replayed literally:
+    normalize -> md5 min-doc_id dedup -> quality gate -> greedy packing
+    over the FILTERED per-language sequence (the semantics the fused
+    window must preserve bit-for-bit)."""
+    import hashlib
+    import re as _re
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    rows = sorted(
+        zip(
+            t["doc_id"].to_pylist(),
+            t["lang"].to_pylist(),
+            t["text"].to_pylist(),
+        )
+    )
+    norm = {}
+    for doc_id, lang, text in rows:
+        nt = _re.sub(" +", " ", _re.sub("[^a-z0-9 ]", "", text.lower()))
+        norm[doc_id] = (lang, nt.strip())
+    first = {}
+    for doc_id in sorted(norm):
+        h = hashlib.md5(norm[doc_id][1].encode()).hexdigest()
+        first.setdefault(h, doc_id)
+    kept = set(first.values())
+    want = {}
+    by_lang = {}
+    for doc_id in sorted(norm):
+        lang, nt = norm[doc_id]
+        cell = want.setdefault(lang, [0, 0, 0, set()])
+        cell[0] += 1
+        if doc_id in kept:
+            cell[1] += 1
+            n_tok = len(nt.split(" "))
+            if 10 <= n_tok <= 1000:
+                cell[2] += 1
+                run = by_lang.get(lang, 0) + n_tok
+                by_lang[lang] = run
+                cell[3].add((run - 1) // 2048)
+    expect = {
+        lang: (c[0], c[1], c[2], len(c[3])) for lang, c in want.items()
+    }
+    got = {
+        r["lang"]: (
+            r["n_docs_in"],
+            r["n_after_dedup"],
+            r["n_after_quality"],
+            r["n_bins"],
+        )
+        for r in mdx.QUERIES["pipeline_e2e_curation"](spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_bloom_prefilter_matches_python_replay(spark, sf_dir):
+    """The cnt-weighted audit replayed with hashlib ints: per-key Bloom
+    verdicts from the same md5 double-hash, fact tallies as
+    count-weighted sums over keys (the rewrite under test)."""
+    import hashlib
+
+    from metadata_extractors_api_spark.operators.scale import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+        _BLOOM_WORD,
+    )
+
+    def h32(salt, key):
+        return int(
+            hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16
+        )
+
+    c = pq.read_table(f"{sf_dir}/customer.parquet")
+    keys = {
+        k
+        for k, seg in zip(
+            c["c_custkey"].to_pylist(), c["c_mktsegment"].to_pylist()
+        )
+        if seg == "BUILDING"
+    }
+    words = {}
+    for k in keys:
+        h1, h2 = h32("b1", k), h32("b2", k)
+        for i in range(_BLOOM_K):
+            p = (h1 + i * h2) % _BLOOM_BITS
+            words[p // _BLOOM_WORD] = words.get(p // _BLOOM_WORD, 0) | (
+                1 << (p % _BLOOM_WORD)
+            )
+    o = pq.read_table(f"{sf_dir}/orders.parquet")["o_custkey"].to_pylist()
+    cnt = {}
+    for k in o:
+        cnt[k] = cnt.get(k, 0) + 1
+    n_probe = n_pass = n_true = n_fp = 0
+    for k, n in cnt.items():
+        h1, h2 = h32("b1", k), h32("b2", k)
+        ok = all(
+            words.get(((h1 + i * h2) % _BLOOM_BITS) // _BLOOM_WORD, 0)
+            >> (((h1 + i * h2) % _BLOOM_BITS) % _BLOOM_WORD)
+            & 1
+            for i in range(_BLOOM_K)
+        )
+        n_probe += n
+        if ok:
+            n_pass += n
+        if k in keys:
+            n_true += n
+        if ok and k not in keys:
+            n_fp += n
+    row = mdx.QUERIES["agg_bloom_prefilter"](spark, sf_dir).collect()[0]
+    assert (
+        row["n_probe"],
+        row["n_pass"],
+        row["n_true"],
+        row["n_false_pos"],
+    ) == (n_probe, n_pass, n_true, n_fp)
+    assert row["bits_set"] == sum(bin(w).count("1") for w in words.values())
