@@ -431,7 +431,10 @@ def _unpartitioned_window_sigs(plan: str) -> set:
 #     order history, fixed score buckets) — they do not grow with data.
 _GLOBAL_WINDOW_ALLOWLIST = {
     # two-phase primitive offset branches (bounded: n_partitions rows)
-    "agg_percentile_cont": {"<global-unordered>", "_pid"},
+    # (agg_percentile_cont's entry retired in the r10 optimization
+    # pass: the ranked relation is localCheckpointed for its two
+    # external consumers, so the _global_rank offsets window runs at
+    # construction and the final plan is clean)
     "agg_weighted_median": {"<global-unordered>", "_pid"},
     # (dedup_sorted_neighborhood's _pid entry retired in r10: the
     # candidate relation is localCheckpointed, so the _global_rank
