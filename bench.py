@@ -303,6 +303,12 @@ def main() -> None:
         "spread": spread,
         "controls": controls,
         "runs": RUNS,
+        # Protocol stamp: every query gets ONE untimed warm-up run
+        # before its RUNS timed samples (JIT, file listing, broadcast,
+        # and any session-scoped index/candidate memo builds execute
+        # there — see BENCH.md), so the quoted medians are warm-path
+        # numbers. Stamped so the artifact is self-describing.
+        "warmup": 1,
         "load1_at_start": round(load1, 2),
         "ncpu": ncpu,
         "contended": contended,
